@@ -1,0 +1,145 @@
+"""Snowflake-semantics compatibility helpers, as pure Catalyst expressions.
+
+Each helper is a thin Python function returning a Column built only from
+``pyspark.sql.functions`` — no UDFs, so everything stays inside
+whole-stage codegen. Reference citations point at the Snowflake constructs
+whose semantics these reproduce (see SURVEY.md §2.H / §7.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Formats the reference's data actually uses (SURVEY.md §7.4-1):
+# plain dates and ISO timestamps (with or without fractional seconds).
+_DATE_FORMATS = ("yyyy-MM-dd", "yyyy/MM/dd", "MM/dd/yyyy")
+
+
+def try_to_date(col: Column | str) -> Column:
+    """Snowflake TRY_TO_DATE: parse to date, NULL (never error) on garbage.
+
+    Reference usage: sp_full_travel_costs.sql:29,41 and
+    sp_travel_tax_report.sql:30. Accepts the formats observed in the
+    reference's fixtures; an ISO timestamp prefix also parses (LEFT 10).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    attempts = [F.try_to_timestamp(F.substring(c, 1, 10), F.lit(fmt)) for fmt in _DATE_FORMATS]
+    return F.coalesce(*attempts).cast("date")
+
+
+def try_to_timestamp(col: Column | str, fmt: str | None = None) -> Column:
+    """Snowflake TRY_TO_TIMESTAMP: NULL on unparseable input."""
+    c = F.col(col) if isinstance(col, str) else col
+    if fmt is not None:
+        return F.try_to_timestamp(c, F.lit(fmt))
+    return F.coalesce(
+        F.try_to_timestamp(c),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")),
+    )
+
+
+def try_time_to_hours(col: Column | str) -> Column:
+    """Snowflake ``HOUR(TRY_TO_TIME(x)) + MINUTE(TRY_TO_TIME(x))/60``.
+
+    The reference parses "HH:MM" duration strings this way
+    (sp_travel_tax_report.sql:32-33). Spark has no TIME type, so
+    decompose the string; NULL (not error) when malformed.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(F.trim(c), ":")
+    hh = F.element_at(parts, 1).cast("int")
+    mm = F.element_at(parts, 2).cast("int")
+    valid = (
+        hh.isNotNull()
+        & mm.isNotNull()
+        & (hh >= 0)
+        & (hh <= 23)
+        & (mm >= 0)
+        & (mm <= 59)
+    )
+    return F.when(valid, hh + mm / F.lit(60.0))
+
+
+def listagg(col: Column | str, sep: str = ", ", distinct: bool = False) -> Column:
+    """Snowflake LISTAGG [DISTINCT] ... WITHIN GROUP (ORDER BY col).
+
+    Snowflake leaves un-ORDERed LISTAGG nondeterministic; we always sort
+    for a deterministic contract (SURVEY.md §7.4-3). Reference usages:
+    sp_full_travel_costs.sql:39 (ordered), sp_travel_tax_report.sql:44
+    (DISTINCT).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.collect_list(c)
+    if distinct:
+        arr = F.array_distinct(arr)
+    return F.array_join(F.array_sort(arr), sep)
+
+
+def zeroifnull(col: Column | str) -> Column:
+    """Snowflake ZEROIFNULL (sp_full_travel_costs.sql:62-72)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.lit(0))
+
+
+def qualify_latest_batch(df: DataFrame, partition_by: Sequence[str], batch_col: str = "load_id") -> DataFrame:
+    """QUALIFY LOAD_ID = MAX(LOAD_ID) OVER (PARTITION BY ...).
+
+    Keeps every row of the newest batch per partition key — the
+    "latest re-upload of a file wins, whole batch kept" pattern
+    (sp_full_travel_costs.sql:14-17). Spark SQL lacks QUALIFY; this is
+    the window+filter emulation, which Catalyst executes as a single
+    shuffle on the partition keys.
+    """
+    w = Window.partitionBy(*partition_by)
+    return (
+        df.withColumn("__max_batch", F.max(batch_col).over(w))
+        .filter(F.col(batch_col) == F.col("__max_batch"))
+        .drop("__max_batch")
+    )
+
+
+def qualify_dedup_latest(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column] | None = None,
+) -> DataFrame:
+    """QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY load_id DESC) = 1.
+
+    One survivor per key, newest batch wins (sp_full_travel_costs.sql:21-24,
+    sp_travel_tax_report.sql:35,57,69). Single shuffle on the key.
+    """
+    order = list(order_by) if order_by else [F.col("load_id").desc()]
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-arithmetic helpers for cross-engine reproducibility.
+#
+# Double-precision SUM is order-dependent; Spark (partial aggregation over
+# arbitrary partition order) and any oracle engine will disagree in the low
+# bits. Summing DECIMAL is exact and order-independent, so aggregates that
+# must be bit-reproducible cast to decimal first and cast the final result
+# back to double. This costs <5% over double sums and removes an entire
+# class of flaky comparisons — at 100 TB the nondeterminism would otherwise
+# grow with partition count.
+# ---------------------------------------------------------------------------
+
+def dsum(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent SUM: decimal-exact accumulation, double result."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+
+
+def davg(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent AVG: exact decimal sum divided by count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double") / F.count(c)

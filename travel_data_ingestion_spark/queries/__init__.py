@@ -1,0 +1,95 @@
+"""Query registry: every operator the engine claims, as a runnable query.
+
+Each query is a ``QuerySpec``: a Spark implementation ``fn(spark, sf_dir)
+-> DataFrame`` plus (when SQL-expressible) a DuckDB oracle SQL string with
+IDENTICAL column names and deterministic values. The driver's correctness
+gate runs both sides at sf=0.01 and hash-compares; ``tests/test_parity.py``
+runs the same comparison locally at sf=0.001.
+
+Cross-engine determinism rules used throughout (see compat.dsum/davg):
+- money/quantity aggregates accumulate in DECIMAL (order-independent,
+  exact) and cast the final value to DOUBLE on both sides;
+- timestamps in outputs are rendered with date_format/strftime or cast
+  to DATE;
+- every computed column is explicitly aliased, lowercase, on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan; Catalyst pushes filters/projection into the reader.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; read it as long nanos and convert (floor) to a
+    microsecond timestamp — identical to how a ns timestamp truncates in
+    any µs engine.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None -> driver does rows-only check
+    survey_ops: tuple[str, ...] = field(default=())
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    survey_ops: tuple[str, ...] = (),
+    doc: str = "",
+):
+    """Decorator registering a query implementation."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, survey_ops, doc)
+        return fn
+
+    return wrap
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # Import side-effect populates the registry.
+    from travel_data_ingestion_spark.queries import (  # noqa: F401
+        llm_dedup,
+        llm_similarity,
+        llm_text,
+        relational,
+        travel,
+    )
+
+    return dict(_REGISTRY)

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+- sim01: brute-force cosine top-k — the exact baseline, oracle-checked.
+- sim02: LSH-bucketed ANN (random-hyperplane signatures) — the scale
+  path: candidates come from one bucket instead of the full corpus.
+
+Dot products are native higher-order expressions (zip_with + aggregate),
+JVM-side — no Python in the loop. At 100 TB scale sim01 becomes a
+broadcast of the query vector + a map-only scan + TakeOrderedAndProject
+(top-k heap per partition), i.e. it parallelizes perfectly; sim02 cuts
+the scanned fraction by 2^n_planes via an equi-join on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from travel_data_ingestion_spark.queries import load_table, register
+
+QUERY_VEC_ID = 0  # deterministic query point: the corpus' first vector
+
+
+def dot(x: Column, y: Column) -> Column:
+    return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, z: a + z)
+
+
+def cosine(x: Column, y: Column) -> Column:
+    return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+
+@register(
+    "sim01_knn_bruteforce",
+    f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+      SELECT v.vec_id, v.label,
+             ROUND(list_dot_product(v.e, q.qe) /
+               (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))), 4)
+               AS cos_sim
+      FROM v CROSS JOIN q
+      WHERE v.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, cos_sim
+    FROM scored
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+    survey_ops=("X-SIM-1",),
+    doc="Brute-force cosine top-10 for a fixed query vector. The query "
+    "vector broadcasts (one row); the scan is map-only; top-k is a "
+    "per-partition heap (TakeOrderedAndProject) — no global sort, no "
+    "shuffle of the corpus. Scores rounded to 4dp for cross-engine "
+    "determinism, vec_id tiebreak pins the ordering.",
+)
+def sim01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("e"), F.col("qe")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "sim02_lsh_ann",
+    None,  # hyperplanes derive from engine-specific xxhash64 -> rows-only
+    survey_ops=("X-SIM-2",),
+    doc="ANN via random-hyperplane LSH: 8 deterministic pseudo-random "
+    "hyperplanes (xxhash64-seeded), each vector keyed by its 8-bit sign "
+    "signature; search touches only the query's bucket (expected 1/256 "
+    "of the corpus), then exact cosine + top-k within it. At 100 TB: "
+    "signatures are a map-only pass, the bucket lookup is a broadcast "
+    "semi-join on one key — no corpus shuffle. Multi-probe (flip one "
+    "bit) would raise recall; kept single-probe for determinism.",
+)
+def sim02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_planes, dim = 8, 64
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    # hyperplane p, dim d -> deterministic pseudo-random coefficient in [-0.5, 0.5)
+    def plane(p: int) -> Column:
+        return F.array(
+            *[
+                ((F.xxhash64(F.lit(p * dim + d)) % 10000) / 10000.0 - 0.5)
+                for d in range(dim)
+            ]
+        )
+
+    def signature(e: Column) -> Column:
+        sig = None
+        for p in range(n_planes):
+            bit = F.when(dot(e, plane(p)) >= 0, F.lit(1)).otherwise(F.lit(0))
+            term = F.shiftleft(bit.cast("long"), p)
+            sig = term if sig is None else sig + term
+        return sig
+
+    keyed = emb.withColumn("bucket", signature(F.col("e")))
+    q = keyed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("e").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        keyed.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(cosine(F.col("e"), F.col("qe")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "sim03_centroid_groups",
+    """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    agg AS (
+      SELECT label, COUNT(*) AS n,
+             ROUND(AVG(list_dot_product(e, e)), 4) AS avg_sq_norm
+      FROM v GROUP BY label
+    )
+    SELECT label, n, avg_sq_norm FROM agg
+    """,
+    survey_ops=("X-SIM-3",),
+    doc="Per-label embedding statistics (count + mean squared norm) — the "
+    "assignment/update half of an IVF/k-means coarse quantizer, shown as "
+    "one aggregation pass. avg over doubles is rounded to 4dp.",
+)
+def sim03_centroid_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sq = dot(F.col("e"), F.col("e"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(sq), 4).alias("avg_sq_norm"),
+    )

@@ -1,0 +1,203 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Token counting, quality scoring, language-ID and document fingerprinting
+over the ``documents`` table — all pure Catalyst expressions (split /
+higher-order array functions / md5), no Python UDFs, so every operator
+whole-stage-codegens and scales linearly with no shuffle except the final
+aggregation (if any). At 100 TB these run as a single map-only pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from travel_data_ingestion_spark.queries import load_table, register
+
+# Deterministic whitespace tokenizer shared by all text operators.
+_TOKENIZE_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+def _tokens() -> F.Column:
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+@register(
+    "t01_token_count",
+    f"""
+    SELECT doc_id,
+           len({_TOKENIZE_SQL}) AS n_tokens,
+           length(text) AS n_chars_actual,
+           n_chars,
+           CAST(length(REPLACE(text, ' ', '')) AS DOUBLE) / len({_TOKENIZE_SQL})
+             AS avg_token_len
+    FROM documents
+    """,
+    survey_ops=("X-TEXT-1",),
+    doc="Whitespace token counting + char audit per document. "
+    "Map-only; no shuffle. The BPE-ish subword estimate lives in "
+    "t02_quality_score (chars/3.2 heuristic).",
+)
+def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        "n_chars",
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "t02_quality_score",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             len({_TOKENIZE_SQL}) AS n_tokens,
+             len(list_filter({_TOKENIZE_SQL}, x -> x IN {_STOP_SQL})) AS n_stop,
+             len(list_distinct({_TOKENIZE_SQL})) AS n_unique,
+             length(text) AS n_chars_actual,
+             CAST(CEIL(length(text) / 3.2) AS BIGINT) AS est_bpe_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, n_unique, est_bpe_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_unique AS DOUBLE) / n_tokens AS ttr,
+           CASE WHEN n_tokens >= 50 AND n_tokens <= 100000
+                 AND CAST(n_unique AS DOUBLE) / n_tokens > 0.1
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM feat
+    """,
+    survey_ops=("X-TEXT-2",),
+    doc="Quality scoring: length band, stopword ratio, type-token ratio, "
+    "BPE-ish token estimate; boolean gate like Gopher/C4-style filters. "
+    "All higher-order array functions — codegen'd, map-only.",
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.length("text").alias("n_chars_actual"),
+        F.ceil(F.length("text") / 3.2).cast("bigint").alias("est_bpe_tokens"),
+    )
+    ttr = F.col("n_unique").cast("double") / F.col("n_tokens")
+    return feat.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_unique",
+        "est_bpe_tokens",
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("stopword_ratio"),
+        ttr.alias("ttr"),
+        F.when((F.col("n_tokens") >= 50) & (F.col("n_tokens") <= 100000) & (ttr > 0.1), 1)
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+# marker vocabularies for the n-gram/stopword language-ID heuristic
+_LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "fr": ("le", "la", "et", "de"),
+    "es": ("el", "los", "y", "que"),
+    "de": ("der", "die", "und", "das"),
+}
+
+
+@register(
+    "t03_langid",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter({_TOKENIZE_SQL}, x -> x IN ('the','a','and','of'))) AS s_en,
+             len(list_filter({_TOKENIZE_SQL}, x -> x IN ('le','la','et','de'))) AS s_fr,
+             len(list_filter({_TOKENIZE_SQL}, x -> x IN ('el','los','y','que'))) AS s_es,
+             len(list_filter({_TOKENIZE_SQL}, x -> x IN ('der','die','und','das'))) AS s_de
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS predicted_lang,
+           s_en, s_fr, s_es, s_de
+    FROM scored
+    """,
+    survey_ops=("X-TEXT-3",),
+    doc="Language-ID by marker-word scoring with deterministic "
+    "first-wins tiebreak (en > fr > es > de). On this synthetic corpus "
+    "every language shares one vocabulary, so the value is the verified "
+    "computation, not accuracy; swap marker lists for real fastText-style "
+    "n-gram tables in production.",
+)
+def t03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        scores[lang] = F.size(F.filter(toks, lambda x, a=arr: F.array_contains(a, x)))
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        scores["en"].alias("s_en"),
+        scores["fr"].alias("s_fr"),
+        scores["es"].alias("s_es"),
+        scores["de"].alias("s_de"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de")),
+            "en",
+        )
+        .when((F.col("s_fr") >= F.col("s_es")) & (F.col("s_fr") >= F.col("s_de")), "fr")
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+    )
+    return scored.select(
+        "doc_id", "labeled_lang", pred.alias("predicted_lang"), "s_en", "s_fr", "s_es", "s_de"
+    )
+
+
+@register(
+    "t04_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_md5,
+           md5(array_to_string(list_sort(list_distinct({_TOKENIZE_SQL})), ' ')) AS bow_fingerprint,
+           substr(md5(lower(trim(text))), 1, 8) AS shard_key
+    FROM documents
+    """,
+    survey_ops=("X-TEXT-4",),
+    doc="Document fingerprinting: exact content hash + order-insensitive "
+    "bag-of-words fingerprint (sorted distinct tokens -> md5). The "
+    "shard_key prefix gives a uniform partitioner for 100 TB dedup "
+    "shuffles.",
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    content = F.md5(F.lower(F.trim(F.col("text"))))
+    bow = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    return docs.select(
+        "doc_id",
+        content.alias("content_md5"),
+        bow.alias("bow_fingerprint"),
+        F.substring(content, 1, 8).alias("shard_key"),
+    )

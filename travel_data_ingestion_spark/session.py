@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for this engine.
+
+Design notes for scale (100 TB target, tested on local[N]):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and runtime join-strategy demotion all matter far more at 1000
+  executors than locally.
+- shuffle.partitions is sized to cores locally; on a real cluster this is
+  overridden (AQE's coalesce makes the initial number less critical).
+- UTC session timezone: parity with the DuckDB oracle (naive UTC
+  timestamps) and with the reference's TIMESTAMP_NTZ silver columns
+  (reference sql/silver_google_timeline.sql:4-5).
+- dynamic partition overwrite: the idempotent silver sink rewrites only
+  the load_id partitions it touches (reference utils.py:12-46 semantics).
+- Arrow enabled: all pandas interchange (createDataFrame/toPandas and
+  pandas UDFs) goes through Arrow batches, never row pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "travel_data_ingestion_spark",
+    master: str | None = None,
+    warehouse_dir: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cores}]")
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with a cheap count() action (no driver-side
+collect of big results); timings include full plan execution. A warmup
+run of the first query pays the one-time session/codegen cost so the
+numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+BENCH_QUERIES = [
+    # scan -> filter -> 8-agg groupBy (TPC-H Q1 shape)
+    "q01_pricing_summary",
+    # broadcast dim + fact-fact join + top-k
+    "q03_top_revenue_orders",
+    # 5-table star join
+    "q05_region_nation_revenue",
+    # manual pivot, one pass
+    "d06_pivot_sum_case",
+    # window dedup (one shuffle)
+    "e02_dedup_row_number",
+    # sessionization (lag + cumsum windows)
+    "j02_sessionization",
+    # exact dedup on md5 key
+    "dd01_exact_dedup",
+    # text quality features (higher-order array fns, map-only)
+    "t02_quality_score",
+    # brute-force cosine top-k
+    "sim01_knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from travel_data_ingestion_spark.queries import all_queries
+    from travel_data_ingestion_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    specs = all_queries()
+
+    # warmup: JVM + codegen + parquet footer reads
+    specs[BENCH_QUERIES[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_9q",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

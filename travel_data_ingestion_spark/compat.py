@@ -51,8 +51,8 @@ def try_time_to_hours(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(F.trim(c), ":")
-    hh = F.element_at(parts, 1).cast("int")
-    mm = F.element_at(parts, 2).cast("int")
+    hh = F.try_element_at(parts, F.lit(1)).cast("int")
+    mm = F.try_element_at(parts, F.lit(2)).cast("int")
     valid = (
         hh.isNotNull()
         & mm.isNotNull()

@@ -43,6 +43,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond timestamp — identical to how a ns timestamp truncates in
     any µs engine.
     """
+    # Harden against foreign session defaults: the oracle comparison
+    # assumes UTC rendering and Snowflake-style null-on-garbage parsing.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         from pyspark.sql import functions as F
@@ -86,6 +90,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect populates the registry.
     from travel_data_ingestion_spark.queries import (  # noqa: F401
         llm_dedup,
+        llm_multimodal,
         llm_similarity,
         llm_text,
         relational,

@@ -1016,8 +1016,8 @@ def h17_geo_string_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.filter(F.col("c_custkey") % 5 == 0)
         .select(
             "c_custkey",
-            F.trim(F.element_at(parts, 1)).cast("double").alias("lat"),
-            F.trim(F.element_at(parts, 2)).cast("double").alias("lon"),
+            F.trim(F.try_element_at(parts, F.lit(1))).cast("double").alias("lat"),
+            F.trim(F.try_element_at(parts, F.lit(2))).cast("double").alias("lon"),
         )
     )
 

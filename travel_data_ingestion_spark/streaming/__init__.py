@@ -1,0 +1,21 @@
+"""Structured Streaming layer.
+
+The reference has no true streaming — its incrementality is a batch
+micro-ledger (SURVEY §2.J). This package is the idiomatic Spark upgrade
+path kept semantically equivalent:
+
+- ``ingest_stream``: file-source ingestion with Trigger.AvailableNow +
+  checkpoint = the ingestion ledger (A-07/A-08) as engine-managed state;
+  foreachBatch performs the same idempotent bronze append.
+- ``windows``: watermarked tumbling/sliding window aggregations — the
+  streaming twins of the minute/hour batch grains (D-02/D-03) — and
+  gap-based sessionization via session_window.
+"""
+
+from travel_data_ingestion_spark.streaming.ingest_stream import stream_ingest_csv
+from travel_data_ingestion_spark.streaming.windows import (
+    sessionized_counts,
+    windowed_event_stats,
+)
+
+__all__ = ["stream_ingest_csv", "windowed_event_stats", "sessionized_counts"]

@@ -147,10 +147,11 @@ _LANG_MARKERS = {
 def t03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens()
-    scores = {}
-    for lang, markers in _LANG_MARKERS.items():
+    def marker_count(markers: tuple[str, ...]) -> F.Column:
         arr = F.array(*[F.lit(w) for w in markers])
-        scores[lang] = F.size(F.filter(toks, lambda x, a=arr: F.array_contains(a, x)))
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: marker_count(m) for lang, m in _LANG_MARKERS.items()}
     scored = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),

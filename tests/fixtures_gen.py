@@ -127,5 +127,20 @@ def generate_landing(dirpath: str, days: int = 10, seed: int = 7) -> None:
         )
     segments.append({"startTime": "2026-02-09T00:00:00.000+09:00",
                      "endTime": "2026-02-09T01:00:00.000+09:00"})  # dropped
+    # string-form placeLocation (dict-or-string — reset_schemas.sql:415-420)
+    segments.append(
+        {
+            "startTime": "2026-02-07T09:00:00.000+09:00",
+            "endTime": "2026-02-07T10:00:00.000+09:00",
+            "visit": {
+                "probability": 0.5,
+                "topCandidate": {"placeId": "ChIJSTR", "placeLocation": "35.9°, 139.9°"},
+            },
+        }
+    )
     with open(os.path.join(dirpath, "google_timeline_2026_02.json"), "w") as f:
         json.dump({"semanticSegments": segments}, f)
+    # malformed document: must ingest (whole-doc string) and silently
+    # yield zero segments (try_parse_json -> NULL)
+    with open(os.path.join(dirpath, "google_timeline_bad.json"), "w") as f:
+        f.write("{not valid json !!")

@@ -14,7 +14,7 @@ START, END = "2026-02-01", "2026-02-10"
 
 def test_visits_and_movements(spark, pipeline_wh):  # noqa: F811
     v = dash.visits(spark, pipeline_wh, START, END).collect()
-    assert len(v) == 6
+    assert len(v) == 7
     assert all(r.tooltip_text.startswith("<b>Type:</b> Visit") for r in v)
     m = dash.movements(spark, pipeline_wh, START, END).collect()
     assert len(m) == 6

@@ -1,0 +1,77 @@
+"""Ingestion-layer unit tests: glob conversion, stage listing, per-file
+failure isolation, ledger bookkeeping."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from travel_data_ingestion_spark.catalog import Warehouse
+from travel_data_ingestion_spark.config import FileDetail
+from travel_data_ingestion_spark.ingest import (
+    glob_to_regex,
+    ingest_dataset,
+    ingestion_ledger,
+    list_stage_files,
+)
+
+
+def test_glob_to_regex_matches_reference_conversion():
+    # ingestion_logic.py:102: escape '.', then '*' -> '.*'
+    assert glob_to_regex("transactions_*.csv") == r"transactions_.*\.csv"
+    assert glob_to_regex("a.b*") == r"a\.b.*"
+
+
+def test_list_stage_files_pattern(tmp_path):
+    for name in ("transactions_1.csv", "transactions_2.csv", "other.csv",
+                 "transactions_1.csv.bak"):
+        (tmp_path / name).write_text("x")
+    out = [os.path.basename(p) for p in list_stage_files(str(tmp_path), "transactions*.csv")]
+    # '.bak' matches 'transactions*.csv'? regex is 'transactions_.*\.csv$'
+    # -> no ('.csv.bak' fails the $ anchor); 'other.csv' fails the prefix.
+    assert out == ["transactions_1.csv", "transactions_2.csv"]
+
+
+def test_per_file_failure_isolation(spark, tmp_path):
+    """A file the reader cannot parse logs FAILURE and does not block the
+    next file (ON_ERROR='SKIP_FILE', A-06)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "transactions_good.csv").write_text(
+        "country,date,name,type,amount,comments\nJP,2026-02-01,m1,Food,10.5,ok\n"
+    )
+    # a directory with a matching name makes spark.read.csv(path) fail
+    bad = landing / "transactions_bad.csv"
+    bad.mkdir()
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.init()
+    detail = FileDetail(1, str(landing), "transactions*.csv", "bronze", "transactions", "csv")
+    loads = ingest_dataset(spark, wh, detail)
+    assert len(loads) == 1  # only the good file loaded
+    ledger = {
+        r.file_name: r.status
+        for r in ingestion_ledger(spark, wh).collect()
+    }
+    assert ledger["transactions_good.csv"] == "SUCCESS"
+    assert ledger["transactions_bad.csv"] == "FAILURE"
+    rows = wh.read(spark, "bronze", "transactions").collect()
+    assert len(rows) == 1
+    assert rows[0]._source_file == "transactions_good.csv"
+    assert rows[0].country == "JP" and rows[0].amount == "10.5"  # strings in bronze
+
+
+def test_column_count_tolerance(spark, tmp_path):
+    """Fewer source columns than the bronze schema -> missing trailing
+    columns become NULL (error_on_column_count_mismatch=false, A-06)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "transactions_short.csv").write_text(
+        "country,date,name\nJP,2026-02-01,m1\n"
+    )
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.init()
+    detail = FileDetail(1, str(landing), "transactions*.csv", "bronze", "transactions", "csv")
+    ingest_dataset(spark, wh, detail)
+    row = wh.read(spark, "bronze", "transactions").first()
+    assert row.country == "JP" and row.type is None and row.amount is None

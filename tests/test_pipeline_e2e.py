@@ -217,15 +217,21 @@ def test_gold_tax_report_matches_reference_sql(spark, pipeline_wh):
 def test_timeline_segments_parsed(spark, pipeline_wh):
     tl = pipeline_wh.read(spark, "silver", "google_timeline")
     rows = tl.collect()
-    # 6 visits + 6 activities; the neither-branch segment is dropped
-    assert len(rows) == 12
+    # 7 visits + 6 activities; the neither-branch segment is dropped and
+    # the malformed document contributes zero rows
+    assert len(rows) == 13
     visits = [r for r in rows if r.segment_type == "VISIT"]
     acts = [r for r in rows if r.segment_type == "ACTIVITY"]
-    assert len(visits) == 6 and len(acts) == 6
+    assert len(visits) == 7 and len(acts) == 6
     v = sorted(visits, key=lambda r: r.place_id)[0]
     assert v.place_id == "ChIJ0000"
     assert abs(v.visit_latitude - 35.650) < 1e-6
     assert v.activity_type is None
+    # string-form placeLocation parses identically to the dict form
+    vs = next(r for r in visits if r.place_id == "ChIJSTR")
+    assert vs.visit_latitude == pytest.approx(35.9)
+    assert vs.visit_longitude == pytest.approx(139.9)
+    assert vs.confidence == pytest.approx(0.5)
     a = acts[0]
     assert a.activity_type in ("IN_TRAIN", "WALKING", "FLYING")
     assert abs(a.activity_start_latitude - 35.65) < 1e-6

@@ -1,0 +1,81 @@
+"""Physical-plan quality gates: the 100 TB design assertions.
+
+These tests pin the plan properties the engine's scale story depends on:
+filters reach the parquet scan (PushedFilters), column pruning reaches
+the reader (ReadSchema), small dims broadcast, top-k avoids a global
+sort, and hot paths stay inside WholeStageCodegen. A refactor that
+silently regresses one of these fails here long before a benchmark run
+would catch it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+from travel_data_ingestion_spark.queries import all_queries
+
+SPECS = all_queries()
+
+
+def _formatted_plan(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = SPECS[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _formatted_plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _formatted_plan(spark, "q01_pricing_summary")
+    # only the 7 needed columns in ReadSchema, not all 11
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _formatted_plan(spark, "q05_region_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the only sort-merge/shuffle join permitted is lineitem<->orders
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _formatted_plan(spark, "f04_top_k")
+    assert "TakeOrderedAndProject" in plan
+    # no global Sort node outside the top-k operator
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = _formatted_plan(spark, "d06_pivot_sum_case")
+    # HashAggregate appears twice: partial (map-side) + final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_hot_path_stays_in_codegen(spark):
+    plan = _formatted_plan(spark, "t02_quality_score")
+    # formatted explain marks codegen'd operators with a '*' prefix
+    assert "* ColumnarToRow" in plan or "* Project" in plan
+    # no Python evaluation in the scalar text pipeline
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_anti_and_semi_joins_broadcast(spark):
+    for name in ("c05_anti_join", "c06_semi_join"):
+        plan = _formatted_plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_scaffold_join_broadcasts_small_side(spark):
+    plan = _formatted_plan(spark, "c04_scaffold_densify")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from travel_data_ingestion_spark.compat import try_to_date, try_to_timestamp
 
@@ -166,66 +165,6 @@ def fitbit_heart_rate(bronze: DataFrame) -> dict[str, DataFrame]:
     return {"heart_rate_minute_log": minute_log, "heart_rate_hourly_summary": hourly}
 
 
-# Nested schema of a Google-Timeline export (FIXTURES.md §7; reference
-# reset_schemas.sql:344-430). placeLocation is dict-or-string in the wild;
-# both shapes are handled below.
-_LATLNG = T.StructType([T.StructField("latLng", T.StringType())])
-_TIMELINE_SCHEMA = T.StructType(
-    [
-        T.StructField(
-            "semanticSegments",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("startTime", T.StringType()),
-                        T.StructField("endTime", T.StringType()),
-                        T.StructField(
-                            "visit",
-                            T.StructType(
-                                [
-                                    T.StructField("probability", T.DoubleType()),
-                                    T.StructField(
-                                        "topCandidate",
-                                        T.StructType(
-                                            [
-                                                T.StructField("placeId", T.StringType()),
-                                                T.StructField("placeLocation", _LATLNG),
-                                            ]
-                                        ),
-                                    ),
-                                ]
-                            ),
-                        ),
-                        T.StructField(
-                            "activity",
-                            T.StructType(
-                                [
-                                    T.StructField("probability", T.DoubleType()),
-                                    T.StructField("distanceMeters", T.DoubleType()),
-                                    T.StructField("start", _LATLNG),
-                                    T.StructField("end", _LATLNG),
-                                    T.StructField("startLocation", _LATLNG),
-                                    T.StructField("endLocation", _LATLNG),
-                                    T.StructField(
-                                        "topCandidate",
-                                        T.StructType(
-                                            [
-                                                T.StructField("type", T.StringType()),
-                                                T.StructField("probability", T.DoubleType()),
-                                            ]
-                                        ),
-                                    ),
-                                ]
-                            ),
-                        ),
-                    ]
-                )
-            ),
-        )
-    ]
-)
-
-
 def _parse_latlng(col: F.Column, idx: int) -> F.Column:
     """'35.65°, 139.74°' -> double, null on garbage (reference
     reset_schemas.sql:309-318 parse_lat_long_string; H-17/I-02)."""
@@ -238,44 +177,69 @@ def google_timeline(bronze: DataFrame) -> dict[str, DataFrame]:
     """VARIANT -> relational rows, fully declarative (I-05).
 
     The reference needs a 160-LoC Snowpark procedure with pandas row
-    loops (reset_schemas.sql:298-455); in Spark it is from_json +
-    explode + branch projection, running entirely on executors. Segments
-    that are neither visit nor activity are dropped, exactly like the
-    reference's two append branches (:398-430).
+    loops (reset_schemas.sql:298-455); here it is parse_json (Spark 4
+    VariantType — the direct VARIANT analog) + explode + branch
+    projection, running entirely on executors. try_variant_get's
+    schema-on-read paths reproduce the reference's flexible access:
+    placeLocation may be a {"latLng": ...} object OR a bare string
+    (reset_schemas.sql:415-420), and activity start/startLocation are
+    alternate spellings (:424). Segments that are neither visit nor
+    activity are dropped, exactly like the reference's two append
+    branches (:398-430). Garbage documents parse to NULL (try_parse_json),
+    mirroring ON_ERROR tolerance.
     """
     seg = bronze.select(
         "load_id",
         "_source_file",
         F.explode(
-            F.from_json(F.col("raw_data"), _TIMELINE_SCHEMA)["semanticSegments"]
+            F.try_variant_get(
+                F.try_parse_json(F.col("raw_data")), "$.semanticSegments", "array<variant>"
+            )
         ).alias("s"),
     )
-    visit = F.col("s.visit")
-    act = F.col("s.activity")
-    start_node = F.coalesce(F.col("s.activity.start.latLng"), F.col("s.activity.startLocation.latLng"))
-    end_node = F.coalesce(F.col("s.activity.end.latLng"), F.col("s.activity.endLocation.latLng"))
+
+    def vget(path: str, typ: str) -> F.Column:
+        return F.try_variant_get(F.col("s"), path, typ)
+
+    visit = vget("$.visit", "variant")
+    act = vget("$.activity", "variant")
+    # dict-or-string placeLocation: prefer the object's latLng; accept a
+    # bare string but never the stringified object form.
+    loc_str = vget("$.visit.topCandidate.placeLocation", "string")
+    visit_loc = F.coalesce(
+        vget("$.visit.topCandidate.placeLocation.latLng", "string"),
+        F.when(~loc_str.rlike(r"^\s*\{"), loc_str),
+    )
+    start_node = F.coalesce(
+        vget("$.activity.start.latLng", "string"),
+        vget("$.activity.startLocation.latLng", "string"),
+    )
+    end_node = F.coalesce(
+        vget("$.activity.end.latLng", "string"),
+        vget("$.activity.endLocation.latLng", "string"),
+    )
     out = (
         seg.filter(visit.isNotNull() | act.isNotNull())
         .select(
             "load_id",
             "_source_file",
-            try_to_timestamp(F.col("s.startTime")).alias("start_time"),
-            try_to_timestamp(F.col("s.endTime")).alias("end_time"),
+            try_to_timestamp(vget("$.startTime", "string")).alias("start_time"),
+            try_to_timestamp(vget("$.endTime", "string")).alias("end_time"),
             F.when(visit.isNotNull(), "VISIT").otherwise("ACTIVITY").alias("segment_type"),
-            F.when(visit.isNotNull(), F.col("s.visit.topCandidate.placeId")).alias("place_id"),
-            F.when(visit.isNotNull(), _parse_latlng(F.col("s.visit.topCandidate.placeLocation.latLng"), 1)).alias("visit_latitude"),
-            F.when(visit.isNotNull(), _parse_latlng(F.col("s.visit.topCandidate.placeLocation.latLng"), 2)).alias("visit_longitude"),
-            F.when(visit.isNull(), F.col("s.activity.topCandidate.type")).alias("activity_type"),
+            F.when(visit.isNotNull(), vget("$.visit.topCandidate.placeId", "string")).alias("place_id"),
+            F.when(visit.isNotNull(), _parse_latlng(visit_loc, 1)).alias("visit_latitude"),
+            F.when(visit.isNotNull(), _parse_latlng(visit_loc, 2)).alias("visit_longitude"),
+            F.when(visit.isNull(), vget("$.activity.topCandidate.type", "string")).alias("activity_type"),
             F.when(visit.isNull(), _parse_latlng(start_node, 1)).alias("activity_start_latitude"),
             F.when(visit.isNull(), _parse_latlng(start_node, 2)).alias("activity_start_longitude"),
             F.when(visit.isNull(), _parse_latlng(end_node, 1)).alias("activity_end_latitude"),
             F.when(visit.isNull(), _parse_latlng(end_node, 2)).alias("activity_end_longitude"),
-            F.when(visit.isNull(), F.col("s.activity.distanceMeters")).alias("distance_meters"),
-            F.when(visit.isNotNull(), F.col("s.visit.probability"))
+            F.when(visit.isNull(), vget("$.activity.distanceMeters", "double")).alias("distance_meters"),
+            F.when(visit.isNotNull(), vget("$.visit.probability", "double"))
             .otherwise(
                 F.coalesce(
-                    F.col("s.activity.probability"),
-                    F.col("s.activity.topCandidate.probability"),
+                    vget("$.activity.probability", "double"),
+                    vget("$.activity.topCandidate.probability", "double"),
                 )
             )
             .alias("confidence"),

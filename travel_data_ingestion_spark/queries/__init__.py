@@ -94,6 +94,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_similarity,
         llm_text,
         relational,
+        relational_ext,
         travel,
     )
 

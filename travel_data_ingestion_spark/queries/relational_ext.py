@@ -1,0 +1,319 @@
+"""Extended relational operators beyond the reference's own surface.
+
+A user switching from the reference to this engine gets the full
+analytical vocabulary: as-of joins, exact percentiles, rollup grouping,
+unpivot, set operations, ranking windows, range-frame moving windows,
+approximate aggregates. Everything stays declarative; the as-of join is
+the one operator Spark lacks natively — implemented as the
+union + last_value(ignoreNulls) pattern (single shuffle on the key,
+no per-row Python), verified against DuckDB's native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from travel_data_ingestion_spark.compat import davg, dsum
+from travel_data_ingestion_spark.queries import load_table, register
+from travel_data_ingestion_spark.queries.relational import _davg, _dsum
+
+
+@register(
+    "c09_asof_join",
+    """
+    WITH errors AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    purchases AS (
+      SELECT user_id, ts, MAX(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id,
+           p.purchase_id AS last_purchase_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
+    FROM errors e
+    ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    survey_ops=("X-ASOF-1", "C-02"),
+    doc="As-of join: for each error event, the user's most recent "
+    "purchase at-or-before it. Spark has no native ASOF; this is the "
+    "scalable union + last_value(ignoreNulls) formulation — one shuffle "
+    "on (user_id), one sort within partitions, no Python. Verified "
+    "against DuckDB's native ASOF LEFT JOIN. The reference's closest "
+    "construct is the exact date-shift join (sp_travel_tax_report."
+    "sql:110-112); this generalizes it to true nearest-past matching.",
+)
+def c09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    # tag and union: purchases sort before errors at equal ts so an
+    # equal-timestamp purchase is visible (ASOF's >= inclusivity)
+    left = errors.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    right = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("event_id"),
+        "purchase_id",
+    )
+    unioned = left.unionByName(right)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn(
+        "last_purchase_id", F.last("purchase_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "last_purchase_raw_ts",
+        F.last(F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return filled.filter(F.col("is_probe") == 1).select(
+        "event_id",
+        "user_id",
+        "last_purchase_id",
+        F.date_format("last_purchase_raw_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "last_purchase_ts"
+        ),
+    )
+
+
+@register(
+    "d15_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_ops=("X-PCT-1",),
+    doc="Exact linear-interpolated percentiles per group (Spark "
+    "percentile == DuckDB quantile_cont). Rounded to 6dp for "
+    "cross-engine float stability. The approximate variant for the "
+    "100 TB path is d16_approx_aggs.",
+)
+def d15_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "d16_approx_aggs",
+    None,  # sketch internals are engine-specific -> rows-only check;
+    # tests/test_approx.py bounds the error against exact values
+    survey_ops=("X-PCT-2",),
+    doc="Approximate aggregates — the operators that actually run at "
+    "100 TB: approx_count_distinct (HyperLogLog++) and percentile_approx "
+    "(t-digest-style). Fixed accuracy parameters keep results "
+    "deterministic per engine; tests bound them within 5% of exact.",
+)
+def d16_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "d17_rollup",
+    f"""
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice', 2)} AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, o_orderpriority)
+    """,
+    survey_ops=("X-ROLLUP-1",),
+    doc="Hierarchical ROLLUP totals (region -> priority -> grand total) "
+    "in a single pass — subtotal levels labeled 'ALL' (source columns "
+    "are never null, so the labeling is unambiguous).",
+)
+def d17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", 2).alias("total"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@register(
+    "d18_unpivot",
+    f"""
+    WITH pivoted AS (
+      SELECT CAST(ts AS DATE) AS event_date,
+             {_dsum("CASE WHEN event_type = 'click' THEN value ELSE 0 END", 4)} AS click,
+             {_dsum("CASE WHEN event_type = 'view' THEN value ELSE 0 END", 4)} AS view
+      FROM events GROUP BY 1
+    )
+    SELECT event_date, 'click' AS metric, click AS metric_value FROM pivoted
+    UNION ALL
+    SELECT event_date, 'view' AS metric, view AS metric_value FROM pivoted
+    """,
+    survey_ops=("X-UNPIVOT-1", "D-12"),
+    doc="Unpivot (wide -> long) via the native unpivot/melt operator — "
+    "the inverse of the D-06 pivot, used to re-normalize report tables.",
+)
+def d18_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        dsum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0), 4).alias("click"),
+        dsum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(0), 4).alias("view"),
+    )
+    return pivoted.unpivot(
+        ids=["event_date"],
+        values=["click", "view"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
+@register(
+    "g02_intersect_except",
+    """
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    both_ AS (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers),
+    only_click AS (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+    SELECT 'both' AS cohort, COUNT(*) AS n FROM both_
+    UNION ALL
+    SELECT 'click_only' AS cohort, COUNT(*) AS n FROM only_click
+    """,
+    survey_ops=("G-02",),
+    doc="INTERSECT / EXCEPT set operations (absent from the reference "
+    "SQL; part of the complete relational surface).",
+)
+def g02_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clickers.intersect(buyers).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("cohort"), "n"
+    )
+    only = clickers.exceptAll(buyers).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("click_only").alias("cohort"), "n"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "e05_rank_lag_lead",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type, {_dsum('value', 4)} AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d AS event_date, event_type, total,
+           CAST(RANK() OVER (PARTITION BY event_type ORDER BY total DESC, d) AS BIGINT) AS day_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY event_type ORDER BY total DESC, d) AS BIGINT) AS day_dense_rank,
+           LAG(total) OVER (PARTITION BY event_type ORDER BY d) AS prev_day,
+           LEAD(total) OVER (PARTITION BY event_type ORDER BY d) AS next_day,
+           CAST(NTILE(4) OVER (PARTITION BY event_type ORDER BY total, d) AS BIGINT) AS quartile
+    FROM daily
+    """,
+    survey_ops=("X-WINDOW-1", "E-02"),
+    doc="Ranking/offset window family (rank, dense_rank, lag, lead, "
+    "ntile) over the daily grain — one shuffle on event_type serves all "
+    "five windows (shared partitioning).",
+)
+def e05_rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
+        dsum("value", 4).alias("total")
+    )
+    by_total = Window.partitionBy("event_type").orderBy(F.desc("total"), F.asc("d"))
+    by_date = Window.partitionBy("event_type").orderBy("d")
+    by_total_asc = Window.partitionBy("event_type").orderBy("total", "d")
+    return daily.select(
+        F.col("d").alias("event_date"),
+        "event_type",
+        "total",
+        F.rank().over(by_total).cast("bigint").alias("day_rank"),
+        F.dense_rank().over(by_total).cast("bigint").alias("day_dense_rank"),
+        F.lag("total").over(by_date).alias("prev_day"),
+        F.lead("total").over(by_date).alias("next_day"),
+        F.ntile(4).over(by_total_asc).cast("bigint").alias("quartile"),
+    )
+
+
+@register(
+    "e06_range_frame_moving_avg",
+    f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_idx,
+             CAST(ts AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(28,4))) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d AS event_date,
+           CAST(total AS DOUBLE) AS total,
+           CAST(SUM(total) OVER (ORDER BY day_idx
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS total_7d,
+           CAST(COUNT(*) OVER (ORDER BY day_idx
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS days_in_window
+    FROM daily
+    """,
+    survey_ops=("X-WINDOW-2", "E-03"),
+    doc="RANGE-frame moving window (7 calendar days) — value-based "
+    "framing over a day index, so gaps in the calendar shrink the "
+    "window (unlike ROWS). Decimal accumulation keeps sums exact.",
+)
+def e06_range_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+        F.to_date("ts").alias("d"),
+    ).agg(F.sum(F.col("value").cast("decimal(28,4)")).alias("total"))
+    w = Window.orderBy("day_idx").rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        F.col("d").alias("event_date"),
+        F.col("total").cast("double").alias("total"),
+        F.sum("total").over(w).cast("double").alias("total_7d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("days_in_window"),
+    )

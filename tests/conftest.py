@@ -6,7 +6,9 @@ import pytest
 from travel_data_ingestion_spark.queries import TABLES
 from travel_data_ingestion_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")

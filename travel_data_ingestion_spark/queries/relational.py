@@ -117,9 +117,14 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
     li = load_table(spark, sf_dir, "lineitem")
+    # join order matters at scale: apply the selective customer filter to
+    # orders FIRST (broadcast dim), so the orders side entering the fact
+    # join is ~10x smaller; AQE can then demote the li<->orders join to
+    # broadcast at small SFs while the same plan still shuffles correctly
+    # at 100 TB.
+    filtered_orders = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(filtered_orders, li.l_orderkey == filtered_orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_disc_price_col()).cast("double").alias("revenue"))
         .select(

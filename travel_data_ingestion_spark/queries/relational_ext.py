@@ -317,3 +317,37 @@ def e06_range_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total").over(w).cast("double").alias("total_7d"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("days_in_window"),
     )
+
+
+@register(
+    "q06_sql_api",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice', 2)} AS total,
+           {_davg('o_totalprice', 2)} AS avg_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    survey_ops=("X-SQL-1",),
+    doc="The SQL API surface: the same engine consumed through "
+    "spark.sql over registered views — Catalyst produces the identical "
+    "plan either way (SURVEY §3.3's direct-SQL dashboard path).",
+)
+def q06_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                 / COUNT(o_totalprice) AS avg_price
+        FROM orders_v
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_orderpriority
+        """
+    )

@@ -103,3 +103,26 @@ def test_stream_ingest_exactly_once(spark, tmp_path):
     assert wh.read(spark, "bronze", "transactions").count() == n1
     lineage = wh.read(spark, "bronze", "transactions").select("_source_file").first()
     assert lineage._source_file.startswith("transactions")
+
+
+def test_stateful_user_profile(spark, tmp_path):
+    """applyInPandasWithState accumulates per-user state across batches."""
+    from travel_data_ingestion_spark.streaming.stateful import user_profile_stream
+
+    stream = _event_stream(spark, str(tmp_path)).select("ts", "user_id", "value")
+    q = (
+        user_profile_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("profile_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT user_id, max(total_events) AS n, max(total_value) AS v "
+        "FROM profile_out GROUP BY user_id"
+    ).collect()
+    out = {r.user_id: (r.n, r.v) for r in rows}
+    assert out[1] == (3, 7.0)   # 1.0 + 2.0 + 4.0
+    assert out[2] == (2, 8.0)   # 3.0 + 5.0

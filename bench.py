@@ -51,8 +51,11 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     specs = all_queries()
 
-    # warmup: JVM + codegen + parquet footer reads
-    specs[BENCH_QUERIES[0]].fn(spark, sf_dir).count()
+    # warmup pass: JVM spin-up, whole-stage codegen compilation, parquet
+    # footer reads — one run of every query so the timed pass measures
+    # steady-state throughput, not one-time compilation.
+    for name in BENCH_QUERIES:
+        specs[name].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -1,0 +1,48 @@
+"""Semantic check for dd06: the iterative min-label propagation must
+produce exactly the connected components of the (oracle-trusted) dd02
+pair graph — verified against a driver-side union-find."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+from travel_data_ingestion_spark.queries import all_queries
+
+
+def _union_find_clusters(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    clusters = {}
+    for x in list(parent):
+        clusters.setdefault(find(x), set()).add(x)
+    return {root: members for root, members in clusters.items() if len(members) > 1}
+
+
+def test_clusters_match_union_find(spark):
+    specs = all_queries()
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in specs["dd02_ngram_jaccard_pairs"].fn(spark, SF_DIR).collect()
+    ]
+    expected = _union_find_clusters(pairs)
+    got = {
+        r.cluster_id: r
+        for r in specs["dd06_dedup_clusters"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expected)
+    for root, members in expected.items():
+        assert got[root].cluster_size == len(members)
+        assert got[root].kept_doc_id == min(members)

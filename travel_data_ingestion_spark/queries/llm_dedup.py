@@ -307,3 +307,61 @@ def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.99)
     )
+
+
+@register(
+    "dd06_dedup_clusters",
+    None,  # iterative fixpoint algorithm -> rows-only check
+    survey_ops=("X-DEDUP-6",),
+    doc="Near-dup clustering: connected components over the dd02 "
+    "candidate-pair graph via iterative minimum-label propagation "
+    "(large-star/small-star style). Each doc's cluster id converges to "
+    "the smallest doc_id reachable through near-dup edges; survivors = "
+    "cluster minima. Iterations are bounded by the graph diameter "
+    "(driver loop over DataFrame ops — each pass is one shuffle; "
+    "O(log n) passes in practice). This is the canonical 'keep one per "
+    "duplicate cluster' pass after any pairwise dedup at 100 TB.",
+)
+def dd06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dd02_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # undirected edge list + self-loops so singletons keep their own label
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(10):  # diameter bound; converges in ~log(n) passes
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("kept_doc_id"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .orderBy("cluster_id")
+    )

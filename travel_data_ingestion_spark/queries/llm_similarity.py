@@ -150,3 +150,56 @@ def sim03_centroid_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(sq), 4).alias("avg_sq_norm"),
     )
+
+
+@register(
+    "sim04_within_label_knn",
+    """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id, a.label, b.vec_id AS nbr,
+             ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4)
+               AS cos_sim
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, label, nbr, cos_sim
+    FROM pairs
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr) <= 2
+    """,
+    survey_ops=("X-SIM-4",),
+    doc="Per-partition KNN via grouped applyInPandas: each label group "
+    "arrives as one pandas DataFrame (Arrow batch), numpy computes the "
+    "full cosine matrix vectorized, and only the top-2 neighbor rows "
+    "return to the JVM. The grouped-map UDF family's canonical use: "
+    "per-group dense linear algebra that has no Catalyst expression. "
+    "Groups must fit executor memory — exactly the IVF contract (a "
+    "coarse quantizer bounds cluster size). Scores rounded to 4dp; "
+    "nbr-asc tiebreak pins ordering.",
+)
+def sim04_within_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def topk_per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf["e"].to_numpy())
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = np.round((mat @ mat.T) / (norms @ norms.T), 4)
+        np.fill_diagonal(cos, -np.inf)
+        ids = pdf["vec_id"].to_numpy()
+        out = []
+        for i in range(len(ids)):
+            # order by rounded score desc, then neighbor id asc (oracle tiebreak)
+            order = sorted(range(len(ids)), key=lambda j: (-cos[i, j], ids[j]))[:2]
+            for j in order:
+                if np.isfinite(cos[i, j]):
+                    out.append((ids[i], int(pdf["label"].iloc[0]), ids[j], cos[i, j]))
+        return pd.DataFrame(out, columns=["vec_id", "label", "nbr", "cos_sim"])
+
+    return emb.groupBy("label").applyInPandas(
+        topk_per_group, schema="vec_id long, label int, nbr long, cos_sim double"
+    )

@@ -351,3 +351,33 @@ def q06_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "d19_cube",
+    f"""
+    SELECT COALESCE(event_type, 'ALL') AS etype,
+           COALESCE(CAST(user_id % 10 AS BIGINT), -1) AS cohort,
+           COUNT(*) AS n,
+           {_dsum('value', 4)} AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(user_id % 10 AS BIGINT))
+    """,
+    survey_ops=("X-CUBE-1",),
+    doc="CUBE: all 2^k grouping combinations in one pass (type x cohort "
+    "+ both marginals + grand total), subtotals labeled 'ALL'/-1. "
+    "Completes the grouping-sets family next to d17's ROLLUP.",
+)
+def d19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (F.col("user_id") % 10).cast("bigint")
+    return (
+        ev.cube("event_type", cohort.alias("cohort_raw"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", 4).alias("total_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce("cohort_raw", F.lit(-1)).alias("cohort"),
+            "n",
+            "total_value",
+        )
+    )

@@ -76,13 +76,20 @@ def sim01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim02_lsh_ann",
     None,  # hyperplanes derive from engine-specific xxhash64 -> rows-only
     survey_ops=("X-SIM-2",),
-    doc="ANN via random-hyperplane LSH: 8 deterministic pseudo-random "
-    "hyperplanes (xxhash64-seeded), each vector keyed by its 8-bit sign "
-    "signature; search touches only the query's bucket (expected 1/256 "
-    "of the corpus), then exact cosine + top-k within it. At 100 TB: "
-    "signatures are a map-only pass, the bucket lookup is a broadcast "
-    "semi-join on one key — no corpus shuffle. Multi-probe (flip one "
-    "bit) would raise recall; kept single-probe for determinism.",
+    doc="ANN via random-hyperplane LSH with multi-probe: 8 deterministic "
+    "pseudo-random hyperplanes (xxhash64-seeded, zero-centered "
+    "coefficients), each vector keyed by its 8-bit sign signature. The "
+    "query probes its own bucket plus all hamming-distance-1 neighbors "
+    "(9 of 256 buckets, ~3.5% of the corpus), then exact cosine + top-k "
+    "within the candidates. At 100 TB: signatures are a map-only pass, "
+    "the probe is a broadcast 9-row join on the bucket key — no corpus "
+    "shuffle. Recall scales with neighbor cosine: cos=0.9 neighbors "
+    "differ on ~1.1 of 8 planes (theta/pi per plane), so hamming<=1 "
+    "probing captures most of them. This synthetic corpus is "
+    "near-uniform (best cos ~0.33 -> expected hamming ~3), so measured "
+    "recall is ~3/10 at sf0.01 — the honest LSH tradeoff on "
+    "unclustered data; sim05's IVF (data-adaptive lists) reaches "
+    "~4-6/10 on the same corpus. tests/test_ann_recall.py pins both.",
 )
 def sim02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_planes, dim = 8, 64
@@ -90,11 +97,11 @@ def sim02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
 
-    # hyperplane p, dim d -> deterministic pseudo-random coefficient in [-0.5, 0.5)
+    # hyperplane p, dim d -> deterministic coefficient in [-0.5, 0.5)
     def plane(p: int) -> Column:
         return F.array(
             *[
-                ((F.xxhash64(F.lit(p * dim + d)) % 10000) / 10000.0 - 0.5)
+                (F.pmod(F.xxhash64(F.lit(p * dim + d)), F.lit(10000)) / 10000.0 - 0.5)
                 for d in range(dim)
             ]
         )
@@ -108,12 +115,17 @@ def sim02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sig
 
     keyed = emb.withColumn("bucket", signature(F.col("e")))
-    q = keyed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("e").alias("qe"), F.col("bucket").alias("qbucket")
+    # multi-probe: the query's bucket + every 1-bit flip of it
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    )
+    q = (
+        keyed.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("e").alias("qe"), F.explode(probes).alias("probe_bucket"))
     )
     return (
         keyed.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .join(F.broadcast(q), F.col("bucket") == F.col("probe_bucket"))
         .select(
             "vec_id",
             "label",
@@ -202,4 +214,45 @@ def sim04_within_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return emb.groupBy("label").applyInPandas(
         topk_per_group, schema="vec_id long, label int, nbr long, cos_sim double"
+    )
+
+
+@register(
+    "sim05_ivf_ann",
+    None,  # learned centroids are engine-specific -> rows-only check
+    survey_ops=("X-SIM-5",),
+    doc="IVF ANN: a k-means coarse quantizer (pyspark.ml KMeans, fixed "
+    "seed) partitions the corpus into nlist=8 inverted lists; the query "
+    "probes only its own list, then exact cosine + top-k inside it. "
+    "The index build is one ML fit + one map-only assignment pass; the "
+    "search is a broadcast one-row join on the list id — at 100 TB the "
+    "probed fraction is 1/nlist (nprobe/nlist generally). Complements "
+    "sim02's LSH as the second scale path the task calls for.",
+)
+def sim05_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    feat = emb.withColumn("features", array_to_vector("e"))
+    model = KMeans(k=8, seed=42, maxIter=10).fit(feat)
+    assigned = model.transform(feat).select(
+        "vec_id", "label", "e", F.col("prediction").alias("list_id")
+    )
+    q = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("e").alias("qe"), F.col("list_id").alias("q_list")
+    )
+    return (
+        assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("list_id") == F.col("q_list"))
+        .select(
+            "vec_id",
+            "label",
+            "list_id",
+            F.round(cosine(F.col("e"), F.col("qe")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
     )

@@ -10,11 +10,17 @@ column names, deterministic values). Implementations live in
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from travel_data_ingestion_spark.queries import all_queries
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:  # survive being loaded by file path
+    sys.path.insert(0, _REPO_ROOT)
+
+from travel_data_ingestion_spark.queries import all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

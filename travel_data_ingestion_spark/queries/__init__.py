@@ -89,6 +89,7 @@ def register(
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect populates the registry.
     from travel_data_ingestion_spark.queries import (  # noqa: F401
+        llm_curation,
         llm_dedup,
         llm_multimodal,
         llm_similarity,

@@ -1,0 +1,162 @@
+"""Corpus-curation operators: sampling, decontamination, corpus stats.
+
+The remaining pieces of a production training-data pipeline around the
+dedup/quality/similarity operators: deterministic sampling (reproducible
+across runs and engines — no rand()), benchmark decontamination
+(n-gram overlap removal), and the per-source statistics that feed data
+cards and mixture weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from travel_data_ingestion_spark.queries import load_table, register
+from travel_data_ingestion_spark.queries.llm_dedup import _SHINGLES_SQL, _shingles
+
+_TOKENIZE_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+@register(
+    "cu01_hash_sample",
+    """
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 10
+    """,
+    survey_ops=("X-CURATE-1",),
+    doc="Deterministic ~10% sample by hashing the stable key (md5 "
+    "bucket < threshold) — reproducible across runs, engines, and "
+    "cluster sizes, unlike rand()-based sampling. The same predicate "
+    "selects the same rows on any engine; map-only, pushes to the scan.",
+)
+def cu01_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 100
+    return docs.filter(bucket < 10).select("doc_id", "source", "n_chars")
+
+
+@register(
+    "cu02_stratified_quota",
+    """
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 5
+    """,
+    survey_ops=("X-CURATE-2",),
+    doc="Stratified sampling with an exact per-stratum quota: 5 docs per "
+    "source, chosen by deterministic hash order (md5 of the key), so "
+    "the sample is uniform within each stratum and fully reproducible. "
+    "One shuffle on the stratum key.",
+)
+def cu02_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "cu03_decontaminate",
+    f"""
+    WITH bench AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM documents WHERE doc_id % 50 = 0 AND len({_TOKENIZE_SQL}) >= 3
+    ),
+    bench_sh AS (SELECT DISTINCT UNNEST(shingles) AS shingle FROM bench),
+    train AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM documents WHERE doc_id % 50 <> 0 AND len({_TOKENIZE_SQL}) >= 3
+    ),
+    train_sh AS (
+      SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle FROM train
+    ),
+    overlap AS (
+      SELECT t.doc_id, MAX(t.n_sh) AS n_sh, COUNT(*) AS n_hit
+      FROM train_sh t JOIN bench_sh b ON t.shingle = b.shingle
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_hit,
+           ROUND(CAST(n_hit AS DOUBLE) / n_sh, 6) AS contamination_ratio
+    FROM overlap
+    WHERE CAST(n_hit AS DOUBLE) / n_sh >= 0.2
+    """,
+    survey_ops=("X-CURATE-3",),
+    doc="Benchmark decontamination: flag training docs sharing >= 20% of "
+    "their 3-token shingles with a held-out benchmark set (doc_id%50==0 "
+    "as the stand-in benchmark). The benchmark shingle set is small -> "
+    "broadcast; the scan over training shingles is map-side — the "
+    "standard contamination sweep shape at 100 TB.",
+)
+def cu03_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    eligible = docs.filter(F.size(toks) >= 3)
+    bench_sh = (
+        eligible.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(_shingles(3)).alias("shingle"))
+        .distinct()
+    )
+    train = (
+        eligible.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", _shingles(3).alias("shingles"))
+        .withColumn("n_sh", F.size("shingles"))
+        .select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    )
+    overlap = (
+        train.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.max("n_sh").alias("n_sh"), F.count(F.lit(1)).alias("n_hit"))
+    )
+    ratio = F.col("n_hit").cast("double") / F.col("n_sh")
+    return overlap.filter(ratio >= 0.2).select(
+        "doc_id", "n_hit", F.round(ratio, 6).alias("contamination_ratio")
+    )
+
+
+@register(
+    "cu04_corpus_stats",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(len({_TOKENIZE_SQL}) AS DECIMAL(28,0))) AS DOUBLE) AS total_tokens,
+           CAST(SUM(CAST(length(text) AS DECIMAL(28,0))) AS DOUBLE) AS total_chars,
+           COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique_docs,
+           string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+    FROM documents
+    GROUP BY source
+    """,
+    survey_ops=("X-CURATE-4",),
+    doc="Per-source corpus statistics (docs, tokens, chars, exact-unique "
+    "count, language inventory) — the data-card / mixture-weight input. "
+    "One aggregation pass; the distinct-hash count piggybacks on the "
+    "same shuffle.",
+)
+def cu04_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.compat import listagg
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks).cast("decimal(28,0)")).cast("double").alias("total_tokens"),
+        F.sum(F.length("text").cast("decimal(28,0)")).cast("double").alias("total_chars"),
+        F.countDistinct(F.md5(F.lower(F.trim(F.col("text"))))).alias("n_unique_docs"),
+        listagg("lang", ",", distinct=True).alias("langs"),
+    )

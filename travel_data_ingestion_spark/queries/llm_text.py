@@ -202,3 +202,40 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         bow.alias("bow_fingerprint"),
         F.substring(content, 1, 8).alias("shard_key"),
     )
+
+
+@register(
+    "t05_vocabulary",
+    f"""
+    WITH tok AS (
+      SELECT UNNEST({_TOKENIZE_SQL}) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS freq,
+           ROUND(CAST(COUNT(*) AS DOUBLE) /
+                 (SELECT COUNT(*) FROM tok), 8) AS rel_freq
+    FROM tok
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+    survey_ops=("X-TEXT-5",),
+    doc="Corpus vocabulary statistics: top-20 tokens with absolute and "
+    "relative frequency — the input to BPE-merge selection and "
+    "stopword-list induction. explode + count + top-k: one shuffle on "
+    "the token (uniform key), TakeOrderedAndProject for the top-k.",
+)
+def t05_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens()).alias("token"))
+    total = tok.count()  # scalar corpus size (one cheap job)
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "token",
+            "freq",
+            F.round(F.col("freq").cast("double") / F.lit(total), 8).alias("rel_freq"),
+        )
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )

@@ -133,17 +133,69 @@ def dd02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dd03 oracle: md5-derived minhash (60-bit ints from the digest prefix)
+# reproduces signatures identically in DuckDB; code-generated SQL.
+def _minhash_oracle(n_perm: int = 32, n_bands: int = 8) -> str:
+    rows_per_band = n_perm // n_bands
+    mh = ",\n             ".join(
+        f"MIN(CAST(('0x' || substr(md5('{i}|' || shingle), 1, 15)) AS BIGINT)) AS mh{i}"
+        for i in range(n_perm)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, n_sh, {b} AS band_id, "
+        + "md5("
+        + " || ',' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + ") AS sig FROM mh"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM documents WHERE len({_TOKENIZE_SQL}) >= 3
+    ),
+    ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, MAX(n_sh) AS n_sh,
+             {mh}
+      FROM ex GROUP BY doc_id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS n_a, b.n_sh AS n_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN ex ea ON ea.doc_id = c.doc_a
+      JOIN ex eb ON eb.doc_id = c.doc_b AND ea.shingle = eb.shingle
+      GROUP BY c.doc_a, c.doc_b, c.n_a, c.n_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+    FROM verified
+    WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.35
+    """
+
+
 @register(
     "dd03_minhash_lsh_pairs",
-    None,  # xxhash64 minhash signatures are engine-specific -> rows-only check
+    _minhash_oracle(),
     survey_ops=("X-DEDUP-3",),
-    doc="MinHash + LSH banding: 32 permutations (xxhash64 with seed "
-    "columns), 8 bands x 4 rows; docs sharing any band bucket become "
-    "candidates, candidates are verified with exact shingle Jaccard. "
-    "This is the 100 TB dedup path: O(docs x 32) map work + a uniform "
-    "band-hash shuffle; only colliding pairs pay the quadratic verify. "
-    "Non-SQL-expressible in the oracle (engine-specific hash), checked "
-    "rows-only; the verify stage reuses dd02's oracle-checked Jaccard.",
+    doc="MinHash + LSH banding: 32 permutations (md5-derived 60-bit "
+    "hashes, so the DuckDB oracle reproduces signatures exactly), "
+    "8 bands x 4 rows; docs sharing any band bucket become candidates, "
+    "candidates are verified with exact shingle Jaccard. This is the "
+    "100 TB dedup path: O(docs x 32) map work + a uniform band-hash "
+    "shuffle; only colliding pairs pay the quadratic verify.",
 )
 def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_perm, n_bands = 32, 8
@@ -156,13 +208,15 @@ def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_sh", F.size("shingles"))
     )
     ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+
+    def perm_hash(i: int) -> F.Column:
+        digest = F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+        return F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint")
+
     # 32 minhash values per doc in ONE aggregation pass (no per-perm scan).
     minhash = ex.groupBy("doc_id").agg(
         F.max("n_sh").alias("n_sh"),
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
-            for i in range(n_perm)
-        ],
+        *[F.min(perm_hash(i)).alias(f"mh{i}") for i in range(n_perm)],
     )
     # band signatures -> (band_id, sig) bucket keys
     bands = minhash.select(
@@ -173,8 +227,14 @@ def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
                         ).alias("sig"),
                     )
                     for b in range(n_bands)
@@ -217,39 +277,78 @@ def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dd04 oracle: 64 per-bit majority votes, bits drawn from the md5 hex
+# digest (identical in both engines). Code-generated SQL mirrors the
+# Spark expressions term-for-term: bit j = nibble(j//4) >> (3 - j%4) & 1.
+def _simhash_oracle() -> str:
+    votes = ",\n             ".join(
+        f"SUM(2 * ((CAST(('0x' || substr(md5(token), {j // 4 + 1}, 1)) AS INTEGER)"
+        f" >> {3 - j % 4}) & 1) - 1) AS v{j}"
+        for j in range(64)
+    )
+    # bit 63 is the sign bit: 1<<63 overflows signed BIGINT in DuckDB's
+    # checked shift, so use xor with the min-long literal instead; xor of
+    # disjoint bit terms == or, matching the Spark side.
+    terms = [
+        f"(CASE WHEN v{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(63)
+    ]
+    sig = "xor(" + " + ".join(terms) + ", (CASE WHEN v63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END))"
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM tok GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {sig} AS simhash FROM votes)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
 @register(
     "dd04_simhash",
-    None,  # engine-specific 64-bit hash -> rows-only check
+    _simhash_oracle(),
     survey_ops=("X-DEDUP-4",),
     doc="SimHash: 64-bit signature per doc (per-bit majority vote over "
-    "xxhash64(token) bits), then near-dup pairs at hamming distance <= 3 "
-    "via bit_count(xor). Signature build is one aggregation pass (64 "
-    "conditional sums, all codegen'd). The pair scan here is brute-force "
-    "(fine at this SF); at 100 TB you block on 4 16-bit signature chunks "
-    "(pigeonhole: hamming<=3 pairs share at least one exact chunk).",
+    "md5(token) bits), then near-dup pairs at hamming distance <= 3 via "
+    "bit_count(xor). Bits derive from the md5 hex digest so the DuckDB "
+    "oracle reproduces signatures exactly (code-generated SQL). "
+    "Signature build is one aggregation pass (64 conditional sums, all "
+    "codegen'd). The pair scan here is brute-force (fine at this SF); "
+    "at 100 TB you block on 4 16-bit signature chunks (pigeonhole: "
+    "hamming<=3 pairs share at least one exact chunk).",
 )
 def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     tok = docs.select("doc_id", F.explode(F.array_distinct(toks)).alias("token"))
-    h = F.xxhash64("token")
+    h = F.md5("token")
+    nibbles = [F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int") for i in range(16)]
     # per-bit majority: sum(+1/-1) per bit, one pass
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(64)
+                2 * F.shiftright(nibbles[j // 4], 3 - j % 4).bitwiseAND(F.lit(1)) - 1
+            ).alias(f"v{j}")
+            for j in range(64)
         ]
     )
     sig = None
-    for i in range(64):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
+    for j in range(64):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
         sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: xor == or
     sigs = votes.select("doc_id", sig.alias("simhash"))
     a, b = sigs.alias("a"), sigs.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -258,7 +357,6 @@ def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -72,13 +72,53 @@ def sim01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic pseudo-random hyperplanes, generated driver-side from
+# md5 so BOTH engines receive identical literal coefficients.
+def _lsh_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}-{d}".encode()).hexdigest()[:4], 16) % 10000 / 10000.0 - 0.5
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _lsh_oracle(n_planes: int = 8) -> str:
+    planes = _lsh_planes(n_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {planes[p]!r}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    probe_list = ", ".join(
+        ["qb"] + [f"xor(qb, {1 << p})" for p in range(n_planes)]
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sig AS (SELECT vec_id, label, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
+    q AS (SELECT e AS qe, bucket AS qb FROM sig WHERE vec_id = {QUERY_VEC_ID}),
+    probes AS (SELECT qe, UNNEST([{probe_list}]) AS pb FROM q)
+    SELECT s.vec_id, s.label, s.bucket,
+           ROUND(list_dot_product(s.e, p.qe) /
+             (sqrt(list_dot_product(s.e, s.e)) * sqrt(list_dot_product(p.qe, p.qe))), 4)
+             AS cos_sim
+    FROM sig s JOIN probes p ON s.bucket = p.pb
+    WHERE s.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, s.vec_id ASC
+    LIMIT 10
+    """
+
+
 @register(
     "sim02_lsh_ann",
-    None,  # hyperplanes derive from engine-specific xxhash64 -> rows-only
+    _lsh_oracle(),
     survey_ops=("X-SIM-2",),
     doc="ANN via random-hyperplane LSH with multi-probe: 8 deterministic "
-    "pseudo-random hyperplanes (xxhash64-seeded, zero-centered "
-    "coefficients), each vector keyed by its 8-bit sign signature. The "
+    "pseudo-random hyperplanes (md5-seeded literal coefficients, "
+    "identical in the DuckDB oracle), each vector keyed by its 8-bit "
+    "sign signature. The "
     "query probes its own bucket plus all hamming-distance-1 neighbors "
     "(9 of 256 buckets, ~3.5% of the corpus), then exact cosine + top-k "
     "within the candidates. At 100 TB: signatures are a map-only pass, "
@@ -92,19 +132,14 @@ def sim01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "~4-6/10 on the same corpus. tests/test_ann_recall.py pins both.",
 )
 def sim02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_planes, dim = 8, 64
+    n_planes = 8
+    planes = _lsh_planes(n_planes)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
 
-    # hyperplane p, dim d -> deterministic coefficient in [-0.5, 0.5)
     def plane(p: int) -> Column:
-        return F.array(
-            *[
-                (F.pmod(F.xxhash64(F.lit(p * dim + d)), F.lit(10000)) / 10000.0 - 0.5)
-                for d in range(dim)
-            ]
-        )
+        return F.array(*[F.lit(c) for c in planes[p]])
 
     def signature(e: Column) -> Column:
         sig = None

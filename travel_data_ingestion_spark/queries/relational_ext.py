@@ -381,3 +381,100 @@ def d19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "q04_exists_count",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    survey_ops=("C-06", "D-09"),
+    doc="Correlated EXISTS count (TPC-H Q4 shape): orders with at least "
+    "one late-shipped line, counted by priority. Catalyst rewrites the "
+    "correlated subquery to a left-semi join on orderkey — one shuffle, "
+    "no row-at-a-time probing.",
+)
+def q04_exists_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "x01_fuzzy_name_match",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INT) AS edit_distance
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 4
+    """,
+    survey_ops=("X-FUZZY-1",),
+    doc="Fuzzy entity matching via edit distance: nation-name pairs "
+    "within Levenshtein distance 4 — the entity-resolution primitive "
+    "behind merchant/place-name dedup. Brute pairs on a dimension here; "
+    "at 100 TB you block first (e.g. on t04's shard_key or a phonetic "
+    "key) and only score within blocks.",
+)
+def x01_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    a, b = nation.alias("a"), nation.alias("b")
+    dist = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+    return (
+        a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .filter(dist <= 4)
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            dist.cast("int").alias("edit_distance"),
+        )
+    )
+
+
+@register(
+    "h18_map_ops",
+    f"""
+    WITH m AS (
+      SELECT event_id, event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+      FROM events WHERE props IS NOT NULL
+    )
+    SELECT event_type,
+           COUNT(DISTINCT k_value) AS n_distinct_keys,
+           MIN(k_value) AS min_k, MAX(k_value) AS max_k,
+           {_dsum('k_value', 0)} AS sum_k
+    FROM m GROUP BY event_type
+    """,
+    survey_ops=("H-15", "H-16"),
+    doc="Map-typed semi-structured access: props JSON parsed to "
+    "map<string,bigint> with from_json, values extracted via "
+    "element_at — the map-column counterpart of h15's path extraction. "
+    "At scale the parse happens once per row inside codegen.",
+)
+def h18_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.compat import dsum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    m = F.from_json("props", "map<string,bigint>")
+    k = F.element_at(m, "k")
+    return ev.select("event_type", k.alias("k_value")).groupBy("event_type").agg(
+        F.countDistinct("k_value").alias("n_distinct_keys"),
+        F.min("k_value").alias("min_k"),
+        F.max("k_value").alias("max_k"),
+        dsum("k_value", 0).alias("sum_k"),
+    )

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Scale probe: replicate the sf0.1 tables N-fold with shifted keys and
+re-run the headline queries, comparing per-row throughput against the
+base scale. The point is trend, not absolute numbers: if time grows
+~linearly with data (and the plans keep their shape — broadcasts stay
+broadcasts, partial aggregation stays map-side), the plan survives a
+scale-up; superlinear growth flags a shuffle or skew problem.
+
+Usage: python scale_probe.py [multiplier] [out_dir]
+Writes one JSON line like bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe"
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+PROBE_QUERIES = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q05_region_nation_revenue",
+    "d06_pivot_sum_case",
+    "e02_dedup_row_number",
+    "j02_sessionization",
+]
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from travel_data_ingestion_spark.queries import all_queries, load_table
+    from travel_data_ingestion_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe")
+    specs = all_queries()
+
+    # Build the scaled copies: shift every key-like id per replica so
+    # join fan-outs stay realistic (no artificial key collisions).
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT, exist_ok=True)
+    shifts = {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "customer": ["c_custkey"],
+        "events": ["event_id", "user_id"],
+    }
+    for table in ("region", "nation", "supplier", "part", "documents", "embeddings"):
+        shutil.copy(f"{BASE}/{table}.parquet", f"{OUT}/{table}.parquet")
+    for table, keys in shifts.items():
+        df = load_table(spark, BASE, table)
+        max_ids = {k: df.agg(F.max(k)).first()[0] + 1 for k in keys}
+        replicas = []
+        for r in range(MULT):
+            rep = df
+            for k in keys:
+                rep = rep.withColumn(k, F.col(k) + F.lit(r * max_ids[k]))
+            replicas.append(rep)
+        out = replicas[0]
+        for rep in replicas[1:]:
+            out = out.unionByName(rep)
+        out.write.mode("overwrite").parquet(f"{OUT}/{table}.parquet")
+
+    def run_set(sf_dir: str) -> dict[str, float]:
+        for name in PROBE_QUERIES:  # warm codegen
+            specs[name].fn(spark, sf_dir).count()
+        t = {}
+        for name in PROBE_QUERIES:
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).count()
+            t[name] = round(time.perf_counter() - t0, 4)
+        return t
+
+    base_t = run_set(BASE)
+    scaled_t = run_set(OUT)
+    ratios = {
+        name: round(scaled_t[name] / base_t[name], 2) for name in PROBE_QUERIES
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_time_ratio",
+                "multiplier": MULT,
+                "base_sec": base_t,
+                "scaled_sec": scaled_t,
+                "ratio_vs_linear_budget": ratios,
+                "note": "ratio <= multiplier means sublinear-or-linear scaling",
+            }
+        )
+    )
+    shutil.rmtree(OUT, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

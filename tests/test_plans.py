@@ -43,10 +43,26 @@ def test_column_pruning_reaches_scan(spark):
 
 
 def test_dim_joins_broadcast(spark):
+    """Fixed-size dims (nation/region) broadcast by hint; data-scaled
+    sides (customer, orders, lineitem) carry NO hint — statically they
+    plan as SortMergeJoin and AQE demotes to broadcast at runtime from
+    observed sizes. That split is the 100 TB policy: hints only where
+    size is invariant (see scale_probe.py findings)."""
     plan = _formatted_plan(spark, "q05_region_nation_revenue")
-    assert "BroadcastHashJoin" in plan
-    # the only sort-merge/shuffle join permitted is lineitem<->orders
-    assert plan.count("SortMergeJoin") <= 1
+    assert "BroadcastHashJoin" in plan  # nation/region
+    assert plan.count("SortMergeJoin") <= 2  # li<->orders + orders<->dims
+    # runtime: AQE converts the small dims side to broadcast
+    df = SPECS["q05_region_nation_revenue"].fn(spark, SF_DIR)
+    df.count()
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    final = buf.getvalue()
+    assert final.count("BroadcastHashJoin") >= 3  # all dim joins broadcast
+    assert final.count("SortMergeJoin") <= 1  # only lineitem<->orders shuffles
 
 
 def test_topk_uses_take_ordered(spark):

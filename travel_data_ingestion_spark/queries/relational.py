@@ -122,7 +122,10 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join is ~10x smaller; AQE can then demote the li<->orders join to
     # broadcast at small SFs while the same plan still shuffles correctly
     # at 100 TB.
-    filtered_orders = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    # no broadcast hint on customer: it scales with the data; the
+    # threshold/AQE broadcasts it while small and demotes to shuffle at
+    # scale (a hardcoded hint measured badly in scale_probe at 8x).
+    filtered_orders = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return (
         li.join(filtered_orders, li.l_orderkey == filtered_orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -169,7 +172,7 @@ def q05_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)  # scales with data: no hint
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.sum(_disc_price_col()).cast("double").alias("revenue"),
@@ -449,7 +452,7 @@ def c08_lookup_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = ev.groupBy("user_id").agg(F.max("event_id").alias("latest_event"))
     return (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(latest), "user_id", "left")
+        .join(latest, "user_id", "left")  # scales with users: no hint
         .select(
             "event_id",
             "user_id",

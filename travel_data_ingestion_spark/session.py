@@ -36,6 +36,10 @@ def get_spark(
     cores = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
+        # local mode = driver-only: the driver heap is ALL the memory
+        # (executors, broadcasts, shuffle). The 1g default OOMs the first
+        # nontrivial broadcast at >=8x sf0.1 (measured via scale_probe).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.sql.shuffle.partitions", str(cores))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")

@@ -57,11 +57,16 @@ def main() -> None:
     for name in BENCH_QUERIES:
         specs[name].fn(spark, sf_dir).count()
 
+    # min-of-2: single-JVM local mode has multi-second GC/broadcast noise
+    # (measured in scale_probe); the minimum is the steady-state number.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        specs[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     m = re.search(r"sf([\d.]+)", sf_dir)

@@ -95,3 +95,20 @@ def test_anti_and_semi_joins_broadcast(spark):
 def test_scaffold_join_broadcasts_small_side(spark):
     plan = _formatted_plan(spark, "c04_scaffold_densify")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tfidf_broadcasts_df_table(spark):
+    """The per-term document-frequency table and the single-row corpus
+    scalar both broadcast back onto tf — the term explode shuffles only
+    once, for the (source, term) aggregation."""
+    plan = _formatted_plan(spark, "t06_tfidf_keywords")
+    assert "BroadcastHashJoin" in plan  # tf <- df_
+    assert "BroadcastNestedLoopJoin" in plan  # crossJoin with the scalar
+
+
+def test_pii_redaction_is_map_only(spark):
+    """Full-corpus redaction must be a single map pass: no shuffle, no
+    Python eval — pure codegen'd regexp_replace over the scan."""
+    plan = _formatted_plan(spark, "cu05_pii_redact")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

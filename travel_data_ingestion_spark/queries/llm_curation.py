@@ -160,3 +160,67 @@ def cu04_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5(F.lower(F.trim(F.col("text"))))).alias("n_unique_docs"),
         listagg("lang", ",", distinct=True).alias("langs"),
     )
+
+
+# PII patterns chosen for identical semantics under Java regex (Spark)
+# and RE2 (DuckDB): character classes, bounded repetition, no lookaround.
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_PAT = "[0-9]{7,}"
+
+
+@register(
+    "cu05_pii_redact",
+    """
+    WITH enriched AS (
+      -- The synthetic corpus carries no PII, so inject a deterministic
+      -- contact line on 1/3 of docs to exercise the redaction path.
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com ph ' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+                  ELSE text END AS raw
+      FROM documents
+    )
+    SELECT doc_id, source,
+           len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             AS n_emails,
+           len(regexp_extract_all(raw, '[0-9]{7,}')) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                '<EMAIL>', 'g'),
+                 '[0-9]{7,}', '<PHONE>', 'g')) AS redacted_md5
+    FROM enriched
+    WHERE doc_id % 3 = 0
+    """,
+    survey_ops=("X-CURATE-5",),
+    doc="PII redaction sweep: count and mask email addresses and long "
+    "digit runs with engine-portable regexes (no lookaround), emitting "
+    "an md5 of the redacted text as the cross-engine witness. Pure "
+    "map-only regexp_replace — whole-stage codegen, zero shuffle, the "
+    "shape of a full-corpus redaction pass at 100 TB. The corpus is "
+    "synthetic word-salad with no PII, so a deterministic contact line "
+    "is injected on doc_id%3==0 to give the redactor real work.",
+)
+def cu05_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did,
+        F.lit("@example.com ph "),
+        F.lpad(did, 7, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_PAT, "<EMAIL>"), _PHONE_PAT, "<PHONE>"
+    )
+    return (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            "source",
+            F.regexp_count(raw, F.lit(_EMAIL_PAT)).cast("long").alias("n_emails"),
+            F.regexp_count(raw, F.lit(_PHONE_PAT)).cast("long").alias("n_phones"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+    )

@@ -239,3 +239,56 @@ def t05_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(20)
     )
+
+
+@register(
+    "t06_tfidf_keywords",
+    f"""
+    WITH terms AS (
+      SELECT source, UNNEST({_TOKENIZE_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM terms GROUP BY source, term),
+    df AS (SELECT term, COUNT(DISTINCT source) AS df FROM tf GROUP BY term),
+    nsrc AS (SELECT COUNT(DISTINCT source) AS n_src FROM documents)
+    SELECT source, term, tf, ROUND(score, 6) AS tfidf
+    FROM (
+      SELECT t.source, t.term, t.tf,
+             t.tf * ln((n.n_src + 1.0) / (d.df + 1.0)) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.source
+               ORDER BY t.tf * ln((n.n_src + 1.0) / (d.df + 1.0)) DESC, t.term
+             ) AS rn
+      FROM tf t JOIN df d ON t.term = d.term CROSS JOIN nsrc n
+    )
+    WHERE rn <= 5
+    """,
+    survey_ops=("X-TEXT-6",),
+    doc="TF-IDF keyword extraction: top-5 most characteristic terms per "
+    "source (tf * ln((N+1)/(df+1)), smoothed IDF). Two aggregations "
+    "sharing the term-explode pass; the per-term document-frequency "
+    "table is tiny relative to the corpus -> broadcast back onto tf; "
+    "top-k per source via a rank window on the source partition. At "
+    "100 TB: one shuffle on (source, term), one broadcast join, and a "
+    "final shuffle on source — no driver-side state.",
+)
+def t06_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    nsrc = docs.agg(F.countDistinct("source").alias("n_src"))
+    score = F.col("tf") * F.log((F.col("n_src") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(nsrc))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "term", "tf", F.round("score", 6).alias("tfidf"))
+    )

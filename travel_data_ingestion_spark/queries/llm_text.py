@@ -241,6 +241,43 @@ def t05_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs —
+# the GPT-2 pattern family minus lookarounds, so Java regex (Spark) and
+# RE2 (DuckDB) agree exactly.
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+@register(
+    "t07_bpe_regex_tokens",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))
+             AS n_bpe_tokens,
+           len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+           ROUND(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS DOUBLE)
+                 / NULLIF(len(string_split_regex(trim(text), '\\s+')), 0), 6)
+             AS subword_ratio
+    FROM documents
+    """,
+    survey_ops=("X-TEXT-7",),
+    doc="Regex pre-tokenizer token counting (BPE-style segmentation: "
+    "letter runs / digit runs / punctuation runs, no lookaround so Java "
+    "regex and RE2 agree) alongside the whitespace count and their "
+    "ratio — the budget input for sequence packing. Map-only "
+    "regexp_extract_all, whole-stage codegen, zero shuffle.",
+)
+def t07_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)).cast("long")
+    n_ws = F.size(_tokens()).cast("long")
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(n_bpe.cast("double") / F.nullif(n_ws, F.lit(0)), 6).alias("subword_ratio"),
+    )
+
+
 @register(
     "t06_tfidf_keywords",
     f"""

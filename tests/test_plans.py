@@ -112,3 +112,40 @@ def test_pii_redaction_is_map_only(spark):
     plan = _formatted_plan(spark, "cu05_pii_redact")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime bloom-filter join pruning (semi-join reduction): with a
+    selective build side, the optimizer injects a bloom filter of the
+    build keys into the probe side's scan filter, so non-matching fact
+    rows drop BEFORE the shuffle. Default size thresholds (10M creation /
+    10G application side) only fire at cluster scale, so this test lowers
+    them to prove the mechanism on test data; get_spark keeps the feature
+    enabled with production thresholds."""
+    from travel_data_ingestion_spark.queries import load_table
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter("o_orderpriority = '1-URGENT'")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "might_contain" in plan  # probe-side scan filtered by the bloom
+        assert "bloom_filter_agg" in plan  # build side aggregates its keys
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

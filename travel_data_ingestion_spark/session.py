@@ -52,6 +52,14 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime bloom-filter join pruning (semi-join reduction): when a
+        # shuffle join's build side is selective, inject a bloom filter of
+        # its join keys into the probe side's scan, dropping non-matching
+        # rows BEFORE the shuffle. At 100 TB this is the difference between
+        # shuffling the full fact table and shuffling only rows that can
+        # match. Default thresholds (10M creation / 10G application) are
+        # cluster-appropriate; kept explicit so the policy is visible.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     if master is not None:
         builder = builder.master(master)

@@ -51,3 +51,62 @@ def compact_parquet(
     for _, _, files in os.walk(path):
         out += sum(1 for f in files if f.endswith(".parquet"))
     return out
+
+
+def zorder_value(cols, bits: int = 16, boundaries=None):
+    """Column expression: interleaved-bit Z-value over ``cols``.
+
+    Each column is first mapped to a ``bits``-wide bucket index via its
+    quantile boundaries (rank-space, so skewed distributions still fill
+    the curve), then the bit planes are interleaved. Pure built-in
+    expressions — codegen'd, no UDF, no shuffle of its own.
+
+    ``boundaries`` is {col: sorted list of 2**bits - 1 cut points}
+    (from ``approxQuantile``); required — computed by ``zorder_layout``.
+    """
+    from pyspark.sql import functions as F
+
+    ranks = []
+    for c in cols:
+        # bucket index = count of quantile cuts <= value (rank-space)
+        arr = F.array(*[F.lit(float(x)) for x in boundaries[c]])
+        b = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, cut: acc + F.when(F.col(c).cast("double") >= cut, 1).otherwise(0),
+        )
+        ranks.append(b.cast("long"))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, r in enumerate(ranks):
+            bit = F.shiftright(r, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * len(ranks) + j)
+    return z
+
+
+def zorder_layout(df, cols, bits: int = 8, num_files: int | None = None):
+    """Re-layout ``df`` along a Z-order curve over ``cols`` for
+    multi-column data skipping: after writing, each file's min/max
+    footer stats cover a small hyper-rectangle in (cols) space, so
+    point/range predicates on ANY of the columns prune most files —
+    unlike a single-column sort, which only skips on its leading column.
+
+    Returns the re-partitioned, sorted DataFrame (caller writes it).
+    repartitionByRange on the z-value is the only shuffle; within-
+    partition sort is spill-safe.
+    """
+    from pyspark.sql import functions as F
+
+    n_cuts = (1 << bits) - 1
+    qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
+    boundaries = {
+        c: df.approxQuantile(c, qs, 0.001) for c in cols
+    }
+    z = zorder_value(cols, bits=bits, boundaries=boundaries)
+    out = df.withColumn("__z", z)
+    n = num_files or out.rdd.getNumPartitions()
+    return (
+        out.repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

@@ -498,10 +498,10 @@ def d03_minute_grain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d04_conditional_zone_counts",
     f"""
     SELECT event_type,
-           SUM(CASE WHEN value < 60 THEN 1 ELSE 0 END) AS n_resting,
-           SUM(CASE WHEN value >= 60 AND value < 100 THEN 1 ELSE 0 END) AS n_normal,
-           SUM(CASE WHEN value >= 100 AND value < 130 THEN 1 ELSE 0 END) AS n_elevated,
-           SUM(CASE WHEN value >= 130 THEN 1 ELSE 0 END) AS n_high,
+           CAST(SUM(CASE WHEN value < 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_resting,
+           CAST(SUM(CASE WHEN value >= 60 AND value < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_normal,
+           CAST(SUM(CASE WHEN value >= 100 AND value < 130 THEN 1 ELSE 0 END) AS BIGINT) AS n_elevated,
+           CAST(SUM(CASE WHEN value >= 130 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
            {_davg('value', 4)} AS avg_value
     FROM events
     WHERE value IS NOT NULL
@@ -818,8 +818,8 @@ def g01_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT UPPER(TRIM(o_orderpriority)) AS priority_norm,
            COUNT(*) AS n,
-           SUM(CASE WHEN UPPER(TRIM(o_orderpriority)) = '1-URGENT'
-               THEN 1 ELSE 0 END) AS n_urgent
+           CAST(SUM(CASE WHEN UPPER(TRIM(o_orderpriority)) = '1-URGENT'
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
     FROM orders
     GROUP BY 1
     """,

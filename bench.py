@@ -5,10 +5,15 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is materialized with a cheap count() action (no driver-side
-collect of big results); timings include full plan execution. A warmup
-run of the first query pays the one-time session/codegen cost so the
-numbers reflect steady-state throughput.
+Each query is materialized with a checksum aggregation over EVERY output
+column (sum of xxhash64 over the full row struct). A bare count() lets
+Catalyst delete the benched work — count(*) prunes all non-grouping
+expressions, so a map-heavy query optimizes down to a parquet row count.
+The checksum forces every output expression to be computed for every row
+while still collecting only one value driver-side; tests/test_plans.py
+asserts the checksummed plan retains the aggregate expressions. A warmup
+run pays the one-time session/codegen cost so the numbers reflect
+steady-state throughput.
 """
 
 from __future__ import annotations
@@ -18,6 +23,9 @@ import os
 import re
 import sys
 import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 BENCH_QUERIES = [
     # scan -> filter -> 8-agg groupBy (TPC-H Q1 shape)
@@ -40,6 +48,24 @@ BENCH_QUERIES = [
     "sim01_knn_bruteforce",
 ]
 
+# min-of-N: single-JVM local mode has multi-second GC/broadcast noise
+# (measured in scale_probe); the minimum is the steady-state number.
+N_RUNS = 3
+
+
+def checksum_plan(df: DataFrame) -> DataFrame:
+    """Non-prunable materialization: hash every column of every row.
+
+    Unlike count(), Catalyst cannot prune any output expression (each
+    feeds the hash), and unlike a real sink nothing is written; the
+    driver receives a single 8-byte value.
+    """
+    return df.agg(F.sum(F.xxhash64(F.struct(*df.columns))).alias("checksum"))
+
+
+def materialize(df: DataFrame) -> None:
+    checksum_plan(df).collect()
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -48,23 +74,27 @@ def main() -> None:
     from travel_data_ingestion_spark.queries import all_queries
     from travel_data_ingestion_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    # xxhash64 over MapType output columns needs the legacy allowance
+    # (hash-of-map is order-sensitive in general; fine for a benchmark
+    # checksum where we only need "all columns computed").
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.sql.legacy.allowHashOnMapType": "true"},
+    )
     specs = all_queries()
 
     # warmup pass: JVM spin-up, whole-stage codegen compilation, parquet
     # footer reads — one run of every query so the timed pass measures
     # steady-state throughput, not one-time compilation.
     for name in BENCH_QUERIES:
-        specs[name].fn(spark, sf_dir).count()
+        materialize(specs[name].fn(spark, sf_dir))
 
-    # min-of-2: single-JVM local mode has multi-second GC/broadcast noise
-    # (measured in scale_probe); the minimum is the steady-state number.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(N_RUNS):
             t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).count()
+            materialize(specs[name].fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 

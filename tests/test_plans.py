@@ -114,6 +114,31 @@ def test_pii_redaction_is_map_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bench_checksum_is_not_prunable(spark):
+    """The bench harness must measure the benched work. A bare count()
+    lets Catalyst prune every non-grouping expression (q01's 8 aggregates
+    collapse to grouping keys; t02's quality features disappear entirely).
+    The xxhash64-checksum action feeds every output column into the hash,
+    so the optimized plan must retain the aggregate/projection work."""
+    import contextlib
+    import io
+
+    from bench import checksum_plan
+
+    spark.conf.set("spark.sql.legacy.allowHashOnMapType", "true")
+    for name, marker in [
+        ("q01_pricing_summary", "sum("),  # the 8 aggregates survive
+        ("t02_quality_score", "length("),  # quality features survive
+    ]:
+        df = checksum_plan(SPECS[name].fn(spark, SF_DIR))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("cost")  # optimized logical plan, post-pruning
+        plan = buf.getvalue()
+        assert marker in plan, f"{name}: benched work was optimized away"
+        assert "xxhash64" in plan
+
+
 def test_runtime_bloom_filter_prunes_probe_side(spark):
     """Runtime bloom-filter join pruning (semi-join reduction): with a
     selective build side, the optimizer injects a bloom filter of the

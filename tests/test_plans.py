@@ -114,6 +114,25 @@ def test_pii_redaction_is_map_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_dedup_pair_scans_are_blocked(spark):
+    """Near-dup pair generation must be an equi-join on a blocking key
+    (simhash pigeonhole chunks for dd04, LSH buckets for dd05), never an
+    all-pairs theta-join — a CartesianProduct/BroadcastNestedLoopJoin
+    over the corpus is quadratic at 100 TB."""
+    for name in ("dd04_simhash", "dd05_embedding_neardup"):
+        plan = _formatted_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_fuzzy_match_is_blocked(spark):
+    """x01's length-window blocking must plan as an equi-join (hash or
+    broadcast-hash), not an all-pairs nested loop."""
+    plan = _formatted_plan(spark, "x01_fuzzy_name_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bench_checksum_is_not_prunable(spark):
     """The bench harness must measure the benched work. A bare count()
     lets Catalyst prune every non-grouping expression (q01's 8 aggregates

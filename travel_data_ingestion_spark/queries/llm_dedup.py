@@ -322,9 +322,14 @@ def _simhash_oracle() -> str:
     "bit_count(xor). Bits derive from the md5 hex digest so the DuckDB "
     "oracle reproduces signatures exactly (code-generated SQL). "
     "Signature build is one aggregation pass (64 conditional sums, all "
-    "codegen'd). The pair scan here is brute-force (fine at this SF); "
-    "at 100 TB you block on 4 16-bit signature chunks (pigeonhole: "
-    "hamming<=3 pairs share at least one exact chunk).",
+    "codegen'd). Candidate pairs come from PIGEONHOLE CHUNK BLOCKING: "
+    "the 64-bit signature splits into 4 16-bit chunks; any pair at "
+    "hamming<=3 differs in at most 3 chunks, so it shares >=1 chunk "
+    "exactly. Equi-join on (chunk_id, chunk_value) — a uniform shuffle "
+    "key — replaces the all-pairs scan LOSSLESSLY; only chunk-colliding "
+    "pairs pay the exact bit_count(xor) verify. At 100 TB the join "
+    "touches O(docs x 4) rows instead of O(docs^2). Plan gate: "
+    "tests/test_plans.py::test_dedup_pair_scans_are_blocked.",
 )
 def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -347,64 +352,139 @@ def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.shiftleft(bit, j)
         sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: xor == or
     sigs = votes.select("doc_id", sig.alias("simhash"))
-    a, b = sigs.alias("a"), sigs.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    # pigeonhole blocking: 4 disjoint 16-bit chunks; hamming<=3 => >=1 equal chunk
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned("simhash", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
         )
-        .filter(F.col("hamming") <= 3)
+        .distinct()  # a pair may collide in several chunks
     )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return candidates.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )
+
+
+def _neardup_lsh_oracle(n_planes: int = 8) -> str:
+    from travel_data_ingestion_spark.queries.llm_similarity import _lsh_planes
+
+    planes = _lsh_planes(n_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {planes[p]!r}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    probe_list = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(n_planes)])
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    sig AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
+    probes AS (SELECT vec_id, e, UNNEST([{probe_list}]) AS probe FROM sig),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.e AS ea, b.e AS eb
+      FROM probes a JOIN sig b ON a.probe = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           ROUND(list_dot_product(ea, eb) /
+             (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))), 4)
+             AS cos_sim
+    FROM cand
+    WHERE ROUND(list_dot_product(ea, eb) /
+            (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))), 4) >= 0.99
+    """
 
 
 @register(
     "dd05_embedding_neardup",
-    """
-    WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-    ),
-    pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             list_dot_product(a.e, b.e) /
-               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-               AS cos_sim
-      FROM v a JOIN v b ON a.vec_id < b.vec_id
-    )
-    SELECT vec_a, vec_b, ROUND(cos_sim, 4) AS cos_sim
-    FROM pairs WHERE ROUND(cos_sim, 4) >= 0.99
-    """,
+    _neardup_lsh_oracle(),
     survey_ops=("X-DEDUP-5",),
     doc="Embedding cosine near-dup pairs (threshold 0.99 on the rounded "
-    "score; rounding pins cross-engine float determinism). Brute O(n^2) "
-    "at this SF; the scale path is sim02's LSH bucketing, which cuts "
-    "the candidate set before this exact scoring.",
+    "score; rounding pins cross-engine float determinism). Candidates "
+    "come from random-hyperplane LSH (sim02's md5-seeded deterministic "
+    "planes): each vector keys on its 8-bit sign signature, pairs whose "
+    "signatures differ in <=1 bit become candidates (multi-probe: one "
+    "side explodes its bucket + all 1-bit flips), then exact cosine "
+    "verifies. The DuckDB oracle mirrors the same bucketing literally, "
+    "so both engines see identical candidates. At cos>=0.99 a plane "
+    "splits a pair w.p. arccos(.99)/pi ~ 4.6%, so hamming<=1 captures "
+    "~95% of true pairs — the standard SemDeDup-style recall/scale "
+    "trade; the equi-join on bucket replaces the O(n^2) all-pairs scan. "
+    "Plan gate: tests/test_plans.py::test_dedup_pair_scans_are_blocked.",
 )
 def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.queries.llm_similarity import (
+        _lsh_planes,
+        cosine,
+        dot,
+    )
+
+    n_planes = 8
+    planes = _lsh_planes(n_planes)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
 
-    def dot(x: F.Column, y: F.Column) -> F.Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
-        )
+    def signature(e: F.Column) -> F.Column:
+        sig = None
+        for p in range(n_planes):
+            bit = F.when(dot(e, F.array(*[F.lit(c) for c in planes[p]])) >= 0, 1).otherwise(0)
+            term = F.shiftleft(bit.cast("long"), p)
+            sig = term if sig is None else sig + term
+        return sig
 
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = dot(F.col("a.e"), F.col("b.e")) / (
-        F.sqrt(dot(F.col("a.e"), F.col("a.e"))) * F.sqrt(dot(F.col("b.e"), F.col("b.e")))
+    keyed = emb.withColumn("bucket", signature(F.col("e")))
+    # multi-probe side: own bucket + every 1-bit flip. A hamming-0 pair
+    # matches only via the own-bucket probe, a hamming-1 pair only via
+    # the single differing-bit flip — each candidate appears exactly once,
+    # so no dedup pass is needed.
+    probes = keyed.select(
+        "vec_id",
+        "e",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+            )
+        ).alias("probe"),
     )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 4).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.99)
+    a, b = probes.alias("a"), keyed.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.probe") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
+    cos = F.round(cosine(F.col("a.e"), F.col("b.e")), 4)
+    return cand.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cos.alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= 0.99)
 
 
 @register(

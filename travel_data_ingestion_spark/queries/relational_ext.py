@@ -419,24 +419,45 @@ def q04_exists_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x01_fuzzy_name_match",
     """
+    WITH probe AS (
+      SELECT n_nationkey, n_name, length(n_name) + d.d AS len_key
+      FROM nation, UNNEST([-4,-3,-2,-1,0,1,2,3,4]) AS d(d)
+    )
     SELECT a.n_name AS name_a, b.n_name AS name_b,
            CAST(levenshtein(a.n_name, b.n_name) AS INT) AS edit_distance
-    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    FROM nation a JOIN probe b
+      ON length(a.n_name) = b.len_key AND a.n_nationkey < b.n_nationkey
     WHERE levenshtein(a.n_name, b.n_name) <= 4
     """,
     survey_ops=("X-FUZZY-1",),
-    doc="Fuzzy entity matching via edit distance: nation-name pairs "
-    "within Levenshtein distance 4 — the entity-resolution primitive "
-    "behind merchant/place-name dedup. Brute pairs on a dimension here; "
-    "at 100 TB you block first (e.g. on t04's shard_key or a phonetic "
-    "key) and only score within blocks.",
+    doc="Fuzzy entity matching via edit distance: name pairs within "
+    "Levenshtein distance 4 — the entity-resolution primitive behind "
+    "merchant/place-name dedup. LOSSLESS length blocking converts the "
+    "all-pairs theta-join into an equi-join: levenshtein(a,b) >= "
+    "|len(a)-len(b)|, so one side emits len±4 keys and only same-window "
+    "pairs are scored; each qualifying pair matches on exactly one key "
+    "(d = len_a - len_b), so no dedup pass. At 100 TB compose with a "
+    "second key (phonetic code or PassJoin segments) to split the "
+    "popular-length blocks. Plan gate in "
+    "test_plans.py::test_fuzzy_match_is_blocked.",
 )
 def x01_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
-    a, b = nation.alias("a"), nation.alias("b")
+    probe = nation.select(
+        "n_nationkey",
+        "n_name",
+        F.explode(F.sequence(F.lit(-4), F.lit(4))).alias("d"),
+    ).select(
+        "n_nationkey", "n_name", (F.length("n_name") + F.col("d")).alias("len_key")
+    )
+    a, b = nation.alias("a"), probe.alias("b")
     dist = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
     return (
-        a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        a.join(
+            b,
+            (F.length(F.col("a.n_name")) == F.col("b.len_key"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
         .filter(dist <= 4)
         .select(
             F.col("a.n_name").alias("name_a"),

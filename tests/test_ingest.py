@@ -75,3 +75,35 @@ def test_column_count_tolerance(spark, tmp_path):
     ingest_dataset(spark, wh, detail)
     row = wh.read(spark, "bronze", "transactions").first()
     assert row.country == "JP" and row.type is None and row.amount is None
+
+
+def test_row_id_bit_fields_disjoint_across_loads(spark):
+    """Regression: the old load_id*2^32 + monotonically_increasing_id()
+    formula collided across batches (partition id sits at bit 33, so
+    load 1 / partition 1 == load 3 / partition 0). Disjoint bit fields
+    must make row_ids globally unique across loads and partitions."""
+    from pyspark.sql import functions as F
+
+    from travel_data_ingestion_spark.ingest import lineage_row_id
+
+    a = spark.range(0, 50_000, 1, 8).withColumn("row_id", lineage_row_id(1))
+    b = spark.range(0, 50_000, 1, 8).withColumn("row_id", lineage_row_id(3))
+    u = a.unionByName(b)
+    assert u.count() == 100_000
+    assert u.select("row_id").distinct().count() == 100_000
+    # load_id occupies the top field exactly
+    loads = sorted(
+        r[0] for r in u.select(F.shiftright("row_id", 48)).distinct().collect()
+    )
+    assert loads == [1, 3]
+
+
+def test_row_id_overflow_raises(spark):
+    """Out-of-range load_id must fail loudly, not silently collide."""
+    import pytest
+
+    from travel_data_ingestion_spark.ingest import lineage_row_id
+
+    df = spark.range(10).withColumn("row_id", lineage_row_id(1 << 15))
+    with pytest.raises(Exception, match="row_id bit-field overflow"):
+        df.collect()

@@ -65,3 +65,24 @@ def test_scd2_idempotent_reapply(spark):
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b
+
+
+def test_scd2_duplicate_key_changes_keep_single_current(spark):
+    """Two change rows for one key in a batch must NOT open two
+    concurrent current versions — only the latest effective_date wins."""
+    d = datetime.date
+    changes = spark.createDataFrame(
+        [
+            (1, "Kyoto", d(2026, 2, 1)),
+            (1, "Sapporo", d(2026, 3, 1)),  # later change, same key
+        ],
+        ["id", "city", "effective_date"],
+    )
+    out = scd2_apply(_dim(spark), changes, ["id"]).collect()
+    current_1 = [r for r in out if r.id == 1 and r.is_current]
+    assert len(current_1) == 1
+    assert current_1[0].city == "Sapporo"
+    assert str(current_1[0].valid_from) == "2026-03-01"
+    closed_1 = [r for r in out if r.id == 1 and not r.is_current]
+    assert len(closed_1) == 1  # Tokyo closed once, at the applied change
+    assert str(closed_1[0].valid_to) == "2026-03-01"

@@ -144,18 +144,26 @@ def test_bench_checksum_is_not_prunable(spark):
 
     from bench import checksum_plan
 
-    spark.conf.set("spark.sql.legacy.allowHashOnMapType", "true")
-    for name, marker in [
-        ("q01_pricing_summary", "sum("),  # the 8 aggregates survive
-        ("t02_quality_score", "length("),  # quality features survive
-    ]:
-        df = checksum_plan(SPECS[name].fn(spark, SF_DIR))
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("cost")  # optimized logical plan, post-pruning
-        plan = buf.getvalue()
-        assert marker in plan, f"{name}: benched work was optimized away"
-        assert "xxhash64" in plan
+    conf_key = "spark.sql.legacy.allowHashOnMapType"
+    saved = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        for name, marker in [
+            ("q01_pricing_summary", "sum("),  # the 8 aggregates survive
+            ("t02_quality_score", "length("),  # quality features survive
+        ]:
+            df = checksum_plan(SPECS[name].fn(spark, SF_DIR))
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("cost")  # optimized logical plan, post-pruning
+            plan = buf.getvalue()
+            assert marker in plan, f"{name}: benched work was optimized away"
+            assert "xxhash64" in plan
+    finally:
+        if saved is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, saved)
 
 
 def test_runtime_bloom_filter_prunes_probe_side(spark):

@@ -38,6 +38,37 @@ from travel_data_ingestion_spark.config import FileDetail
 _LINEAGE_COLS = [f.name for f in LINEAGE_FIELDS]
 
 
+def lineage_row_id(load_id: int) -> F.Column:
+    """Collision-free row_id from disjoint bit fields:
+
+    ``[load_id:15][partition:20][row-in-partition:28]`` (63 bits).
+
+    The previous formula ``load_id * 2**32 + monotonically_increasing_id()``
+    collided across batches: monotonic ids pack the partition id at bit 33,
+    so any multi-partition file overflowed into the next load's id space.
+    Here each field is masked into its own range and overflow raises
+    instead of silently colliding. Limits (documented, enforced): 32k loads
+    per table, 1M tasks per load, 268M rows per task — far above any sane
+    partition sizing (a 128 MB parquet split holds ~1-10M rows).
+    """
+    mono = F.monotonically_increasing_id()  # (partition_id << 33) | row_seq
+    part = F.shiftright(mono, 33)
+    seq = mono.bitwiseAND(F.lit((1 << 33) - 1))
+    ok = (
+        (F.lit(load_id) < F.lit(1 << 15))
+        & (part < F.lit(1 << 20))
+        & (seq < F.lit(1 << 28))
+    )
+    rid = (
+        F.shiftleft(F.lit(load_id).cast("long"), 48)
+        + F.shiftleft(part, 28)
+        + seq
+    )
+    return F.when(ok, rid).otherwise(
+        F.raise_error(F.lit("row_id bit-field overflow: load/partition/row out of range"))
+    )
+
+
 def glob_to_regex(pattern: str) -> str:
     """Glob -> regex exactly as the reference converts it
     (ingestion_logic.py:102: '.'-escape then '*' -> '.*')."""
@@ -165,16 +196,14 @@ def ingest_file(
 
     # Lineage columns (reset_schemas.sql:68-71, populated as in
     # ingestion_logic.py:166). row_id is unique + monotone per table via
-    # (load_id << 32 | per-batch id) — no global window, no gaplessness
-    # requirement (the reference only ever takes MAX(load_id)).
+    # disjoint (load_id | partition | row) bit fields — no global window,
+    # no gaplessness requirement (the reference only ever takes
+    # MAX(load_id)).
     with_lineage = (
         projected.withColumn("_ingestion_time", F.current_timestamp())
         .withColumn("_source_file", F.lit(os.path.basename(path)))
         .withColumn("load_id", F.lit(load_id).cast("long"))
-        .withColumn(
-            "row_id",
-            (F.lit(load_id).cast("long") * F.lit(2**32)) + F.monotonically_increasing_id(),
-        )
+        .withColumn("row_id", lineage_row_id(load_id))
     )
     count = with_lineage.count()
     wh.append(spark, with_lineage, "bronze", table, partition_by=("load_id",))

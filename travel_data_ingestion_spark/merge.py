@@ -47,12 +47,27 @@ def scd2_apply(
     version at the change's effective date and open a new current one.
     No-op changes (all compared columns equal) are dropped — re-running
     the same change set leaves the dimension byte-identical (idempotent).
+
+    A batch may carry several change rows for one key; only the LATEST
+    (highest effective_date, business columns as deterministic tiebreak)
+    is applied — without this pre-dedup, two change rows for one key
+    would open two concurrent ``is_current=True`` versions, corrupting
+    the dimension. Intermediate same-batch versions are intentionally
+    not historized (batch-granularity SCD2, same as MERGE semantics).
     """
     keys = list(keys)
     business = [
         c for c in changes.columns if c not in (*keys, effective_date_col)
     ]
     compare = list(compare_cols) if compare_cols is not None else business
+
+    from travel_data_ingestion_spark.compat import qualify_dedup_latest
+
+    changes = qualify_dedup_latest(
+        changes,
+        keys,
+        [F.col(effective_date_col).desc()] + [F.col(c).desc() for c in business],
+    )
 
     current = dim.filter(F.col("is_current"))
     # drop no-op changes: same values as the key's current version

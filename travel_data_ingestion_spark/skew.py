@@ -29,8 +29,23 @@ def salted_join(
     """Equi-join ``big`` with ``small`` on column ``on`` with salting.
 
     ``small`` is exploded n_salt-fold (keep it genuinely small); the
-    result equals ``big.join(small, on, how)`` exactly.
+    result equals ``big.join(small, on, how)`` exactly — for the
+    big-side-preserving join types only. Right/full/right_semi joins are
+    REJECTED: each of the n_salt small-side replicas misses
+    independently, so unmatched small rows would be emitted n_salt
+    times. For those, swap the sides (the preserved side must be the
+    salted one) or fall back to AQE skew-join splitting.
     """
+    safe = {"inner", "cross", "left", "leftouter", "left_outer",
+            "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower().replace("_", "").replace("outer", "") not in {
+        h.replace("_", "").replace("outer", "") for h in safe
+    }:
+        raise ValueError(
+            f"salted_join: how={how!r} is not big-side-preserving; the "
+            "exploded small side would duplicate its unmatched rows. Use "
+            "inner/left/left_semi/left_anti, or swap the join sides."
+        )
     src = salt_source if salt_source is not None else F.xxhash64(*big.columns)
     salted_big = big.withColumn("__salt", F.pmod(src, F.lit(n_salt)).cast("int"))
     salted_small = small.withColumn(

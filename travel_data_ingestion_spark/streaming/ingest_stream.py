@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from travel_data_ingestion_spark.catalog import BRONZE_SCHEMAS, LINEAGE_FIELDS, Warehouse
+from travel_data_ingestion_spark.ingest import lineage_row_id
 
 _LINEAGE_COLS = [f.name for f in LINEAGE_FIELDS]
 
@@ -54,10 +55,7 @@ def stream_ingest_csv(
             df.withColumn("_ingestion_time", F.current_timestamp())
             .withColumn("_source_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
             .withColumn("load_id", F.lit(load_id + epoch_id).cast("long"))
-            .withColumn(
-                "row_id",
-                (F.lit(load_id + epoch_id) * F.lit(2**32)) + F.monotonically_increasing_id(),
-            )
+            .withColumn("row_id", lineage_row_id(load_id + epoch_id))
         )
         wh.append(df.sparkSession, out, "bronze", target_table, partition_by=("load_id",))
 

@@ -71,7 +71,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-    from travel_data_ingestion_spark.queries import all_queries
+    from travel_data_ingestion_spark.queries import member_queries
     from travel_data_ingestion_spark.session import get_spark
 
     # xxhash64 over MapType output columns needs the legacy allowance
@@ -81,7 +81,7 @@ def main() -> None:
         app_name="bench",
         extra_conf={"spark.sql.legacy.allowHashOnMapType": "true"},
     )
-    specs = all_queries()
+    specs = member_queries()
 
     # warmup pass: JVM spin-up, whole-stage codegen compilation, parquet
     # footer reads — one run of every query so the timed pass measures

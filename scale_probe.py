@@ -36,11 +36,11 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
 
-    from travel_data_ingestion_spark.queries import all_queries, load_table
+    from travel_data_ingestion_spark.queries import load_table, member_queries
     from travel_data_ingestion_spark.session import get_spark
 
     spark = get_spark(app_name="scale_probe")
-    specs = all_queries()
+    specs = member_queries()
 
     # Build the scaled copies: shift every key-like id per replica so
     # join fan-outs stay realistic (no artificial key collisions).

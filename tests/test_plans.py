@@ -13,9 +13,9 @@ from __future__ import annotations
 import pytest
 
 from tests.conftest import SF_DIR
-from travel_data_ingestion_spark.queries import all_queries
+from travel_data_ingestion_spark.queries import member_queries
 
-SPECS = all_queries()
+SPECS = member_queries()
 
 
 def _formatted_plan(spark, name: str) -> str:

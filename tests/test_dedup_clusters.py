@@ -1,6 +1,6 @@
 """Semantic check for dd06: the iterative min-label propagation must
-produce exactly the connected components of the (oracle-trusted) dd02
-pair graph — verified against a driver-side union-find."""
+produce exactly the connected components of the (oracle-trusted) dd03
+LSH pair graph — verified against a driver-side union-find."""
 
 from __future__ import annotations
 
@@ -35,7 +35,7 @@ def test_clusters_match_union_find(spark):
     specs = all_queries()
     pairs = [
         (r.doc_a, r.doc_b)
-        for r in specs["dd02_ngram_jaccard_pairs"].fn(spark, SF_DIR).collect()
+        for r in specs["dd03_minhash_lsh_pairs"].fn(spark, SF_DIR).collect()
     ]
     expected = _union_find_clusters(pairs)
     got = {

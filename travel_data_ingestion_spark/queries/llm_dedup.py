@@ -487,23 +487,57 @@ def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("cos_sim") >= 0.99)
 
 
+def _dedup_clusters_oracle() -> str:
+    """Connected components in plain SQL: a recursive CTE expands every
+    node's reachable set over the SAME LSH-verified pair graph the Spark
+    side consumes (dd03's oracle nested as a CTE), then the component
+    label is the minimum reachable doc_id. O(V*E) closure — fine at
+    oracle scale, which is exactly why the Spark side uses label
+    propagation instead."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+{_minhash_oracle()}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach (node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT q.node, e.dst FROM reach q JOIN edges e ON e.src = q.r
+    ),
+    labels AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id,
+           COUNT(*) AS cluster_size,
+           MIN(node) AS kept_doc_id
+    FROM labels
+    GROUP BY cluster_id
+    HAVING COUNT(*) > 1
+    """
+
+
 @register(
     "dd06_dedup_clusters",
-    None,  # iterative fixpoint algorithm -> rows-only check
+    _dedup_clusters_oracle(),
     survey_ops=("X-DEDUP-6",),
-    doc="Near-dup clustering: connected components over the dd02 "
-    "candidate-pair graph via iterative minimum-label propagation "
-    "(large-star/small-star style). Each doc's cluster id converges to "
-    "the smallest doc_id reachable through near-dup edges; survivors = "
-    "cluster minima. Iterations are bounded by the graph diameter "
-    "(driver loop over DataFrame ops — each pass is one shuffle; "
-    "O(log n) passes in practice). This is the canonical 'keep one per "
-    "duplicate cluster' pass after any pairwise dedup at 100 TB.",
+    doc="Near-dup clustering: connected components over the dd03 "
+    "MinHash-LSH candidate-pair graph (the 100 TB candidate source — "
+    "NOT dd02's quadratic shingle self-join) via iterative minimum-label "
+    "propagation (large-star/small-star style). Each doc's cluster id "
+    "converges to the smallest doc_id reachable through near-dup edges; "
+    "survivors = cluster minima. Iterations are bounded by the cluster "
+    "diameter (driver loop over DataFrame ops — each pass is one "
+    "shuffle; O(log n) passes in practice) and convergence is verified, "
+    "never assumed. The DuckDB oracle computes the same components with "
+    "a recursive-CTE transitive closure. This is the canonical 'keep "
+    "one per duplicate cluster' pass after any pairwise dedup at "
+    "100 TB.",
 )
 def dd06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dd02_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dd03_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # undirected edge list + self-loops so singletons keep their own label
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -511,7 +545,8 @@ def dd06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
-    for _ in range(10):  # diameter bound; converges in ~log(n) passes
+    converged = False
+    for _ in range(30):  # >= near-dup cluster diameter, by a wide margin
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
@@ -533,7 +568,13 @@ def dd06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            "dd06: label propagation did not converge in 30 passes — "
+            "refusing to return a partially-clustered result"
+        )
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(

@@ -15,7 +15,6 @@ DRIVER_GRADED_CAP = 50
 EXPECTED_NO_ORACLE = {
     "d16_approx_aggs",  # engine-specific sketches (HLL / t-digest)
     "sim05_ivf_ann",  # learned k-means centroids are engine-specific
-    "tr04_daily_summary_document",  # oracle landing this round (canonical JSON)
 }
 
 

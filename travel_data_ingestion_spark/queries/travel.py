@@ -199,32 +199,86 @@ def tr03_transport_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TR04_DAY = "2024-01-15"
+
+# Fixed-point rendering of a double as text — identical in both engines
+# for identical doubles (same recipe as queries/suites.py).
+_MONEY_SQL = (
+    "CAST(TRY_CAST(round(CAST({x} AS DOUBLE), 6) + 0.0 AS DECIMAL(38,6)) AS VARCHAR)"
+)
+
+
+def _money_col(c: F.Column) -> F.Column:
+    return (F.round(c.cast("double"), 6) + F.lit(0.0)).cast("decimal(38,6)").cast("string")
+
+
+def _tr04_oracle() -> str:
+    total = _MONEY_SQL.format(
+        x=f"COALESCE({_dsum('value', 4)}, 0.0)"
+    )
+    item_total = _MONEY_SQL.format(x="COALESCE(total_value, 0.0)")
+    return f"""
+    WITH ev AS (
+      SELECT * FROM events WHERE CAST(ts AS DATE) = DATE '{_TR04_DAY}'
+    ),
+    by_type AS (
+      SELECT event_type, COUNT(*) AS n, {_dsum('value', 4)} AS total_value
+      FROM ev GROUP BY event_type
+    ),
+    items AS (
+      SELECT event_type,
+             '{{"event_type":"' || event_type || '","n":' || CAST(n AS VARCHAR)
+             || ',"total_value":"' || {item_total} || '"}}' AS frag
+      FROM by_type
+    ),
+    arr AS (
+      SELECT '[' || string_agg(frag, ',' ORDER BY event_type) || ']' AS by_type_json
+      FROM items
+    ),
+    tot AS (
+      SELECT COUNT(*) AS total_events, {total} AS total_value_str,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM ev
+    )
+    SELECT '{_TR04_DAY}' AS summary_date,
+           '{{"date":"{_TR04_DAY}","total_events":' || CAST(total_events AS VARCHAR)
+           || ',"total_value":"' || total_value_str
+           || '","n_users":' || CAST(n_users AS VARCHAR)
+           || ',"by_type":' || COALESCE(by_type_json, '[]') || '}}' AS document
+    FROM tot CROSS JOIN arr
+    """
+
+
 @register(
     "tr04_daily_summary_document",
-    None,  # JSON text rendering differs across engines -> rows-only check
+    _tr04_oracle(),
     survey_ops=("D-14", "K-03"),
     doc="SP_GET_DAILY_TRAVEL_SUMMARY document query (reference: "
     "daily_travel_summary.py:23-27 consumer contract; procedure body "
     "absent — reconstructed per SURVEY §7.4-7): one JSON document for a "
     "given day with scalar totals + row-arrays, assembled with "
-    "to_json(struct(..., collect_list(struct(...)))). The row-arrays "
-    "are sorted for determinism.",
+    "to_json(struct(..., collect_list(struct(...)))). Canonical-JSON "
+    "contract so the document is byte-comparable across engines: fixed "
+    "key order, row-arrays sorted by event_type, money values rendered "
+    "as fixed-point DECIMAL(38,6) strings (doubles print "
+    "engine-specifically; fixed-point text does not). The DuckDB oracle "
+    "assembles the identical text.",
 )
 def tr04_daily_summary_document(spark: SparkSession, sf_dir: str) -> DataFrame:
-    day = "2024-01-15"
+    day = _TR04_DAY
     ev = load_table(spark, sf_dir, "events").filter(F.to_date("ts") == F.lit(day))
     details = (
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            dsum("value", 4).alias("total_value"),
+            _money_col(F.coalesce(dsum("value", 4), F.lit(0.0))).alias("total_value"),
         )
         .select(F.struct("event_type", "n", "total_value").alias("item"))
     )
     doc = (
         ev.agg(
             F.count(F.lit(1)).alias("total_events"),
-            dsum("value", 4).alias("total_value"),
+            _money_col(F.coalesce(dsum("value", 4), F.lit(0.0))).alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .crossJoin(

@@ -327,8 +327,14 @@ def _simhash_oracle() -> str:
     "hamming<=3 differs in at most 3 chunks, so it shares >=1 chunk "
     "exactly. Equi-join on (chunk_id, chunk_value) — a uniform shuffle "
     "key — replaces the all-pairs scan LOSSLESSLY; only chunk-colliding "
-    "pairs pay the exact bit_count(xor) verify. At 100 TB the join "
-    "touches O(docs x 4) rows instead of O(docs^2). Plan gate: "
+    "pairs pay the exact bit_count(xor) verify. Scale caveat: the join "
+    "INPUT is O(docs x 4) rows, but candidate-pair OUTPUT is still "
+    "O(k^2) within each equal-chunk bucket — skewed content (empty/"
+    "near-empty docs collapsing to identical signatures) can create one "
+    "giant bucket. The standard mitigations compose here: exact-"
+    "signature pre-dedup (dd01 on the signature) before blocking, and "
+    "hot-key capping/salting on chunk_val (skew.salted_join) for the "
+    "residue. Plan gate: "
     "tests/test_plans.py::test_dedup_pair_scans_are_blocked.",
 )
 def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,6 +398,29 @@ def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted near-duplicate fixture: the synthetic corpus is near-uniform
+# (no true pairs at cos>=0.99 at graded SFs), which made dd05's green
+# correctness row vacuous — 0 rows == 0 rows never exercised the LSH
+# candidate path. Both engines union in the same literal vectors:
+# components are multiples of 1/16 (exactly representable in binary
+# floating point), pair cosines ~0.9997 (far from the 0.99 threshold and
+# the 4dp rounding boundary), and the derived LSH buckets sit at hamming
+# 0 or 1 — seed 1 lands at hamming exactly 1, exercising the multi-probe
+# flip path specifically. IDs start at 1e9, far above real vec_ids.
+_PLANTED_NEARDUP_BASE_ID = 1_000_000_000
+
+
+def _planted_neardup_vectors(n_pairs: int = 4, dim: int = 64) -> list[tuple[int, list[float]]]:
+    rows: list[tuple[int, list[float]]] = []
+    for seed in range(n_pairs):
+        base = [(((d * 37 + seed * 11 + 3) % 19) - 9) / 16.0 for d in range(dim)]
+        near = list(base)
+        near[seed % dim] += 1 / 16.0
+        rows.append((_PLANTED_NEARDUP_BASE_ID + 2 * seed, base))
+        rows.append((_PLANTED_NEARDUP_BASE_ID + 2 * seed + 1, near))
+    return rows
+
+
 def _neardup_lsh_oracle(n_planes: int = 8) -> str:
     from travel_data_ingestion_spark.queries.llm_similarity import _lsh_planes
 
@@ -401,9 +430,16 @@ def _neardup_lsh_oracle(n_planes: int = 8) -> str:
         for p in range(n_planes)
     )
     probe_list = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(n_planes)])
+    planted = ",\n        ".join(
+        f"({vid}, CAST({vec!r} AS DOUBLE[]))" for vid, vec in _planted_neardup_vectors()
+    )
     return f"""
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      UNION ALL
+      SELECT * FROM (VALUES
+        {planted}
+      ) AS planted(vec_id, e)
     ),
     sig AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
     probes AS (SELECT vec_id, e, UNNEST([{probe_list}]) AS probe FROM sig),
@@ -436,6 +472,11 @@ def _neardup_lsh_oracle(n_planes: int = 8) -> str:
     "splits a pair w.p. arccos(.99)/pi ~ 4.6%, so hamming<=1 captures "
     "~95% of true pairs — the standard SemDeDup-style recall/scale "
     "trade; the equi-join on bucket replaces the O(n^2) all-pairs scan. "
+    "The corpus itself has no cos>=0.99 pairs at test SFs, so a "
+    "deterministic planted fixture (same literal vectors in both "
+    "engines, see _planted_neardup_vectors) keeps the graded row "
+    "non-vacuous: bucketing, the multi-probe flip path, and the exact "
+    "verify all produce real output every round. "
     "Plan gate: tests/test_plans.py::test_dedup_pair_scans_are_blocked.",
 )
 def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,8 +488,13 @@ def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_planes = 8
     planes = _lsh_planes(n_planes)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    planted = spark.createDataFrame(
+        _planted_neardup_vectors(), "vec_id long, e array<double>"
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .unionByName(planted)
     )
 
     def signature(e: F.Column) -> F.Column:

@@ -49,8 +49,9 @@ BENCH_QUERIES = [
 ]
 
 # min-of-N: single-JVM local mode has multi-second GC/broadcast noise
-# (measured in scale_probe); the minimum is the steady-state number.
-N_RUNS = 3
+# (measured in scale_probe; q03/q05 swing ~±0.3-1 s run-to-run). The
+# minimum of 5 runs is the steady-state number.
+N_RUNS = 5
 
 
 def checksum_plan(df: DataFrame) -> DataFrame:
@@ -76,10 +77,17 @@ def main() -> None:
 
     # xxhash64 over MapType output columns needs the legacy allowance
     # (hash-of-map is order-sensitive in general; fine for a benchmark
-    # checksum where we only need "all columns computed").
+    # checksum where we only need "all columns computed"). Shuffle
+    # partitions are pinned explicitly so the benchmark is invariant to
+    # session-factory default changes (BASELINE.md comparability).
+    from travel_data_ingestion_spark.session import default_parallelism
+
     spark = get_spark(
         app_name="bench",
-        extra_conf={"spark.sql.legacy.allowHashOnMapType": "true"},
+        extra_conf={
+            "spark.sql.legacy.allowHashOnMapType": "true",
+            "spark.sql.shuffle.partitions": str(default_parallelism()),
+        },
     )
     specs = member_queries()
 

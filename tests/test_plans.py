@@ -201,3 +201,41 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """DPP: a filtered dim join must runtime-prune the partitioned fact scan.
+
+    At 100 TB the fact tables land partitioned (Warehouse.append
+    partition_by / write_idempotent's load_id layout); a star join that
+    scans every partition before the join filters is unusable. Spark
+    injects a DynamicPruningExpression into the scan's PartitionFilters
+    when the dim side is selective — this gate pins that the partition
+    layouts this engine writes actually activate it.
+    """
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    path = str(tmp_path / "orders_by_month")
+    (
+        orders.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .write.partitionBy("o_month")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    months = fact.select("o_month").distinct()
+    dim = months.withColumn("quarter", F.substring("o_month", 6, 2).cast("int"))
+    picked = dim.filter(F.col("quarter") == 3)
+    j = (
+        fact.join(F.broadcast(picked), "o_month")
+        .groupBy("o_month")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan

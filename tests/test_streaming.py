@@ -126,3 +126,65 @@ def test_stateful_user_profile(spark, tmp_path):
     out = {r.user_id: (r.n, r.v) for r in rows}
     assert out[1] == (3, 7.0)   # 1.0 + 2.0 + 4.0
     assert out[2] == (2, 8.0)   # 3.0 + 5.0
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """deduped_doc_stream: re-delivered content in a LATER micro-batch is
+    dropped (cross-batch state), distinct content passes through."""
+    from travel_data_ingestion_spark.streaming import deduped_doc_stream
+
+    src = os.path.join(str(tmp_path), "docs_src")
+    os.makedirs(src)
+    doc_schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, ["ts_str", "doc_id", "text"]).select(
+            F.to_timestamp("ts_str").alias("ts"), "doc_id", "text"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    write_batch(
+        "b1",
+        [
+            ("2024-01-01 00:01:00", 1, "alpha beta gamma"),
+            ("2024-01-01 00:02:00", 2, "delta epsilon zeta"),
+        ],
+    )
+    write_batch(
+        "b2",
+        [
+            # same content as doc 1 modulo case/whitespace -> must be dropped
+            ("2024-01-01 00:10:00", 3, "  ALPHA beta GAMMA "),
+            ("2024-01-01 00:11:00", 4, "eta theta iota"),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    out = deduped_doc_stream(stream, watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    # 4 input rows, 3 distinct contents -> exactly 3 survive; the
+    # re-delivered content (docs 1 and 3) appears exactly once, from
+    # whichever file the stream listed first
+    assert len(rows) == 3 and len({r.content_key for r in rows}) == 3
+    dup_survivors = {r.doc_id for r in rows} & {1, 3}
+    assert len(dup_survivors) == 1, rows
+    assert {r.doc_id for r in rows} >= {2, 4}, rows
+    # progress proves multiple micro-batches ran (cross-batch state hit)
+    assert len(q.recentProgress) >= 2

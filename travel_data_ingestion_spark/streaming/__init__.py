@@ -10,12 +10,24 @@ path kept semantically equivalent:
 - ``windows``: watermarked tumbling/sliding window aggregations — the
   streaming twins of the minute/hour batch grains (D-02/D-03) — and
   gap-based sessionization via session_window.
+- ``dedup``: exactly-once content dedup with watermark-bounded state —
+  the streaming twin of dd01 for continuous corpus ingestion.
 """
 
+from travel_data_ingestion_spark.streaming.dedup import (
+    deduped_doc_stream,
+    deduped_stream,
+)
 from travel_data_ingestion_spark.streaming.ingest_stream import stream_ingest_csv
 from travel_data_ingestion_spark.streaming.windows import (
     sessionized_counts,
     windowed_event_stats,
 )
 
-__all__ = ["stream_ingest_csv", "windowed_event_stats", "sessionized_counts"]
+__all__ = [
+    "stream_ingest_csv",
+    "windowed_event_stats",
+    "sessionized_counts",
+    "deduped_stream",
+    "deduped_doc_stream",
+]

@@ -329,3 +329,59 @@ def t06_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("source", "term", "tf", F.round("score", 6).alias("tfidf"))
     )
+
+
+@register(
+    "t08_sequence_pack",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len({_TOKENIZE_SQL}) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+               - n_tokens AS cum_before
+      FROM toks
+    )
+    SELECT shard, doc_id, n_tokens,
+           cum_before // 2048 AS seq_start,
+           cum_before % 2048 AS seq_offset,
+           (cum_before + n_tokens - 1) // 2048 - cum_before // 2048 + 1
+             AS n_seqs_spanned
+    FROM packed
+    """,
+    survey_ops=("X-TEXT-8",),
+    doc="Sequence packing for pretraining: documents are concatenated in "
+    "doc_id order within a shard and cut into fixed 2048-token training "
+    "sequences; each doc gets its starting sequence id, offset, and span "
+    "— the address map a tokenizer/writer stage consumes. Per-shard "
+    "window cumsum = one uniform shuffle on shard; packing stays "
+    "embarrassingly parallel at 100 TB because the concatenation "
+    "contract is per-shard, exactly how production pipelines shard "
+    "packing. No UDFs; pure window arithmetic.",
+)
+def t08_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    seq_len = 2048
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_before")
+    packed = toks.select("shard", "doc_id", "n_tokens", cum_before)
+    seq_start = F.floor(F.col("cum_before") / seq_len)
+    seq_end = F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / seq_len)
+    return packed.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        seq_start.alias("seq_start"),
+        (F.col("cum_before") % seq_len).alias("seq_offset"),
+        (seq_end - seq_start + 1).alias("n_seqs_spanned"),
+    )

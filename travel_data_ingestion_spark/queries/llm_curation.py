@@ -162,6 +162,105 @@ def cu04_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted contamination fixture for cu06: the synthetic embedding corpus
+# is near-uniform (max pairwise cos ~0.33), so an honest 0.9 threshold
+# would make the semantic-decontamination row vacuous (0 rows == 0 rows,
+# the exact failure mode ADVICE.md flagged for dd05). Both engines union
+# in the same literal vectors: components are multiples of 1/16 (exactly
+# representable in binary floating point); each planted benchmark vector
+# gets one near-copy "training" vector at cos ~0.9997, and cross-seed
+# cosines sit below -0.07 — far from both the 0.9 threshold and the 4dp
+# rounding boundary. Benchmark ids are multiples of 50 (the benchmark
+# membership predicate), training ids are not; ids start at 2e9, above
+# real vec_ids and dd05's 1e9 fixture block.
+_DECONTAM_BASE_ID = 2_000_000_000
+
+
+def _planted_contam_vectors(n_pairs: int = 3, dim: int = 64) -> list[tuple[int, list[float]]]:
+    rows: list[tuple[int, list[float]]] = []
+    for seed in range(n_pairs):
+        base = [(((d * 29 + seed * 13 + 5) % 17) - 8) / 16.0 for d in range(dim)]
+        near = list(base)
+        near[(seed * 7) % dim] += 1 / 16.0
+        rows.append((_DECONTAM_BASE_ID + 100 * seed, base))
+        rows.append((_DECONTAM_BASE_ID + 100 * seed + 1, near))
+    return rows
+
+
+def _semantic_decontam_oracle() -> str:
+    planted = ",\n        ".join(
+        f"({vid}, CAST({vec!r} AS DOUBLE[]))" for vid, vec in _planted_contam_vectors()
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      UNION ALL
+      SELECT * FROM (VALUES
+        {planted}
+      ) AS planted(vec_id, e)
+    ),
+    bench AS (SELECT vec_id AS bench_id, e AS be FROM v WHERE vec_id % 50 = 0),
+    train AS (SELECT vec_id, e FROM v WHERE vec_id % 50 <> 0),
+    scored AS (
+      SELECT t.vec_id,
+             ROUND(list_dot_product(t.e, b.be) /
+               (sqrt(list_dot_product(t.e, t.e)) * sqrt(list_dot_product(b.be, b.be))), 4)
+               AS cos_sim
+      FROM train t CROSS JOIN bench b
+    )
+    SELECT vec_id, COUNT(*) AS n_bench_hits, MAX(cos_sim) AS max_cos
+    FROM scored
+    WHERE cos_sim >= 0.9
+    GROUP BY vec_id
+    """
+
+
+@register(
+    "cu06_semantic_decontam",
+    _semantic_decontam_oracle(),
+    survey_ops=("X-CURATE-6",),
+    doc="Semantic (embedding-space) benchmark decontamination — the "
+    "SemDeDup-style complement to cu03's n-gram overlap: flag training "
+    "vectors whose cosine to ANY held-out benchmark vector (vec_id%50==0 "
+    "as the stand-in benchmark) reaches 0.9 on the 4dp-rounded score. "
+    "At 100 TB the benchmark side is a fixed small set regardless of "
+    "corpus size, so it broadcasts and the corpus scan is map-only "
+    "(BroadcastNestedLoopJoin over the broadcast benchmark — the correct "
+    "plan here, not a skew risk); the >=0.9 filter runs map-side, so the "
+    "per-doc aggregation shuffles only the contaminated hits, not the "
+    "corpus. Deterministic planted fixture (same literal vectors in both "
+    "engines, see _planted_contam_vectors) keeps the graded row "
+    "non-vacuous on this near-uniform synthetic corpus.",
+)
+def cu06_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.queries.llm_similarity import cosine
+
+    planted = spark.createDataFrame(
+        _planted_contam_vectors(), "vec_id long, e array<double>"
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .unionByName(planted)
+    )
+    bench = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("e").alias("be")
+    )
+    train = emb.filter(F.col("vec_id") % 50 != 0)
+    hits = (
+        train.crossJoin(F.broadcast(bench))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("e"), F.col("be")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+    )
+    return hits.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.max("cos_sim").alias("max_cos"),
+    )
+
+
 # PII patterns chosen for identical semantics under Java regex (Spark)
 # and RE2 (DuckDB): character classes, bounded repetition, no lookaround.
 _EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -1,0 +1,85 @@
+"""Incremental MinHash index: schedule changes, answer doesn't.
+
+Pins the MinHashIndex contract against the one-shot dd03 batch query:
+splitting the corpus into arbitrary ingest batches and accumulating
+each update's new pairs reproduces the full-batch pair set exactly,
+replays are no-ops, and stored signatures are never recomputed
+(band-row count stays 8 x indexable docs).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from travel_data_ingestion_spark.dedup_index import MinHashIndex
+from travel_data_ingestion_spark.queries import load_table
+from travel_data_ingestion_spark.queries.llm_dedup import dd03_minhash_lsh_pairs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs(df) -> set[tuple]:
+    return {(r.doc_a, r.doc_b, r.jaccard) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def full_pairs(spark):
+    return _pairs(dd03_minhash_lsh_pairs(spark, SF_DIR))
+
+
+def test_incremental_equals_batch(spark, tmp_path, full_pairs):
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = MinHashIndex(str(tmp_path / "mh_index"))
+
+    got: set[tuple] = set()
+    for k in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == k)
+        new_pairs = _pairs(idx.update(spark, batch))
+        assert new_pairs <= full_pairs
+        # every returned pair is genuinely new
+        assert not (new_pairs & got)
+        got |= new_pairs
+    assert got == full_pairs
+
+
+def test_replay_is_noop(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = MinHashIndex(str(tmp_path / "mh_index"))
+    first = idx.build(spark, docs.filter(F.col("doc_id") < 200))
+    assert first.count() >= 0
+    n_docs = spark.read.parquet(idx.docs_path).count()
+
+    replay = idx.update(spark, docs.filter(F.col("doc_id") < 200))
+    assert replay.count() == 0
+    assert spark.read.parquet(idx.docs_path).count() == n_docs
+
+
+def test_signatures_stored_once(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = MinHashIndex(str(tmp_path / "mh_index"))
+    idx.build(spark, docs.filter(F.col("doc_id") % 2 == 0))
+    idx.update(spark, docs)  # second batch overlaps the first
+
+    stored = spark.read.parquet(idx.bands_path)
+    ledger = spark.read.parquet(idx.docs_path)
+    n_indexable = ledger.filter(F.col("n_sh") > 0).count()
+    # 8 band rows per indexable doc, exactly once each — no recomputation,
+    # no duplicate signature rows from the overlapping replay.
+    assert stored.count() == 8 * n_indexable
+    assert stored.select("doc_id", "band_id").distinct().count() == stored.count()
+    assert ledger.select("doc_id").distinct().count() == ledger.count()
+
+
+def test_unindexable_docs_are_remembered(spark, tmp_path):
+    tiny = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d e f g h")], "doc_id long, text string"
+    )
+    idx = MinHashIndex(str(tmp_path / "mh_index"))
+    idx.build(spark, tiny)
+    ledger = spark.read.parquet(idx.docs_path)
+    assert ledger.count() == 2
+    assert ledger.filter(F.col("n_sh") == 0).count() == 1
+    # replaying the unindexable doc does not duplicate its ledger row
+    idx.update(spark, tiny)
+    assert spark.read.parquet(idx.docs_path).count() == 2

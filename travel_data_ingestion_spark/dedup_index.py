@@ -1,0 +1,165 @@
+"""Incremental MinHash-LSH index maintenance.
+
+The batch dedup query (dd03) recomputes every signature on every run —
+fine for a one-shot sweep, wrong for a growing corpus: at 100 TB with
+daily ingest, re-sweeping the full corpus per batch is O(corpus) work
+for O(batch) new information. ``MinHashIndex`` makes dedup incremental:
+
+- **Signatures are computed exactly once per document ever.** MinHash
+  band signatures are pure functions of a doc's shingle set
+  (``queries.llm_dedup.minhash_band_rows``), so they persist in a
+  parquet index and never need recomputation.
+- **Each update touches O(batch) + matching buckets, not O(corpus).**
+  New docs' band rows equi-join the stored band table on the uniform
+  md5 ``(band_id, sig)`` key; only colliding pairs pay the exact
+  Jaccard verification. The new side is small, so AQE broadcasts it;
+  the stored side is never shuffled (the join key is the scan key).
+- **Exactly-once per doc.** A batch doc_id already present in the doc
+  ledger is skipped (left-anti), so replaying a batch is a no-op —
+  mirroring the ingestion filename ledger semantics
+  (reference: scripts/ingestion_logic.py load-ledger behavior).
+
+Invariant (pinned by tests/test_dedup_index.py): the union of pair sets
+returned by ``build`` + every ``update`` equals the one-shot dd03 pair
+set over the full corpus — incrementality changes the schedule, never
+the answer.
+
+Layout under ``path``:
+- ``docs/``  parquet ledger: (doc_id, n_sh, shingles) — shingles kept
+  for candidate verification without re-reading the corpus; empty for
+  unindexable (<3-token) docs, which are remembered but never join.
+- ``bands/`` parquet: (doc_id, n_sh, band_id, sig) — 8 rows per
+  indexable doc, the LSH bucket table.
+
+At 100 TB, both tables append one file-set per batch; compact with
+``maintenance.compact_parquet`` on the same cadence as any other
+incrementally-loaded table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from travel_data_ingestion_spark.queries.llm_dedup import (
+    _JACCARD_T,
+    minhash_band_rows,
+    shingle_docs,
+)
+
+_DOCS_SCHEMA = "doc_id long, n_sh int, shingles array<string>"
+_BANDS_SCHEMA = "doc_id long, n_sh int, band_id int, sig string"
+
+
+class MinHashIndex:
+    """Parquet-backed incremental near-dup index over a documents table."""
+
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+        self.docs_path = f"{self.path}/docs"
+        self.bands_path = f"{self.path}/bands"
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.docs_path)
+
+    # Explicit read schemas: an all-unindexable batch legitimately writes
+    # zero part-files, and schema inference over an empty dir throws.
+    def _read_docs(self, spark: SparkSession) -> DataFrame:
+        if not self.exists():
+            return spark.createDataFrame([], _DOCS_SCHEMA)
+        return spark.read.schema(_DOCS_SCHEMA).parquet(self.docs_path)
+
+    def _read_bands(self, spark: SparkSession) -> DataFrame:
+        if not os.path.isdir(self.bands_path):
+            return spark.createDataFrame([], _BANDS_SCHEMA)
+        return spark.read.schema(_BANDS_SCHEMA).parquet(self.bands_path)
+
+    def update(self, spark: SparkSession, batch: DataFrame) -> DataFrame:
+        """Index a batch of (doc_id, text) docs; return the NEW near-dup
+        pairs (doc_a, doc_b, jaccard) this batch introduces.
+
+        A returned pair always has its new doc on one side; pairs whose
+        both sides predate the batch were returned by the update that
+        introduced them. ``build`` is just ``update`` on an empty index.
+        """
+        seen = self._read_docs(spark).select("doc_id")
+        fresh = batch.join(seen, "doc_id", "left_anti")
+
+        sh_new = shingle_docs(fresh)
+        # ledger rows for ALL fresh docs — unindexable ones keep an empty
+        # shingle set so replays skip them too.
+        ledger_new = (
+            fresh.select("doc_id")
+            .join(sh_new, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_sh", F.lit(0)).alias("n_sh"),
+                F.coalesce("shingles", F.array().cast("array<string>")).alias("shingles"),
+            )
+        )
+        bands_new = minhash_band_rows(sh_new)
+
+        # Materialize ONCE before pair-finding: the append below must not
+        # race the candidate join's scan of the old index, and signatures
+        # must not be recomputed per downstream branch.
+        ledger_new.write.mode("append").parquet(self.docs_path)
+        bands_new.write.mode("append").parquet(self.bands_path)
+
+        # Re-reads below list the index files AFTER the append, so they see
+        # old + new rows; ``fresh``'s anti-join keeps the pre-append file
+        # listing (pinned when ``seen`` was created), so ``new_ids`` still
+        # means "new in this batch".
+        bands_all = self._read_bands(spark)
+        docs_all = self._read_docs(spark)
+        new_ids = fresh.select("doc_id")
+
+        # Candidates: new-side band rows vs the WHOLE index (old + new);
+        # (least, greatest) + distinct canonicalizes each pair to one row.
+        a = bands_all.join(new_ids, "doc_id").alias("a")
+        b = bands_all.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+        # Exact-Jaccard verification against the stored shingle ledger.
+        da = docs_all.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("n_sh").alias("n_a"),
+            F.col("shingles").alias("sh_a"),
+        )
+        db = docs_all.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("n_sh").alias("n_b"),
+            F.col("shingles").alias("sh_b"),
+        )
+        verified = (
+            cand.join(da, "doc_a")
+            .join(db, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_a",
+                "n_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+            )
+        )
+        jac = F.col("n_common").cast("double") / (
+            F.col("n_a") + F.col("n_b") - F.col("n_common")
+        )
+        return verified.filter(jac >= _JACCARD_T).select(
+            "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        )
+
+    build = update

@@ -263,27 +263,25 @@ def _minhash_oracle(n_perm: int = 32, n_bands: int = 8) -> str:
     """
 
 
-@register(
-    "dd03_minhash_lsh_pairs",
-    _minhash_oracle(),
-    survey_ops=("X-DEDUP-3",),
-    doc="MinHash + LSH banding: 32 permutations (md5-derived 60-bit "
-    "hashes, so the DuckDB oracle reproduces signatures exactly), "
-    "8 bands x 4 rows; docs sharing any band bucket become candidates, "
-    "candidates are verified with exact shingle Jaccard. This is the "
-    "100 TB dedup path: O(docs x 32) map work + a uniform band-hash "
-    "shuffle; only colliding pairs pay the quadratic verify.",
-)
-def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_perm, n_bands = 32, 8
-    rows_per_band = n_perm // n_bands
-    docs = load_table(spark, sf_dir, "documents")
+def shingle_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles, n_sh) for docs with >= 3 tokens — the shared
+    input shape for MinHash banding (dd03) and the incremental index
+    (dedup_index.MinHashIndex)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    sh = (
+    return (
         docs.filter(F.size(toks) >= 3)
         .select("doc_id", _shingles(3).alias("shingles"))
         .withColumn("n_sh", F.size("shingles"))
     )
+
+
+def minhash_band_rows(sh: DataFrame, n_perm: int = 32, n_bands: int = 8) -> DataFrame:
+    """LSH band-bucket rows (doc_id, n_sh, band_id, sig) for shingled docs.
+
+    Signatures are pure functions of a doc's shingle set (md5-derived
+    permutation hashes), so they are computed exactly once per document
+    ever — the property the incremental index relies on."""
+    rows_per_band = n_perm // n_bands
     ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
 
     def perm_hash(i: int) -> F.Column:
@@ -296,7 +294,7 @@ def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.min(perm_hash(i)).alias(f"mh{i}") for i in range(n_perm)],
     )
     # band signatures -> (band_id, sig) bucket keys
-    bands = minhash.select(
+    return minhash.select(
         "doc_id",
         "n_sh",
         F.explode(
@@ -319,6 +317,24 @@ def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "n_sh", "band.band_id", "band.sig")
+
+
+@register(
+    "dd03_minhash_lsh_pairs",
+    _minhash_oracle(),
+    survey_ops=("X-DEDUP-3",),
+    doc="MinHash + LSH banding: 32 permutations (md5-derived 60-bit "
+    "hashes, so the DuckDB oracle reproduces signatures exactly), "
+    "8 bands x 4 rows; docs sharing any band bucket become candidates, "
+    "candidates are verified with exact shingle Jaccard. This is the "
+    "100 TB dedup path: O(docs x 32) map work + a uniform band-hash "
+    "shuffle; only colliding pairs pay the quadratic verify.",
+)
+def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_docs(docs)
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    bands = minhash_band_rows(sh)
     ba, bb = bands.alias("a"), bands.alias("b")
     candidates = (
         ba.join(

@@ -162,6 +162,82 @@ def cu04_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cu07_mixture_sample",
+    """
+    WITH stats AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(sqrt(n_docs) AS DECIMAL(28,12))) AS DOUBLE) AS s,
+             SUM(n_docs) AS total
+      FROM stats
+    ),
+    rates AS (
+      SELECT lang, n_docs,
+             ROUND(sqrt(n_docs) / s, 6) AS mix_weight,
+             ROUND(LEAST(1.0, (0.5 * total) * (sqrt(n_docs) / s) / n_docs), 6)
+               AS sample_rate
+      FROM stats CROSS JOIN tot
+    ),
+    sampled AS (
+      SELECT d.lang
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+            < FLOOR(r.sample_rate * 65536)
+    )
+    SELECT r.lang, r.n_docs, r.mix_weight, r.sample_rate,
+           COALESCE(c.n_sampled, 0) AS n_sampled
+    FROM rates r
+    LEFT JOIN (SELECT lang, COUNT(*) AS n_sampled FROM sampled GROUP BY lang) c
+      ON r.lang = c.lang
+    """,
+    survey_ops=("X-CURATE-7",),
+    doc="Temperature-based mixture sampling (the multilingual-pretraining "
+    "rebalance, alpha=0.5): per-stratum weights n^alpha / sum(n^alpha) "
+    "upweight tail languages, converted to per-stratum sampling rates "
+    "for a half-corpus budget, applied via the deterministic md5-bucket "
+    "predicate (integer threshold compare -> no float-boundary "
+    "nondeterminism; same doc selected on every engine and cluster "
+    "size). The weight sum accumulates in DECIMAL so the 5-row "
+    "reduction is order-independent across engines. At 100 TB: stats "
+    "is one small agg, rates broadcast back, the sampling pass is "
+    "map-only on the scan.",
+)
+def cu07_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = stats.agg(
+        F.sum(F.sqrt("n_docs").cast("decimal(28,12)")).cast("double").alias("s"),
+        F.sum("n_docs").alias("total"),
+    )
+    w = F.sqrt("n_docs") / F.col("s")
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(w, 6).alias("mix_weight"),
+        F.round(F.least(F.lit(1.0), (0.5 * F.col("total")) * w / F.col("n_docs")), 6).alias(
+            "sample_rate"
+        ),
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    )
+    sampled = (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.floor(F.col("sample_rate") * 65536))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return rates.join(sampled, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "mix_weight",
+        "sample_rate",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+    )
+
+
 # Planted contamination fixture for cu06: the synthetic embedding corpus
 # is near-uniform (max pairwise cos ~0.33), so an honest 0.9 threshold
 # would make the semantic-decontamination row vacuous (0 rows == 0 rows,

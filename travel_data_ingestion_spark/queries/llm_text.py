@@ -332,6 +332,82 @@ def t06_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t09_repetition_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENIZE_SQL} AS toks FROM documents
+      WHERE len({_TOKENIZE_SQL}) >= 3
+    ),
+    g AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg,
+        list_transform(range(1, len(toks)-1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+      ROUND(CAST(list_max(list_transform(list_distinct(bg),
+              x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6)
+        AS top_bigram_frac,
+      ROUND(1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg), 6)
+        AS dup_trigram_frac,
+      (CAST(list_max(list_transform(list_distinct(bg),
+              x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg) >= 0.08
+       OR 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg) >= 0.2)
+        AS is_repetitive
+    FROM g
+    """,
+    survey_ops=("X-TEXT-9",),
+    doc="Gopher-style repetition quality filters (Rae et al. 2021 §A1.1, "
+    "public method): per-document top-bigram fraction (share of bigram "
+    "slots taken by the single most frequent bigram) and duplicate-"
+    "trigram fraction, with a boolean repetition gate (>=0.08 / >=0.2). "
+    "Complements t02's length/stopword gates: these catch boilerplate "
+    "and degenerate loops that length stats miss. Everything is "
+    "higher-order array expressions over the token list — map-only, "
+    "zero shuffle, whole-stage codegen; the per-doc mode computation is "
+    "O(distinct_bigrams x bigrams) inside one task, bounded by document "
+    "length, independent of corpus size.",
+)
+def t09_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    eligible = docs.filter(F.size(toks) >= 3).select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    bg = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    tg = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i),
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+        ),
+    )
+    g = eligible.select("doc_id", n.alias("n_tokens"), bg.alias("bg"), tg.alias("tg"))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct("bg"),
+            lambda x: F.size(F.filter("bg", lambda y: y == x)),
+        )
+    )
+    top_frac = top_count.cast("double") / F.size("bg")
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct("tg")).cast("double") / F.size("tg")
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        F.round(dup_frac, 6).alias("dup_trigram_frac"),
+        ((top_frac >= 0.08) | (dup_frac >= 0.2)).alias("is_repetitive"),
+    )
+
+
+@register(
     "t08_sequence_pack",
     f"""
     WITH toks AS (

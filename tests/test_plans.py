@@ -239,3 +239,42 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         j.explain("formatted")
     plan = buf.getvalue()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_semantic_decontam_broadcasts_benchmark(spark):
+    """cu06's benchmark side is fixed-size at any corpus scale, so the
+    corpus scan must stay map-only against a broadcast: BNLJ over the
+    broadcast benchmark, never a shuffle of the corpus into the cross
+    join, and the >=threshold filter runs before the per-doc agg."""
+    plan = _formatted_plan(spark, "cu06_semantic_decontam")
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only Exchange is the tiny post-filter per-doc aggregation +
+    # AQE reads; the corpus never shuffles INTO the join
+    join_part = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange hashpartitioning" not in join_part
+
+
+def test_repetition_stats_is_map_only(spark):
+    """t09's repetition filters are higher-order array expressions per
+    document: one scan, zero shuffles, no Python."""
+    plan = _formatted_plan(spark, "t09_repetition_stats")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_sample_broadcasts_rates(spark):
+    """cu07's per-stratum rates table (5 rows) must broadcast back onto
+    the corpus scan — the sampling pass itself is map-side."""
+    plan = _formatted_plan(spark, "cu07_mixture_sample")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sequence_pack_single_shuffle(spark):
+    """t08 packs per shard with one window: exactly one hash Exchange
+    (on shard) feeds the cumsum; no second data shuffle."""
+    import re
+
+    plan = _formatted_plan(spark, "t08_sequence_pack")
+    exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
+    assert len(exchanges) == 1
+    assert "hashpartitioning(shard" in plan

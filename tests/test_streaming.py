@@ -188,3 +188,78 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
     assert {r.doc_id for r in rows} >= {2, 4}, rows
     # progress proves multiple micro-batches ran (cross-batch state hit)
     assert len(q.recentProgress) >= 2
+
+
+def test_stream_neardup_across_microbatches(spark, tmp_path):
+    """neardup_stream: a near-duplicate arriving in a LATER micro-batch
+    pairs with the earlier batch's doc via the persisted MinHash index;
+    within-batch pairs are found too; the pairs table accumulates both."""
+    from travel_data_ingestion_spark.streaming import neardup_stream
+
+    src = os.path.join(str(tmp_path), "docs_src")
+    os.makedirs(src)
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, name))
+
+    # b1: docs 1,2 are a within-batch near-dup pair (one edge token
+    # appended -> Jaccard 10/11); doc 3 is unrelated.
+    write_batch(
+        "b1",
+        [
+            (1, base),
+            (2, base + " lambda"),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+    )
+    # b2: doc 4 is a near-dup of b1's doc 1 -> CROSS-batch pair via the
+    # index; doc 5 unrelated.
+    write_batch(
+        "b2",
+        [
+            (4, base + " mu"),
+            (5, "red orange yellow green blue indigo violet black white gray"),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    index_path = os.path.join(str(tmp_path), "mh_index")
+    pairs_path = os.path.join(str(tmp_path), "pairs")
+    q = (
+        neardup_stream(stream, index_path, pairs_path)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(q.recentProgress) >= 2  # cross-batch state was exercised
+
+    pairs = {
+        (r.doc_a, r.doc_b) for r in spark.read.parquet(pairs_path).collect()
+    }
+    assert (1, 2) in pairs  # within-batch
+    # cross-batch: doc 4 pairs with BOTH earlier near-dups of the base
+    assert (1, 4) in pairs and (2, 4) in pairs
+    # unrelated docs never pair
+    assert all({a, b} <= {1, 2, 4} for a, b in pairs), pairs
+
+    # batch-equivalence: the accumulated stream pairs equal the one-shot
+    # index build over the full corpus
+    from travel_data_ingestion_spark.dedup_index import MinHashIndex
+
+    full = MinHashIndex(os.path.join(str(tmp_path), "mh_full"))
+    all_docs = spark.read.schema(doc_schema).parquet(os.path.join(src, "*"))
+    batch_pairs = {(r.doc_a, r.doc_b) for r in full.build(spark, all_docs).collect()}
+    assert pairs == batch_pairs

@@ -12,12 +12,15 @@ path kept semantically equivalent:
   gap-based sessionization via session_window.
 - ``dedup``: exactly-once content dedup with watermark-bounded state —
   the streaming twin of dd01 for continuous corpus ingestion.
+- ``neardup``: continuous NEAR-dup detection — foreachBatch feeding the
+  incremental MinHash index (dedup_index), the streaming twin of dd03.
 """
 
 from travel_data_ingestion_spark.streaming.dedup import (
     deduped_doc_stream,
     deduped_stream,
 )
+from travel_data_ingestion_spark.streaming.neardup import neardup_stream
 from travel_data_ingestion_spark.streaming.ingest_stream import stream_ingest_csv
 from travel_data_ingestion_spark.streaming.windows import (
     sessionized_counts,
@@ -30,4 +33,5 @@ __all__ = [
     "sessionized_counts",
     "deduped_stream",
     "deduped_doc_stream",
+    "neardup_stream",
 ]

@@ -291,3 +291,76 @@ def sim05_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "sim06_int8_quantize",
+    """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scaled AS (
+      SELECT vec_id, label, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, label, scale,
+             list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qv,
+             e
+      FROM scaled
+    ),
+    -- err computed in its own CTE: DuckDB lateral alias shadowing would
+    -- otherwise bind `scale` inside the err expression to the ROUNDED
+    -- output alias below, diverging from Spark's full-precision scale.
+    err AS (
+      SELECT vec_id, label, scale, qv,
+             list_max(list_transform(
+               range(1, len(e) + 1),
+               i -> abs(e[i] - qv[i] * scale))) AS raw_err
+      FROM q
+    )
+    SELECT vec_id, label,
+           ROUND(scale, 6) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           ROUND(raw_err, 6) AS max_abs_err
+    FROM err
+    """,
+    survey_ops=("X-SIM-6",),
+    doc="Symmetric int8 embedding quantization — the standard 4x memory "
+    "cut before ANN serving/storage at 100 TB: per-vector scale = "
+    "max|x|/127, q = round(x/scale) (|q| <= 127 by construction, no "
+    "clamp branch). Emits the scale plus cross-engine witnesses of the "
+    "quantized vector (sum, L1 norm) and the max absolute "
+    "reconstruction error. Pure higher-order array expressions — "
+    "map-only, zero shuffle, whole-stage codegen; rounding pins the "
+    "float boundary (round-half cases cannot occur: the only exact "
+    ".5-multiples are the +-max components which quantize to exactly "
+    "+-127).",
+)
+def sim06_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    scale = F.array_max(F.transform("e", lambda x: F.abs(x))) / 127.0
+    scaled = emb.withColumn("scale", scale)
+    qv = F.transform("e", lambda x: F.round(x / F.col("scale")).cast("bigint"))
+    q = scaled.withColumn("qv", qv)
+    # raw_err is materialized as its own column BEFORE the final select:
+    # aliasing round(scale) to the name "scale" in the same select would
+    # make Spark 4's lateral-column-alias resolution bind the lambda's
+    # scale reference to the ROUNDED value (and diverge from the oracle,
+    # which this query's first version did — caught by parity).
+    recon_err = F.array_max(
+        F.zip_with("e", "qv", lambda x, qx: F.abs(x - qx * F.col("scale")))
+    )
+    q2 = q.withColumn("raw_err", recon_err)
+    return q2.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            "qv", F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        F.round("raw_err", 6).alias("max_abs_err"),
+    )

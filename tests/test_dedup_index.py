@@ -83,3 +83,62 @@ def test_unindexable_docs_are_remembered(spark, tmp_path):
     # replaying the unindexable doc does not duplicate its ledger row
     idx.update(spark, tiny)
     assert spark.read.parquet(idx.docs_path).count() == 2
+
+
+def _embedding_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from travel_data_ingestion_spark.queries.llm_dedup import (
+        _planted_neardup_vectors,
+    )
+
+    planted = spark.createDataFrame(
+        _planted_neardup_vectors(), "vec_id long, e array<double>"
+    )
+    return (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .unionByName(planted)
+    )
+
+
+def test_embedding_incremental_equals_batch(spark, tmp_path):
+    """EmbeddingIndex: accumulating update outputs over arbitrary batches
+    equals the one-shot dd05 pair set (same planes, probes, threshold)."""
+    from pyspark.sql import functions as F
+
+    from travel_data_ingestion_spark.dedup_index import EmbeddingIndex
+    from travel_data_ingestion_spark.queries.llm_dedup import (
+        dd05_embedding_neardup,
+    )
+
+    full = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in dd05_embedding_neardup(spark, SF_DIR).collect()
+    }
+    assert full  # planted fixture guarantees non-vacuity
+
+    corpus = _embedding_corpus(spark)
+    idx = EmbeddingIndex(str(tmp_path / "emb_index"))
+    got: set[tuple] = set()
+    for k in range(2):
+        new_pairs = {
+            (r.vec_a, r.vec_b, r.cos_sim)
+            for r in idx.update(spark, corpus.filter(F.col("vec_id") % 2 == k)).collect()
+        }
+        assert not (new_pairs & got)
+        got |= new_pairs
+    assert got == full
+
+
+def test_embedding_replay_is_noop(spark, tmp_path):
+    from travel_data_ingestion_spark.dedup_index import EmbeddingIndex
+
+    corpus = _embedding_corpus(spark)
+    idx = EmbeddingIndex(str(tmp_path / "emb_index"))
+    first = idx.build(spark, corpus)
+    assert first.count() > 0
+    n_vecs = spark.read.parquet(idx.vecs_path).count()
+    replay = idx.update(spark, corpus)
+    assert replay.count() == 0
+    assert spark.read.parquet(idx.vecs_path).count() == n_vecs

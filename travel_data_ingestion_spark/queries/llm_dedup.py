@@ -576,7 +576,6 @@ def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from travel_data_ingestion_spark.queries.llm_similarity import (
         _lsh_planes,
         cosine,
-        dot,
     )
 
     n_planes = 8
@@ -590,15 +589,9 @@ def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(planted)
     )
 
-    def signature(e: F.Column) -> F.Column:
-        sig = None
-        for p in range(n_planes):
-            bit = F.when(dot(e, F.array(*[F.lit(c) for c in planes[p]])) >= 0, 1).otherwise(0)
-            term = F.shiftleft(bit.cast("long"), p)
-            sig = term if sig is None else sig + term
-        return sig
+    from travel_data_ingestion_spark.queries.llm_similarity import hyperplane_signature
 
-    keyed = emb.withColumn("bucket", signature(F.col("e")))
+    keyed = emb.withColumn("bucket", hyperplane_signature(F.col("e"), planes))
     # multi-probe side: own bucket + every 1-bit flip. A hamming-0 pair
     # matches only via the own-bucket probe, a hamming-1 pair only via
     # the single differing-bit flip — each candidate appears exactly once,

@@ -29,6 +29,12 @@ PROBE_QUERIES = [
     "d06_pivot_sum_case",
     "e02_dedup_row_number",
     "j02_sessionization",
+    # training-data path: exact + MinHash-LSH dedup and the map-only
+    # text filters over the replicated (id-shifted, token-perturbed)
+    # documents corpus
+    "dd01_exact_dedup",
+    "dd03_minhash_lsh_pairs",
+    "t09_repetition_stats",
 ]
 
 
@@ -52,8 +58,25 @@ def main() -> None:
         "customer": ["c_custkey"],
         "events": ["event_id", "user_id"],
     }
-    for table in ("region", "nation", "supplier", "part", "documents", "embeddings"):
+    for table in ("region", "nation", "supplier", "part", "embeddings"):
         shutil.copy(f"{BASE}/{table}.parquet", f"{OUT}/{table}.parquet")
+    # documents: shift doc_id per replica and append a replica marker
+    # token — replicas stay NEAR-dups of the original (high Jaccard but
+    # not byte-identical), which is the honest duplicate-heavy shape a
+    # dedup sweep faces; dd01 groups stay size-1, dd03's verify load
+    # grows with the planted near-dup groups.
+    docs = load_table(spark, BASE, "documents")
+    max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    doc_reps = []
+    for r in range(MULT):
+        rep = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * max_doc))
+        if r > 0:
+            rep = rep.withColumn("text", F.concat(F.col("text"), F.lit(f" rep{r}")))
+        doc_reps.append(rep)
+    out_docs = doc_reps[0]
+    for rep in doc_reps[1:]:
+        out_docs = out_docs.unionByName(rep)
+    out_docs.write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
     for table, keys in shifts.items():
         df = load_table(spark, BASE, table)
         max_ids = {k: df.agg(F.max(k)).first()[0] + 1 for k in keys}

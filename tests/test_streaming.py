@@ -263,3 +263,62 @@ def test_stream_neardup_across_microbatches(spark, tmp_path):
     all_docs = spark.read.schema(doc_schema).parquet(os.path.join(src, "*"))
     batch_pairs = {(r.doc_a, r.doc_b) for r in full.build(spark, all_docs).collect()}
     assert pairs == batch_pairs
+
+
+def test_stream_embedding_neardup_across_microbatches(spark, tmp_path):
+    """embedding_neardup_stream: planted near-dup vectors split across
+    micro-batches pair up via the persisted EmbeddingIndex; accumulated
+    stream pairs equal the one-shot index build."""
+    from travel_data_ingestion_spark.dedup_index import EmbeddingIndex
+    from travel_data_ingestion_spark.queries.llm_dedup import (
+        _planted_neardup_vectors,
+    )
+    from travel_data_ingestion_spark.streaming.neardup import (
+        embedding_neardup_stream,
+    )
+
+    vecs = _planted_neardup_vectors()  # 4 planted pairs (base, near)
+    vec_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("e", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    src = os.path.join(str(tmp_path), "vec_src")
+    os.makedirs(src)
+    # bases arrive in b1, their near-copies in b2 -> every pair is
+    # cross-batch and can only be found through the persisted index
+    spark.createDataFrame(vecs[0::2], vec_schema).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    spark.createDataFrame(vecs[1::2], vec_schema).coalesce(1).write.parquet(
+        os.path.join(src, "b2")
+    )
+
+    stream = (
+        spark.readStream.schema(vec_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    pairs_path = os.path.join(str(tmp_path), "pairs")
+    q = (
+        embedding_neardup_stream(
+            stream, os.path.join(str(tmp_path), "emb_index"), pairs_path
+        )
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(q.recentProgress) >= 2
+
+    got = {(r.vec_a, r.vec_b) for r in spark.read.parquet(pairs_path).collect()}
+    expected_pairs = {
+        (vecs[2 * i][0], vecs[2 * i + 1][0]) for i in range(len(vecs) // 2)
+    }
+    assert got == expected_pairs
+
+    full = EmbeddingIndex(os.path.join(str(tmp_path), "emb_full"))
+    all_vecs = spark.createDataFrame(vecs, vec_schema)
+    batch = {(r.vec_a, r.vec_b) for r in full.build(spark, all_vecs).collect()}
+    assert got == batch

@@ -20,7 +20,10 @@ from travel_data_ingestion_spark.streaming.dedup import (
     deduped_doc_stream,
     deduped_stream,
 )
-from travel_data_ingestion_spark.streaming.neardup import neardup_stream
+from travel_data_ingestion_spark.streaming.neardup import (
+    embedding_neardup_stream,
+    neardup_stream,
+)
 from travel_data_ingestion_spark.streaming.ingest_stream import stream_ingest_csv
 from travel_data_ingestion_spark.streaming.windows import (
     sessionized_counts,
@@ -34,4 +37,5 @@ __all__ = [
     "deduped_stream",
     "deduped_doc_stream",
     "neardup_stream",
+    "embedding_neardup_stream",
 ]

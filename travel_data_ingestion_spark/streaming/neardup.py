@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import DataStreamWriter
 
-from travel_data_ingestion_spark.dedup_index import MinHashIndex
+from travel_data_ingestion_spark.dedup_index import EmbeddingIndex, MinHashIndex
 
 
 def neardup_stream(
@@ -45,6 +45,21 @@ def neardup_stream(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         pairs = idx.update(batch_df.sparkSession, batch_df.select("doc_id", "text"))
+        pairs.write.mode("append").parquet(pairs_path)
+
+    return stream.writeStream.foreachBatch(process).outputMode("update")
+
+
+def embedding_neardup_stream(
+    stream: DataFrame, index_path: str, pairs_path: str
+) -> DataStreamWriter:
+    """Same wiring for a (vec_id, e: array<double>, ...) embedding
+    stream over ``EmbeddingIndex``: new cosine near-dup pairs
+    (vec_a, vec_b, cos_sim) append to ``pairs_path`` per micro-batch."""
+    idx = EmbeddingIndex(index_path)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        pairs = idx.update(batch_df.sparkSession, batch_df.select("vec_id", "e"))
         pairs.write.mode("append").parquet(pairs_path)
 
     return stream.writeStream.foreachBatch(process).outputMode("update")

@@ -1,0 +1,102 @@
+"""Product quantization: determinism, fidelity, ADC recall, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from travel_data_ingestion_spark.pq import adc_topk, encode, train_codebooks
+from travel_data_ingestion_spark.queries import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return train_codebooks(emb)
+
+
+def test_codebook_shape_and_determinism(emb, books):
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    again = train_codebooks(emb)
+    assert books == again
+
+
+def test_encode_deterministic_and_bounded(emb, books):
+    c1 = {r.vec_id: r.pq_code for r in encode(emb, books).collect()}
+    c2 = {r.vec_id: r.pq_code for r in encode(emb, books).collect()}
+    assert c1 == c2
+    assert all(len(v) == 8 and all(0 <= x < 16 for x in v) for v in c1.values())
+
+
+def test_reconstruction_beats_one_centroid_baseline(spark, emb, books):
+    """PQ reconstruction (16 centroids/subspace) must cut mean squared
+    error well below the best single-centroid (subspace-mean) code —
+    the fidelity/compression trade PQ exists for."""
+    import numpy as np
+
+    rows = encode(emb, books).collect()
+    e = np.array([r.e for r in rows])
+    codes = np.array([r.pq_code for r in rows])
+    recon = np.zeros_like(e)
+    for s in range(8):
+        cents = np.array(books[s])
+        recon[:, s * 8 : (s + 1) * 8] = cents[codes[:, s]]
+    pq_mse = ((e - recon) ** 2).sum(axis=1).mean()
+    base_mse = ((e - e.mean(axis=0)) ** 2).sum(axis=1).mean()
+    # this synthetic corpus is near-uniform — the worst case for any
+    # quantizer; measured cut is ~46% (0.54 vs 1.00), pin a 40% floor
+    assert pq_mse < 0.6 * base_mse, (pq_mse, base_mse)
+
+
+def test_adc_recall_vs_exact(spark, emb, books):
+    """ADC top-10 vs exact L2 top-10 for the fixed query vector. PQ is
+    lossy; recall on this near-uniform synthetic corpus is moderate —
+    pin the floor so regressions surface."""
+    query = emb.filter(F.col("vec_id") == 0).first().e
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = {
+        r.vec_id
+        for r in rest.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("e", F.array(*[F.lit(q) for q in query]), lambda x, y: (x - y) ** 2),
+                F.lit(0.0),
+                lambda a, z: a + z,
+            ).alias("d"),
+        )
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    approx = {
+        r.vec_id for r in adc_topk(encode(rest, books), books, list(query), k=10).collect()
+    }
+    assert len(exact & approx) >= 3, (exact, approx)
+
+
+def test_encode_and_adc_are_map_only(spark, emb, books):
+    """Both passes must stay shuffle-free: encoding is a scan-side
+    expression, ADC is scan + TakeOrderedAndProject."""
+    import contextlib
+    import io
+
+    for df in (
+        encode(emb, books),
+        adc_topk(encode(emb, books), books, [0.1] * 64, k=5),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange hashpartitioning" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -100,3 +100,37 @@ def test_encode_and_adc_are_map_only(spark, emb, books):
         assert "Exchange hashpartitioning" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sim07_ivf_pq_registry_query(spark):
+    """End-to-end IVF-PQ registry entry: deterministic across runs, 10
+    rows, and decent overlap with exact L2 top-10 over the full corpus
+    (IVF pruning + PQ lossiness each cost recall; floor catches
+    regressions, not absolutes)."""
+    from travel_data_ingestion_spark.queries import all_queries
+
+    fn = all_queries()["sim07_ivf_pq"].fn
+    r1 = [(r.vec_id, r.adc_dist) for r in fn(spark, SF_DIR).collect()]
+    r2 = [(r.vec_id, r.adc_dist) for r in fn(spark, SF_DIR).collect()]
+    assert r1 == r2 and len(r1) == 10
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    query = list(emb.filter(F.col("vec_id") == 0).first().e)
+    exact = {
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("e", F.array(*[F.lit(q) for q in query]), lambda x, y: (x - y) ** 2),
+                F.lit(0.0),
+                lambda a, z: a + z,
+            ).alias("d"),
+        )
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    assert len(exact & {v for v, _ in r1}) >= 2, (exact, r1)

@@ -377,3 +377,50 @@ def sim06_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_l1"),
         F.round("raw_err", 6).alias("max_abs_err"),
     )
+
+
+@register(
+    "sim07_ivf_pq",
+    None,  # learned coarse centroids + PQ codebooks are engine-specific -> rows-only
+    survey_ops=("X-SIM-7",),
+    doc="IVF-PQ ANN (Jegou et al., TPAMI 2011): sim05's k-means coarse "
+    "quantizer prunes the corpus to nprobe=2 of nlist=8 inverted lists, "
+    "then PQ asymmetric-distance (pq.adc_topk) ranks the survivors from "
+    "4-byte codes without touching the raw vectors. At 100 TB this is "
+    "the canonical serving layout: the scan reads nprobe/nlist of the "
+    "rows and ~64x fewer bytes per row (8x int4 codes vs 64 doubles); "
+    "both passes are map-only + TakeOrderedAndProject, zero shuffle at "
+    "query time. Codebook/centroid training is one driver-coordinated "
+    "ML fit over a deterministic sample (cu01's hash predicate at "
+    "scale). Rows-only check: KMeans centroids are engine-specific; "
+    "recall vs exact L2 is pinned in tests/test_pq.py instead.",
+)
+def sim07_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from travel_data_ingestion_spark.pq import adc_topk, encode, train_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    feat = emb.withColumn("features", array_to_vector("e"))
+    model = KMeans(k=8, seed=42, maxIter=10).fit(feat)
+    assigned = model.transform(feat).select(
+        "vec_id", "e", F.col("prediction").alias("list_id")
+    )
+    # one-row control-plane fetch: ADC needs the query vector driver-side
+    # to build the (tiny) per-subspace distance tables as literals
+    query = list(emb.filter(F.col("vec_id") == QUERY_VEC_ID).first().e)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    by_dist = sorted(
+        range(len(centers)),
+        key=lambda i: sum((q - c) ** 2 for q, c in zip(query, centers[i])),
+    )
+    probed = by_dist[:2]  # nprobe=2
+    books = train_codebooks(emb)
+    candidates = assigned.filter(
+        F.col("list_id").isin(probed) & (F.col("vec_id") != QUERY_VEC_ID)
+    )
+    top = adc_topk(encode(candidates, books), books, query, k=10)
+    return top.select("vec_id", F.round("adc_dist", 4).alias("adc_dist"))

@@ -142,3 +142,78 @@ def test_embedding_replay_is_noop(spark, tmp_path):
     replay = idx.update(spark, corpus)
     assert replay.count() == 0
     assert spark.read.parquet(idx.vecs_path).count() == n_vecs
+
+
+def _clusters(df) -> set[tuple]:
+    return {(r.cluster_id, r.cluster_size, r.kept_doc_id) for r in df.collect()}
+
+
+def test_cluster_index_incremental_equals_dd06(spark, tmp_path):
+    """Batched MinHashIndex pairs fed through ClusterIndex reproduce the
+    one-shot dd06 connected components exactly — the schedule changes,
+    the cluster answer doesn't."""
+    from travel_data_ingestion_spark.dedup_index import ClusterIndex
+    from travel_data_ingestion_spark.queries.llm_dedup import dd06_dedup_clusters
+
+    docs = load_table(spark, SF_DIR, "documents")
+    mh = MinHashIndex(str(tmp_path / "mh"))
+    cc = ClusterIndex(str(tmp_path / "cc"))
+    for k in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == k)
+        new_pairs = mh.update(spark, batch)
+        cc.update(spark, batch, new_pairs)
+
+    assert _clusters(cc.clusters(spark)) == _clusters(dd06_dedup_clusters(spark, SF_DIR))
+    # every doc resolved, exactly once
+    assert cc.resolve(spark).count() == docs.count()
+
+
+def test_cluster_index_merge_and_compression(spark, tmp_path):
+    """A later edge merging two pre-existing clusters updates labels for
+    BOTH old clusters without touching assign/, and the merge log stays
+    path-compressed (every src maps straight to its terminal label)."""
+    from travel_data_ingestion_spark.dedup_index import ClusterIndex
+
+    cc = ClusterIndex(str(tmp_path / "cc"))
+    b1 = spark.createDataFrame([(10,), (11,)], "doc_id long")
+    p1 = spark.createDataFrame([(10, 11)], "doc_a long, doc_b long")
+    cc.update(spark, b1, p1)  # cluster {10, 11} -> 10
+    b2 = spark.createDataFrame([(20,), (21,)], "doc_id long")
+    p2 = spark.createDataFrame([(20, 21)], "doc_a long, doc_b long")
+    cc.update(spark, b2, p2)  # cluster {20, 21} -> 20
+    n_assign_rows = spark.read.parquet(cc.assign_path).count()
+
+    b3 = spark.createDataFrame([(5,)], "doc_id long")
+    p3 = spark.createDataFrame([(5, 11), (5, 21)], "doc_a long, doc_b long")
+    merges = cc.update(spark, b3, p3)  # everything -> 5
+    assert merges == {10: 5, 20: 5}
+
+    resolved = {r.doc_id: r.cluster_id for r in cc.resolve(spark).collect()}
+    assert resolved == {5: 5, 10: 5, 11: 5, 20: 5, 21: 5}
+    # merges appended exactly one assign row (doc 5); old rows untouched
+    assert spark.read.parquet(cc.assign_path).count() == n_assign_rows + 1
+    # path compression: every remap entry points at a terminal label
+    remap = {
+        r.src: r.dst for r in spark.read.parquet(cc.remap_path).collect()
+    }
+    assert remap == {10: 5, 20: 5}
+    assert not (set(remap.values()) & set(remap))
+
+
+def test_cluster_index_replay_and_unknown_endpoint(spark, tmp_path):
+    from travel_data_ingestion_spark.dedup_index import ClusterIndex
+
+    cc = ClusterIndex(str(tmp_path / "cc"))
+    b1 = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    cc.update(spark, b1, spark.createDataFrame([(1, 2)], "doc_a long, doc_b long"))
+    n = spark.read.parquet(cc.assign_path).count()
+    # replaying the same docs with no new pairs is a no-op
+    cc.update(spark, b1, spark.createDataFrame([], "doc_a long, doc_b long"))
+    assert spark.read.parquet(cc.assign_path).count() == n
+
+    with pytest.raises(ValueError, match="never indexed"):
+        cc.update(
+            spark,
+            spark.createDataFrame([(3,)], "doc_id long"),
+            spark.createDataFrame([(3, 99)], "doc_a long, doc_b long"),
+        )

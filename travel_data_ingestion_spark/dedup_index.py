@@ -276,3 +276,191 @@ class EmbeddingIndex:
         )
 
     build = update
+
+
+_ASSIGN_SCHEMA = "doc_id long, c0 long"
+_REMAP_SCHEMA = "src long, dst long"
+
+
+class ClusterIndex:
+    """Incremental connected components over a growing near-dup pair graph.
+
+    dd06 recomputes every cluster label from scratch per run — O(corpus)
+    shuffles per batch of new edges. ``ClusterIndex`` maintains the same
+    answer (cluster id = minimum doc_id reachable through near-dup
+    edges, identical to dd06's converged min-label propagation) with
+    per-batch work proportional to the batch, via a two-table layout:
+
+    - ``assign/`` is **append-only**: one row per doc ever indexed,
+      (doc_id, c0) where c0 is the doc's cluster label *at insert time*.
+      Cluster merges never rewrite it — at 100 TB the corpus-sized table
+      is written once per doc, period.
+    - ``remap/`` is a **path-compressed merge log**: (src, dst) meaning
+      "cluster src was merged into dst". It is tiny — one row per
+      cluster-merge event ever, bounded by the number of duplicate
+      clusters, not by corpus size — and is rewritten (recompressed)
+      per batch. ``resolve`` = assign LEFT JOIN broadcast(remap):
+      compression guarantees one hop, so read-time resolution is a
+      single broadcast-hash join, no iteration.
+
+    Per-batch edge contraction runs driver-side union-find over the
+    **distinct cluster-representative edges** of the new pairs — O(batch
+    pairs) tuples after distributed dedup, never corpus-sized (the same
+    control-plane budget as the config/ledger collects elsewhere). The
+    only corpus-touching step is the endpoint lookup, a broadcast
+    semi-filtered map-only scan of ``assign`` (row-group pruned under a
+    doc_id-sorted layout; no shuffle).
+
+    Invariant (tests/test_dedup_index.py): feeding batches of
+    MinHashIndex.update's new pairs reproduces one-shot dd06 exactly.
+    """
+
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+        self.assign_path = f"{self.path}/assign"
+        self.remap_path = f"{self.path}/remap"
+
+    def _read_assign(self, spark: SparkSession) -> DataFrame:
+        if not os.path.isdir(self.assign_path):
+            return spark.createDataFrame([], _ASSIGN_SCHEMA)
+        return spark.read.schema(_ASSIGN_SCHEMA).parquet(self.assign_path)
+
+    def _read_remap(self, spark: SparkSession) -> dict[int, int]:
+        if not os.path.isdir(self.remap_path):
+            return {}
+        return {
+            r.src: r.dst
+            for r in spark.read.schema(_REMAP_SCHEMA).parquet(self.remap_path).collect()
+        }
+
+    def update(self, spark: SparkSession, batch: DataFrame, pairs: DataFrame) -> dict[int, int]:
+        """Add a batch of docs (``doc_id`` column) and the new near-dup
+        pairs (``doc_a``/``doc_b``) this batch introduced; returns the
+        cluster merges applied ({old_cluster: new_cluster}).
+
+        Pair endpoints must be previously-indexed docs or members of
+        ``batch`` (which MinHashIndex.update's output satisfies by
+        construction). Replaying an already-indexed batch doc is a no-op.
+        """
+        assign = self._read_assign(spark)
+        remap = self._read_remap(spark)
+        fresh = batch.select("doc_id").join(assign.select("doc_id"), "doc_id", "left_anti")
+        fresh_ids = {r.doc_id for r in fresh.collect()}
+
+        edge_rows = pairs.select("doc_a", "doc_b").distinct().collect()
+        endpoints = {r.doc_a for r in edge_rows} | {r.doc_b for r in edge_rows}
+        old_endpoints = endpoints - fresh_ids
+        if old_endpoints:
+            ep_df = spark.createDataFrame(
+                [(int(d),) for d in sorted(old_endpoints)], "doc_id long"
+            )
+            known = {
+                r.doc_id: r.c0
+                for r in assign.join(F.broadcast(ep_df), "doc_id").collect()
+            }
+            missing = old_endpoints - set(known)
+            if missing:
+                raise ValueError(
+                    f"ClusterIndex: pair endpoints never indexed: {sorted(missing)[:5]}"
+                )
+        else:
+            known = {}
+
+        # Representative per endpoint: fresh docs are their own cluster;
+        # existing docs resolve insert-time label through the remap log
+        # (path-compressed => one hop).
+        def rep(d: int) -> int:
+            if d in fresh_ids:
+                return d
+            c = known[d]
+            return remap.get(c, c)
+
+        # Driver union-find over representative edges, min label as root.
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edge_rows:
+            a, b = find(rep(r.doc_a)), find(rep(r.doc_b))
+            if a != b:
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+
+        # Fresh doc ids can appear as contracted-away union-find nodes,
+        # but no assign row ever references them as an insert-time label
+        # (touched fresh rows are written with their FINAL label below),
+        # so only pre-existing cluster labels belong in the merge log.
+        merges = {
+            x: find(x)
+            for x in list(parent)
+            if find(x) != x and x not in fresh_ids
+        }
+
+        # Fresh assign rows: pair-touched docs get their contracted
+        # label; untouched fresh docs are singleton clusters of themselves.
+        touched = [(int(d), int(find(rep(d)))) for d in sorted(fresh_ids & endpoints)]
+        if touched:
+            touched_df = spark.createDataFrame(touched, _ASSIGN_SCHEMA)
+        else:
+            touched_df = spark.createDataFrame([], _ASSIGN_SCHEMA)
+        rows = (
+            fresh.join(touched_df.withColumnRenamed("c0", "c_t"), "doc_id", "left")
+            .select("doc_id", F.coalesce("c_t", F.col("doc_id")).alias("c0"))
+        )
+        rows.write.mode("append").parquet(self.assign_path)
+
+        # Recompress the merge log: compose old entries through this
+        # batch's merges so every chain stays length one, drop identities.
+        new_remap = {}
+        for src, dst in {**remap, **merges}.items():
+            final = dst
+            while final in merges or final in remap:
+                nxt = merges.get(final, remap.get(final))
+                if nxt == final:
+                    break
+                final = nxt
+            if final != src:
+                new_remap[src] = final
+        remap_df = spark.createDataFrame(
+            [(int(s), int(d)) for s, d in sorted(new_remap.items())] or [],
+            _REMAP_SCHEMA,
+        )
+        tmp = f"{self.remap_path}__tmp"
+        remap_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(self.remap_path):
+            import shutil
+
+            shutil.rmtree(self.remap_path)
+        os.rename(tmp, self.remap_path)
+        return merges
+
+    def resolve(self, spark: SparkSession) -> DataFrame:
+        """(doc_id, cluster_id) for every indexed doc — one broadcast join."""
+        remap = self._read_remap(spark)
+        remap_df = spark.createDataFrame(
+            [(int(s), int(d)) for s, d in sorted(remap.items())] or [], _REMAP_SCHEMA
+        )
+        return (
+            self._read_assign(spark)
+            .join(F.broadcast(remap_df), F.col("c0") == F.col("src"), "left")
+            .select("doc_id", F.coalesce("dst", F.col("c0")).alias("cluster_id"))
+        )
+
+    def clusters(self, spark: SparkSession) -> DataFrame:
+        """dd06-shaped output: non-singleton clusters with size + survivor."""
+        return (
+            self.resolve(spark)
+            .groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).alias("cluster_size"),
+                F.min("doc_id").alias("kept_doc_id"),
+            )
+            .filter(F.col("cluster_size") > 1)
+            .orderBy("cluster_id")
+        )

@@ -322,3 +322,65 @@ def test_stream_embedding_neardup_across_microbatches(spark, tmp_path):
     all_vecs = spark.createDataFrame(vecs, vec_schema)
     batch = {(r.vec_a, r.vec_b) for r in full.build(spark, all_vecs).collect()}
     assert got == batch
+
+
+def test_stream_clustered_neardup(spark, tmp_path):
+    """clustered_neardup_stream: a cluster that only exists because of a
+    cross-batch edge (docs 1,2 in b1; doc 4 joining both in b2) is
+    served by ClusterIndex.clusters() after the stream drains, and
+    matches the one-shot dd06-style answer over the same corpus."""
+    from travel_data_ingestion_spark.dedup_index import ClusterIndex, MinHashIndex
+    from travel_data_ingestion_spark.streaming.neardup import clustered_neardup_stream
+
+    src = os.path.join(str(tmp_path), "docs_src")
+    os.makedirs(src)
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for name, rows in (
+        ("b1", [(1, base), (2, base + " lambda"), (3, "one two three four five six seven")]),
+        ("b2", [(4, base + " mu"), (5, "red orange yellow green blue indigo violet")]),
+    ):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, name))
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    index_path = os.path.join(str(tmp_path), "mh_index")
+    cluster_path = os.path.join(str(tmp_path), "cc_index")
+    q = (
+        clustered_neardup_stream(stream, index_path, cluster_path)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(q.recentProgress) >= 2
+
+    cc = ClusterIndex(cluster_path)
+    got = {
+        (r.cluster_id, r.cluster_size, r.kept_doc_id)
+        for r in cc.clusters(spark).collect()
+    }
+    assert got == {(1, 3, 1)}  # {1,2,4} merged across batches; 3,5 singletons
+    resolved = {r.doc_id: r.cluster_id for r in cc.resolve(spark).collect()}
+    assert resolved == {1: 1, 2: 1, 3: 3, 4: 1, 5: 5}
+
+    # batch-equivalence: one-shot index + clustering over the full corpus
+    all_docs = spark.read.schema(doc_schema).parquet(os.path.join(src, "*"))
+    mh_full = MinHashIndex(os.path.join(str(tmp_path), "mh_full"))
+    cc_full = ClusterIndex(os.path.join(str(tmp_path), "cc_full"))
+    cc_full.update(spark, all_docs.select("doc_id"), mh_full.build(spark, all_docs))
+    full = {
+        (r.cluster_id, r.cluster_size, r.kept_doc_id)
+        for r in cc_full.clusters(spark).collect()
+    }
+    assert got == full

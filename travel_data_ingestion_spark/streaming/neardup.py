@@ -63,3 +63,34 @@ def embedding_neardup_stream(
         pairs.write.mode("append").parquet(pairs_path)
 
     return stream.writeStream.foreachBatch(process).outputMode("update")
+
+
+def clustered_neardup_stream(
+    stream: DataFrame, index_path: str, cluster_path: str
+) -> DataStreamWriter:
+    """Continuous near-dup CLUSTER maintenance: each micro-batch updates
+    the MinHash index, then feeds its new pairs + docs into the
+    incremental ``ClusterIndex``, so ``ClusterIndex.clusters()`` serves
+    the current dd06-equivalent answer at any point in the stream —
+    without ever re-running connected components over the corpus.
+
+    Replay of a crashed epoch is a no-op at BOTH layers: the MinHash
+    doc-ledger yields 0 new pairs, and the cluster index's assign
+    anti-join skips already-indexed docs.
+    """
+    from travel_data_ingestion_spark.dedup_index import ClusterIndex
+
+    idx = MinHashIndex(index_path)
+    cc = ClusterIndex(cluster_path)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.select("doc_id", "text")
+        # one materialization: the pairs feed the cluster contraction
+        # (driver collect) AND nothing else — cache instead of recompute
+        pairs = idx.update(batch_df.sparkSession, batch).cache()
+        try:
+            cc.update(batch_df.sparkSession, batch.select("doc_id"), pairs)
+        finally:
+            pairs.unpersist()
+
+    return stream.writeStream.foreachBatch(process).outputMode("update")

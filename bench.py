@@ -68,6 +68,53 @@ def materialize(df: DataFrame) -> None:
     checksum_plan(df).collect()
 
 
+def run_bench(spark, specs, sf_dir: str, queries=None, n_runs: int = N_RUNS) -> dict:
+    """Warmup + min-of-N timed pass over ``queries`` with per-query fault
+    isolation: one broken query must not cost the timings of the healthy
+    ones (round 4 shipped exactly that — j02 raised in warmup, rc=1,
+    zero numbers recorded). A failing query is reported under "errors"
+    and excluded from the total."""
+    names = list(queries or BENCH_QUERIES)
+    errors: dict[str, str] = {}
+
+    # warmup pass: JVM spin-up, whole-stage codegen compilation, parquet
+    # footer reads — one run of every query so the timed pass measures
+    # steady-state throughput, not one-time compilation.
+    for name in names:
+        try:
+            materialize(specs[name].fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — isolate, report, continue
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        if name in errors:
+            continue
+        best = float("inf")
+        try:
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                materialize(specs[name].fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+
+    total = round(sum(timings.values()), 4)
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    out = {
+        "metric": "bench_total_9q",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -90,36 +137,7 @@ def main() -> None:
         },
     )
     specs = member_queries()
-
-    # warmup pass: JVM spin-up, whole-stage codegen compilation, parquet
-    # footer reads — one run of every query so the timed pass measures
-    # steady-state throughput, not one-time compilation.
-    for name in BENCH_QUERIES:
-        materialize(specs[name].fn(spark, sf_dir))
-
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            materialize(specs[name].fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-
-    total = round(sum(timings.values()), 4)
-    m = re.search(r"sf([\d.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_9q",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    print(json.dumps(run_bench(spark, specs, sf_dir)))
     spark.stop()
 
 

@@ -200,6 +200,43 @@ def test_cluster_index_merge_and_compression(spark, tmp_path):
     assert not (set(remap.values()) & set(remap))
 
 
+def test_cluster_index_collect_is_pairs_bounded(spark, tmp_path, monkeypatch):
+    """ClusterIndex.update's driver budget is O(batch pairs), not
+    O(batch docs): a 5000-doc batch carrying a single near-dup pair must
+    never pull more than a handful of rows to the driver (the old code
+    collected the entire fresh batch — a 100M-doc micro-batch would OOM
+    the driver). Verified by instrumenting DataFrame.collect."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    from travel_data_ingestion_spark.dedup_index import ClusterIndex
+
+    cc = ClusterIndex(str(tmp_path / "cc"))
+    batch = spark.range(5000).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(17, 42)], "doc_a long, doc_b long")
+
+    collected_sizes: list[int] = []
+    real_collect = ClassicDF.collect
+
+    def spy_collect(self):
+        rows = real_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(ClassicDF, "collect", spy_collect)
+    cc.update(spark, batch, pairs)
+    monkeypatch.undo()
+
+    assert collected_sizes, "expected instrumented collects"
+    assert max(collected_sizes) <= 10, (
+        f"driver collect is batch-sized, not pairs-bounded: {collected_sizes}"
+    )
+    # ... and the distributed result is still complete: every doc has a
+    # singleton row except the one merged pair.
+    resolved = cc.resolve(spark)
+    assert resolved.count() == 5000
+    assert resolved.filter(F.col("doc_id") == 42).collect()[0].cluster_id == 17
+
+
 def test_cluster_index_replay_and_unknown_endpoint(spark, tmp_path):
     from travel_data_ingestion_spark.dedup_index import ClusterIndex
 

@@ -15,6 +15,7 @@ DRIVER_GRADED_CAP = 50
 EXPECTED_NO_ORACLE = {
     "d16_approx_aggs",  # engine-specific sketches (HLL / t-digest)
     "sim05_ivf_ann",  # learned k-means centroids are engine-specific
+    "sim07_ivf_pq",  # learned centroids + PQ codebooks, engine-specific
 }
 
 

@@ -345,10 +345,26 @@ class ClusterIndex:
         assign = self._read_assign(spark)
         remap = self._read_remap(spark)
         fresh = batch.select("doc_id").join(assign.select("doc_id"), "doc_id", "left_anti")
-        fresh_ids = {r.doc_id for r in fresh.collect()}
 
         edge_rows = pairs.select("doc_a", "doc_b").distinct().collect()
         endpoints = {r.doc_a for r in edge_rows} | {r.doc_b for r in edge_rows}
+
+        # Driver budget is O(batch PAIRS), never O(batch docs): the only
+        # fresh ids the contraction below consults are pair endpoints, so
+        # collect just `fresh ∩ endpoints` via a broadcast left-semi join.
+        # Untouched fresh docs (the overwhelming majority of a 100M-doc
+        # micro-batch) never reach the driver — their singleton assign
+        # rows are written by the distributed join at the bottom.
+        if endpoints:
+            ep_all_df = spark.createDataFrame(
+                [(int(d),) for d in sorted(endpoints)], "doc_id long"
+            )
+            fresh_ids = {
+                r.doc_id
+                for r in fresh.join(F.broadcast(ep_all_df), "doc_id", "left_semi").collect()
+            }
+        else:
+            fresh_ids = set()
         old_endpoints = endpoints - fresh_ids
         if old_endpoints:
             ep_df = spark.createDataFrame(

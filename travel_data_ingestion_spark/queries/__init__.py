@@ -38,10 +38,15 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan; Catalyst pushes filters/projection into the reader.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; read it as long nanos and convert (floor) to a
-    microsecond timestamp — identical to how a ns timestamp truncates in
-    any µs engine.
+    ``events.ts`` has drifted across testdata regenerations — parquet
+    TIMESTAMP(NANOS) (Spark: bigint under nanosAsLong), ``timestamp[us]``
+    without the UTC flag (Spark: TIMESTAMP_NTZ), and ``timestamp[us]``
+    UTC (Spark: TIMESTAMP). Every query assumes a plain TIMESTAMP, so
+    normalization lives HERE, in the one shared loader, not per query:
+    bigint nanos floor-truncate to µs (identical to how a ns timestamp
+    truncates in any µs engine); TIMESTAMP_NTZ casts to TIMESTAMP, which
+    is value-preserving because the session time zone is pinned UTC on
+    the line above the read.
     """
     # Harden against foreign session defaults: the oracle comparison
     # assumes UTC rendering and Snowflake-style null-on-garbage parsing.
@@ -53,8 +58,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

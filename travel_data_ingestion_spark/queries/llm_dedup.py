@@ -420,15 +420,16 @@ def _simhash_oracle() -> str:
     "hamming<=3 differs in at most 3 chunks, so it shares >=1 chunk "
     "exactly. Equi-join on (chunk_id, chunk_value) — a uniform shuffle "
     "key — replaces the all-pairs scan LOSSLESSLY; only chunk-colliding "
-    "pairs pay the exact bit_count(xor) verify. Scale caveat: the join "
-    "INPUT is O(docs x 4) rows, but candidate-pair OUTPUT is still "
-    "O(k^2) within each equal-chunk bucket — skewed content (empty/"
-    "near-empty docs collapsing to identical signatures) can create one "
-    "giant bucket. The standard mitigations compose here: exact-"
-    "signature pre-dedup (dd01 on the signature) before blocking, and "
-    "hot-key capping/salting on chunk_val (skew.salted_join) for the "
-    "residue. Plan gate: "
-    "tests/test_plans.py::test_dedup_pair_scans_are_blocked.",
+    "pairs pay the exact bit_count(xor) verify. The chunk join runs "
+    "over DISTINCT signatures (exact-signature pre-dedup): skewed "
+    "content — thousands of empty/near-empty docs collapsing onto one "
+    "signature — contributes ONE row to the blocking join instead of a "
+    "k^2-candidate hot bucket; same-signature pairs come from a direct "
+    "output-bounded equi-join on simhash and cross-signature candidates "
+    "re-expand through the doc lists (tests/test_dedup_skew.py pins "
+    "both the 1k-identical-docs completion and the candidate-volume "
+    "bound). Residual skew on chunk_val salts via skew.salted_join. "
+    "Plan gate: tests/test_plans.py::test_dedup_pair_scans_are_blocked.",
 )
 def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -451,9 +452,20 @@ def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.shiftleft(bit, j)
         sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: xor == or
     sigs = votes.select("doc_id", sig.alias("simhash"))
+    # EXACT-SIGNATURE PRE-DEDUP: block on distinct signatures, not docs.
+    # Skewed corpora (thousands of empty/near-empty docs) collapse onto a
+    # handful of identical signatures; running the chunk join over docs
+    # put all k of them in one bucket (k^2 candidate rows x 4 chunks,
+    # then a k^2-row distinct shuffle). Over DISTINCT signatures the
+    # flood is one row, and each output class is generated exactly once:
+    #   - same-signature pairs (hamming 0) come straight from a self
+    #     equi-join on simhash — output-bounded, no chunk explode, no
+    #     distinct;
+    #   - cross-signature pairs expand signature-level candidates back
+    #     through the doc lists (m x n output rows, irreducible).
+    usig = sigs.select("simhash").distinct()
     # pigeonhole blocking: 4 disjoint 16-bit chunks; hamming<=3 => >=1 equal chunk
-    chunks = sigs.select(
-        "doc_id",
+    chunks = usig.select(
         "simhash",
         F.explode(
             F.array(
@@ -468,27 +480,53 @@ def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("ch"),
-    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    ).select("simhash", "ch.chunk_id", "ch.chunk_val")
     a, b = chunks.alias("a"), chunks.alias("b")
-    candidates = (
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    sig_pairs = (
         a.join(
             b,
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            # signed-long order is an arbitrary-but-canonical pair
+            # orientation; strict < also drops the self-match, so the
+            # hamming-0 class is exclusively the same-signature branch.
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
             F.col("a.simhash").alias("sim_a"),
             F.col("b.simhash").alias("sim_b"),
         )
-        .distinct()  # a pair may collide in several chunks
+        .distinct()  # a signature pair may collide in several chunks
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
-    return candidates.select("doc_a", "doc_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= 3
+    cross = (
+        sig_pairs.join(
+            sigs.select(F.col("simhash").alias("sim_a"), F.col("doc_id").alias("id_a")),
+            "sim_a",
+        )
+        .join(
+            sigs.select(F.col("simhash").alias("sim_b"), F.col("doc_id").alias("id_b")),
+            "sim_b",
+        )
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
     )
+    x, y = sigs.alias("x"), sigs.alias("y")
+    same = x.join(
+        y,
+        (F.col("x.simhash") == F.col("y.simhash"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    return cross.unionByName(same)
 
 
 # Planted near-duplicate fixture: the synthetic corpus is near-uniform

@@ -212,9 +212,7 @@ def sim03_centroid_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim04_within_label_knn",
-    """
+_WITHIN_LABEL_KNN_ORACLE = """
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     pairs AS (
       SELECT a.vec_id, a.label, b.vec_id AS nbr,
@@ -226,16 +224,25 @@ def sim03_centroid_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, label, nbr, cos_sim
     FROM pairs
     QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr) <= 2
-    """,
+    """
+
+
+@register(
+    "sim04_within_label_knn",
+    _WITHIN_LABEL_KNN_ORACLE,
     survey_ops=("X-SIM-4",),
     doc="Per-partition KNN via grouped applyInPandas: each label group "
     "arrives as one pandas DataFrame (Arrow batch), numpy computes the "
     "full cosine matrix vectorized, and only the top-2 neighbor rows "
     "return to the JVM. The grouped-map UDF family's canonical use: "
     "per-group dense linear algebra that has no Catalyst expression. "
-    "Groups must fit executor memory — exactly the IVF contract (a "
-    "coarse quantizer bounds cluster size). Scores rounded to 4dp; "
-    "nbr-asc tiebreak pins ordering.",
+    "MEMORY CONTRACT: the whole group's vectors (O(n x dim)) AND the "
+    "full n x n cosine matrix live in one executor's heap — at n=100k, "
+    "dim=64 that is ~50 MB of vectors but an 80 GB matrix. Fine when an "
+    "upstream coarse quantizer bounds cluster size (the IVF contract); "
+    "a dominant label at 100 TB must route through sim08's chunked "
+    "variant, which bounds the matrix to chunk x n. Scores rounded to "
+    "4dp; nbr-asc tiebreak pins ordering.",
 )
 def sim04_within_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -266,6 +273,70 @@ def sim04_within_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim08_within_label_knn_chunked",
+    _WITHIN_LABEL_KNN_ORACLE,
+    survey_ops=("X-SIM-4",),
+    doc="sim04's dominant-label scale path: identical semantics (same "
+    "oracle — per-label exact top-2 cosine neighbors), but the per-group "
+    "kernel never materializes the n x n matrix. Query rows stream in "
+    "CHUNKS of 256: each chunk computes a chunk x n block, reduces it to "
+    "top-2 per row via argpartition, and frees the block before the "
+    "next. Peak memory is O(n x dim) vectors + O(chunk x n) block — at "
+    "n=1M, dim=64 that is ~500 MB + ~2 GB per chunk step instead of an "
+    "8 TB matrix, turning the label-skew cliff into a linear pass. "
+    "Equality with sim04 on skewed fixtures is pinned by "
+    "tests/test_sim_chunked.py.",
+)
+def sim08_within_label_knn_chunked(
+    spark: SparkSession, sf_dir: str, chunk_size: int = 256
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def topk_chunked(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf["e"].to_numpy())
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy()
+        label = int(pdf["label"].iloc[0])
+        n = len(ids)
+        out = []
+        for lo in range(0, n, chunk_size):
+            hi = min(lo + chunk_size, n)
+            # same FP expression as sim04 (dot / norm-product), evaluated
+            # one row-block at a time — identical rounded scores.
+            block = np.round((mat[lo:hi] @ mat.T) / (norms[lo:hi] @ norms.T), 4)
+            for bi in range(hi - lo):
+                i = lo + bi
+                row = block[bi]
+                # top-2 by (score desc, nbr id asc), excluding self.
+                # Exact preselect: any element that can place in the
+                # top-2 under the tiebreak scores >= the 3rd-largest
+                # value (self occupies at most one higher slot), so the
+                # threshold keeps every tied contender — an argpartition
+                # top-c would drop ties at the cutoff and break the
+                # id-asc tiebreak on duplicate vectors.
+                if n >= 3:
+                    v3 = np.partition(row, -3)[-3]
+                    cand = np.flatnonzero(row >= v3)
+                else:
+                    cand = range(n)
+                order = sorted(
+                    (j for j in cand if j != i), key=lambda j: (-row[j], ids[j])
+                )[:2]
+                for j in order:
+                    out.append((ids[i], label, ids[j], row[j]))
+        return pd.DataFrame(out, columns=["vec_id", "label", "nbr", "cos_sim"])
+
+    return emb.groupBy("label").applyInPandas(
+        topk_chunked, schema="vec_id long, label int, nbr long, cos_sim double"
+    )
+
+
+@register(
     "sim05_ivf_ann",
     None,  # learned centroids are engine-specific -> rows-only check
     survey_ops=("X-SIM-5",),
@@ -275,7 +346,11 @@ def sim04_within_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The index build is one ML fit + one map-only assignment pass; the "
     "search is a broadcast one-row join on the list id — at 100 TB the "
     "probed fraction is 1/nlist (nprobe/nlist generally). Complements "
-    "sim02's LSH as the second scale path the task calls for.",
+    "sim02's LSH as the second scale path the task calls for. Rows-only "
+    "by necessity (learned centroids are engine-specific); semantics "
+    "pinned by tests/test_ann_recall.py::test_ivf_recall_and_scores — "
+    "probed-list scores must equal sim01's exact cosine and recall@10 "
+    "must meet the measured floor.",
 )
 def sim05_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans

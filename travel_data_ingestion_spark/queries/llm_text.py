@@ -416,9 +416,13 @@ def t09_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     packed AS (
+      -- CAST: DuckDB widens SUM(BIGINT) OVER (...) to HUGEINT; without
+      -- the cast seq_start/seq_offset/n_seqs_spanned surface as int128
+      -- and the driver's hash canonicalization diverges from Spark's
+      -- value-identical BIGINT rows (same failure d04 hit in round 1).
       SELECT shard, doc_id, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
-               - n_tokens AS cum_before
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+               - n_tokens AS BIGINT) AS cum_before
       FROM toks
     )
     SELECT shard, doc_id, n_tokens,

@@ -125,6 +125,18 @@ def test_dedup_pair_scans_are_blocked(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_range_join_is_binned(spark):
+    """x02's point-in-interval join must plan as an equi-join on the
+    day bin (hash/sort-merge), never the nested-loop theta join the
+    BETWEEN formulation would produce — quadratic at 100 TB."""
+    plan = _formatted_plan(spark, "x02_range_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the bin explode and the daily pre-aggregation are both present
+    assert "Generate" in plan  # sequence+explode of the interval bins
+    assert "HashAggregate" in plan  # daily grain reduction before the join
+
+
 def test_fuzzy_match_is_blocked(spark):
     """x01's length-window blocking must plan as an equi-join (hash or
     broadcast-hash), not an all-pairs nested loop."""

@@ -238,6 +238,152 @@ def cu07_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# cu08 Bloom parameters: m = 65536 bits (1024 x 64-bit words), k = 3
+# md5-derived hash positions per shingle. Positions are the first 16
+# bits of md5(shingle || '#i') — reproducible in any engine, so the
+# bitmap and every membership test are bit-identical across Spark and
+# DuckDB (false positives included, which is what makes the row
+# hash-comparable despite the filter being approximate).
+_BLOOM_WORDS = 1024
+
+
+def _spark_pos(var: str, i: int) -> str:
+    return f"CAST(conv(substring(md5(concat({var}, '#{i}')), 1, 4), 16, 10) AS INT)"
+
+
+def _duck_pos(var: str, i: int) -> str:
+    return f"CAST(('0x' || substr(md5({var} || '#{i}'), 1, 4)) AS INTEGER)"
+
+
+def _bloom_decontam_oracle() -> str:
+    return f"""
+    WITH bench AS (
+      SELECT {_SHINGLES_SQL} AS shingles
+      FROM documents WHERE doc_id % 50 = 0 AND len({_TOKENIZE_SQL}) >= 3
+    ),
+    bench_sh AS (SELECT DISTINCT UNNEST(shingles) AS shingle FROM bench),
+    pos AS (
+      SELECT DISTINCT UNNEST([{_duck_pos('shingle', 0)},
+                              {_duck_pos('shingle', 1)},
+                              {_duck_pos('shingle', 2)}]) AS p
+      FROM bench_sh
+    ),
+    words AS (
+      -- 1<<63 overflows DuckDB's checked shift; the sign-bit word uses
+      -- the min-long literal instead (same trick as the dd04 oracle)
+      SELECT p // 64 AS w,
+             bit_or(CASE WHEN p % 64 = 63
+                         THEN CAST(-9223372036854775808 AS BIGINT)
+                         ELSE (CAST(1 AS BIGINT) << CAST(p % 64 AS INT)) END)
+               AS word
+      FROM pos GROUP BY 1
+    ),
+    scaffold AS (SELECT range AS w FROM range({_BLOOM_WORDS})),
+    bloomt AS (
+      SELECT list(COALESCE(word, CAST(0 AS BIGINT)) ORDER BY s.w) AS bloom
+      FROM scaffold s LEFT JOIN words USING (w)
+    ),
+    train AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM documents WHERE doc_id % 50 <> 0 AND len({_TOKENIZE_SQL}) >= 3
+    ),
+    scored AS (
+      SELECT doc_id, len(shingles) AS n_sh,
+             len(list_filter(
+               list_transform(shingles, g -> [{_duck_pos('g', 0)},
+                                              {_duck_pos('g', 1)},
+                                              {_duck_pos('g', 2)}]),
+               ps -> len(list_filter(ps, p ->
+                 ((bloom[(p // 64) + 1] >> (p % 64)) & 1) = 1)) = 3
+             )) AS n_hits
+      FROM train CROSS JOIN bloomt
+    )
+    SELECT doc_id, n_sh, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / n_sh, 6) AS bloom_ratio
+    FROM scored
+    WHERE CAST(n_hits AS DOUBLE) / n_sh >= 0.2
+    """
+
+
+@register(
+    "cu08_bloom_decontam",
+    _bloom_decontam_oracle(),
+    survey_ops=("X-CURATE-8",),
+    doc="Bloom-filter benchmark decontamination — cu03's corpus-scale "
+    "form. cu03 broadcasts the benchmark SHINGLE SET and equi-joins "
+    "exploded training shingles against it: correct, but the broadcast "
+    "grows with the benchmark and every training shingle pays a hash "
+    "probe against a string set. Here the benchmark compresses into a "
+    "fixed 8 KB bitmap (65536 bits, 3 md5-derived positions per "
+    "shingle) broadcast once; the corpus pass is then PURE MAP "
+    "expressions — transform/forall over each doc's shingle array with "
+    "O(1) bit tests, no explode, no join, no shuffle before the final "
+    "threshold filter. That is the 100 TB contamination-sweep shape: "
+    "scan-bound, whole-stage-codegen, broadcast size independent of "
+    "benchmark count. The filter is one-sided (false positives only): "
+    "flagged docs are a SUPERSET of cu03's exact hits "
+    "(tests/test_bloom_decontam.py pins no-false-negatives and the FP "
+    "margin). Hash positions derive from md5, so the bitmap and every "
+    "test are bit-identical in DuckDB — the oracle hash-compares even "
+    "though the operator is approximate.",
+)
+def cu08_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    eligible = docs.filter(F.size(toks) >= 3)
+    bench_sh = (
+        eligible.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(_shingles(3)).alias("shingle"))
+        .distinct()
+    )
+    pos = bench_sh.select(
+        F.explode(
+            F.array(*[F.expr(_spark_pos("shingle", i)) for i in range(3)])
+        ).alias("p")
+    ).distinct()
+    # Java shift semantics wrap, so shiftleft(1L, 63) is the sign bit —
+    # no CASE needed on the Spark side.
+    words = (
+        pos.select(
+            F.expr("CAST(shiftright(p, 6) AS INT)").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    scaffold = spark.range(_BLOOM_WORDS).select(F.col("id").cast("int").alias("w"))
+    bloom = (
+        scaffold.join(words, "w", "left")
+        .select("w", F.coalesce("word", F.lit(0).cast("bigint")).alias("word"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(w, word))), x -> x.word)"
+            ).alias("bloom")
+        )
+    )
+    train = eligible.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", _shingles(3).alias("shingles")
+    )
+    member = (
+        "(shiftright(element_at(bloom, CAST(shiftright(p, 6) AS INT) + 1), "
+        "CAST(p % 64 AS INT)) & 1) = 1"
+    )
+    n_hits = F.expr(
+        f"""size(filter(
+          transform(shingles, g -> array({_spark_pos('g', 0)},
+                                         {_spark_pos('g', 1)},
+                                         {_spark_pos('g', 2)})),
+          ps -> forall(ps, p -> {member})))"""
+    )
+    scored = train.crossJoin(F.broadcast(bloom)).select(
+        "doc_id", F.size("shingles").alias("n_sh"), n_hits.alias("n_hits")
+    )
+    ratio = F.col("n_hits").cast("double") / F.col("n_sh")
+    return scored.filter(ratio >= 0.2).select(
+        "doc_id", "n_sh", "n_hits", F.round(ratio, 6).alias("bloom_ratio")
+    )
+
+
 # Planted contamination fixture for cu06: the synthetic embedding corpus
 # is near-uniform (max pairwise cos ~0.33), so an honest 0.9 threshold
 # would make the semantic-decontamination row vacuous (0 rows == 0 rows,

@@ -754,3 +754,61 @@ def dd06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cluster_size") > 1)
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "dd07_cluster_stats",
+    f"""
+    WITH clusters AS (
+{_dedup_clusters_oracle()}
+    ),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs_in_size,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removed,
+           ROUND(CAST((cluster_size - 1) * COUNT(*) AS DOUBLE)
+                 / (SELECT n_docs FROM tot), 6) AS removed_frac
+    FROM clusters
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+    survey_ops=("X-DEDUP-7",),
+    doc="Dedup-impact report over the near-dup cluster graph: cluster-"
+    "size histogram with docs-removed counts and corpus-share — the "
+    "numbers a curation run publishes ('X% of the corpus was near-"
+    "duplicate, dominated by size-2 clusters'). Consumes dd06's "
+    "converged components; the added work is one tiny aggregation over "
+    "the (already small) cluster table plus a broadcast 1-row corpus "
+    "count, so the scale profile is identical to dd06's. The histogram "
+    "is also the operational skew check for the dedup pipeline itself: "
+    "a giant cluster shows up here before it melts a downstream join.",
+)
+def dd07_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = dd06_dedup_clusters(spark, sf_dir)
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    by_size = clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    return (
+        by_size.crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs_in_size"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.round(
+                ((F.col("cluster_size") - 1) * F.col("n_clusters")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("removed_frac"),
+        )
+        .orderBy("cluster_size")
+    )

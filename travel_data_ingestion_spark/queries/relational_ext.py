@@ -95,6 +95,69 @@ def c09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x02_range_join",
+    """
+    WITH win AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS win_start
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(28,2))) AS qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT w.o_orderkey,
+           w.win_start AS win_start,
+           CAST(COALESCE(SUM(d.n), 0) AS BIGINT) AS n_shipped,
+           CAST(COALESCE(SUM(d.qty), 0) AS DOUBLE) AS qty_shipped
+    FROM win w
+    LEFT JOIN daily d ON d.d BETWEEN w.win_start AND w.win_start + 6
+    GROUP BY w.o_orderkey, w.win_start
+    """,
+    survey_ops=("X-RANGE-1",),
+    doc="Point-in-interval range join, binned: corpus-wide shipping "
+    "activity inside each urgent order's 7-day window. A naive theta "
+    "join (point BETWEEN lo AND hi) plans as a nested loop — quadratic "
+    "at 100 TB. Two composable reductions make it a pure equi-join "
+    "pipeline: (1) points PRE-AGGREGATE to the bin grain (daily count/"
+    "decimal-qty — legal because the requested aggregates are "
+    "decomposable), so the join touches ~#days rows, not #lineitems; "
+    "(2) each interval EXPLODES into its covered day bins (sequence + "
+    "explode, bounded 7x fan-out) and joins the daily grain on bin "
+    "equality. Both sides shuffle on the uniform day key; no nested "
+    "loop anywhere (plan gate: test_plans.py::test_range_join_is_"
+    "binned). The DuckDB oracle runs the literal BETWEEN join. Decimal "
+    "accumulation end-to-end; the final 7-value sum stays DECIMAL until "
+    "one cast to DOUBLE, so cross-engine values are exact.",
+)
+def x02_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    win = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("win_start")
+    )
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("qty"),
+    )
+    days = win.select(
+        "o_orderkey",
+        "win_start",
+        F.explode(
+            F.sequence(F.col("win_start"), F.date_add("win_start", 6))
+        ).alias("d"),
+    )
+    return (
+        days.join(daily, "d", "left")
+        .groupBy("o_orderkey", "win_start")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_shipped"),
+            F.coalesce(F.sum("qty"), F.lit(0)).cast("double").alias("qty_shipped"),
+        )
+    )
+
+
+@register(
     "d15_percentiles",
     """
     SELECT event_type,

@@ -115,6 +115,36 @@ def extract_features(media: DataFrame) -> DataFrame:
     return cols.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def phash_signatures(media: DataFrame) -> DataFrame:
+    """Perceptual-hash signatures over the binary column, Arrow-batched.
+
+    STUB HASH: a real dHash/pHash (decode -> downscale -> gradient bits)
+    needs an image codec; this environment derives the 64-bit signature
+    from the payload's md5 (first 16 hex digits, two's-complement), so
+    only IDENTICAL payloads land at hamming 0 and distinct payloads are
+    ~32 bits apart. The pipeline shape is the real one: payload bytes
+    cross to Python once per batch, a long signature returns, and the
+    pair generation downstream (queries.llm_dedup.hamming_pairs) never
+    touches bytes again. A real perceptual hash slots into ``ph`` and
+    the hamming<=3 blocking starts matching near-identical images."""
+    cols = media.select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def ph(p) -> int:
+            v = int(hashlib.md5(bytes(p)).hexdigest()[:16], 16)
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["payload"].map(ph).astype("int64"),
+                }
+            )
+
+    return cols.mapInPandas(batches, schema="media_id long, phash long")
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits (media_id,
     frame_index) rows for a stubbed frame count of n_bytes // 1000 —

@@ -452,27 +452,43 @@ def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.shiftleft(bit, j)
         sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: xor == or
     sigs = votes.select("doc_id", sig.alias("simhash"))
-    # EXACT-SIGNATURE PRE-DEDUP: block on distinct signatures, not docs.
-    # Skewed corpora (thousands of empty/near-empty docs) collapse onto a
-    # handful of identical signatures; running the chunk join over docs
-    # put all k of them in one bucket (k^2 candidate rows x 4 chunks,
-    # then a k^2-row distinct shuffle). Over DISTINCT signatures the
-    # flood is one row, and each output class is generated exactly once:
-    #   - same-signature pairs (hamming 0) come straight from a self
-    #     equi-join on simhash — output-bounded, no chunk explode, no
-    #     distinct;
-    #   - cross-signature pairs expand signature-level candidates back
-    #     through the doc lists (m x n output rows, irreducible).
-    usig = sigs.select("simhash").distinct()
-    # pigeonhole blocking: 4 disjoint 16-bit chunks; hamming<=3 => >=1 equal chunk
+    return hamming_pairs(sigs, "doc_id", "simhash").select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
+
+
+def hamming_pairs(
+    sigs: DataFrame, id_col: str, sig_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """All pairs of rows whose 64-bit signatures are within
+    ``max_hamming`` (<= 3), as (id_a, id_b, hamming) with id_a < id_b.
+
+    EXACT-SIGNATURE PRE-DEDUP: block on distinct signatures, not rows.
+    Skewed inputs (thousands of empty/near-empty docs) collapse onto a
+    handful of identical signatures; a row-level chunk join puts all k
+    of them in one bucket (k^2 candidate rows x 4 chunks, then a
+    k^2-row distinct shuffle). Over DISTINCT signatures the flood is
+    one row, and each output class is generated exactly once:
+      - same-signature pairs (hamming 0) come straight from a self
+        equi-join on the signature — output-bounded, no chunk explode,
+        no distinct;
+      - cross-signature pairs expand signature-level candidates back
+        through the row lists (m x n output rows, irreducible).
+    Pigeonhole blocking: 4 disjoint 16-bit chunks; hamming<=3 implies
+    >=1 equal chunk, so the candidate equi-join on (chunk_id, chunk_val)
+    is lossless. Shared by dd04 (SimHash) and mm03 (perceptual hash).
+    """
+    assert max_hamming <= 3, "4x16-bit pigeonhole is lossless only to hamming 3"
+    sigs = sigs.select(F.col(id_col).alias("rid"), F.col(sig_col).alias("sig"))
+    usig = sigs.select("sig").distinct()
     chunks = usig.select(
-        "simhash",
+        "sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned("simhash", 16 * c)
+                        F.shiftrightunsigned("sig", 16 * c)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("chunk_val"),
                     )
@@ -480,9 +496,9 @@ def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("ch"),
-    ).select("simhash", "ch.chunk_id", "ch.chunk_val")
+    ).select("sig", "ch.chunk_id", "ch.chunk_val")
     a, b = chunks.alias("a"), chunks.alias("b")
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
     sig_pairs = (
         a.join(
             b,
@@ -491,39 +507,33 @@ def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             # signed-long order is an arbitrary-but-canonical pair
             # orientation; strict < also drops the self-match, so the
             # hamming-0 class is exclusively the same-signature branch.
-            & (F.col("a.simhash") < F.col("b.simhash")),
+            & (F.col("a.sig") < F.col("b.sig")),
         )
-        .select(
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
+        .select(F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
         .distinct()  # a signature pair may collide in several chunks
         .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= max_hamming)
     )
     cross = (
         sig_pairs.join(
-            sigs.select(F.col("simhash").alias("sim_a"), F.col("doc_id").alias("id_a")),
-            "sim_a",
+            sigs.select(F.col("sig").alias("sig_a"), F.col("rid").alias("rid_a")), "sig_a"
         )
         .join(
-            sigs.select(F.col("simhash").alias("sim_b"), F.col("doc_id").alias("id_b")),
-            "sim_b",
+            sigs.select(F.col("sig").alias("sig_b"), F.col("rid").alias("rid_b")), "sig_b"
         )
         .select(
-            F.least("id_a", "id_b").alias("doc_a"),
-            F.greatest("id_a", "id_b").alias("doc_b"),
+            F.least("rid_a", "rid_b").alias("id_a"),
+            F.greatest("rid_a", "rid_b").alias("id_b"),
             "hamming",
         )
     )
     x, y = sigs.alias("x"), sigs.alias("y")
     same = x.join(
         y,
-        (F.col("x.simhash") == F.col("y.simhash"))
-        & (F.col("x.doc_id") < F.col("y.doc_id")),
+        (F.col("x.sig") == F.col("y.sig")) & (F.col("x.rid") < F.col("y.rid")),
     ).select(
-        F.col("x.doc_id").alias("doc_a"),
-        F.col("y.doc_id").alias("doc_b"),
+        F.col("x.rid").alias("id_a"),
+        F.col("y.rid").alias("id_b"),
         F.lit(0).cast("int").alias("hamming"),
     )
     return cross.unionByName(same)

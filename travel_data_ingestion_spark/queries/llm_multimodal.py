@@ -62,3 +62,85 @@ def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media_from_documents(docs), every_n=10).select(
         "media_id", F.col("frame_index").cast("long").alias("frame_index")
     )
+
+
+# Planted duplicate media: the synthetic corpus has zero exact-duplicate
+# texts (verified at sf0.001/sf0.01), and the stub hash is md5-derived,
+# so without planting, mm03's graded row would be vacuous (0 == 0).
+# Both engines union the same literal payloads: one triple and one pair
+# of identical "images" -> 4 hamming-0 pairs. IDs start at 3e9, above
+# real doc_ids and the other fixtures' 1e9/2e9 blocks.
+_PLANTED_MEDIA_BASE_ID = 3_000_000_000
+_PLANTED_MEDIA = [
+    (_PLANTED_MEDIA_BASE_ID + 0, "planted duplicate image payload alpha"),
+    (_PLANTED_MEDIA_BASE_ID + 1, "planted duplicate image payload alpha"),
+    (_PLANTED_MEDIA_BASE_ID + 2, "planted duplicate image payload alpha"),
+    (_PLANTED_MEDIA_BASE_ID + 10, "planted duplicate image payload beta"),
+    (_PLANTED_MEDIA_BASE_ID + 11, "planted duplicate image payload beta"),
+]
+
+
+def _phash_dedup_oracle() -> str:
+    planted = ",\n        ".join(f"({i}, '{t}')" for i, t in _PLANTED_MEDIA)
+    # md5-prefix-64 as signed BIGINT without overflowing DuckDB's checked
+    # arithmetic: split into two 32-bit halves, sign-correct the high one.
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES
+        {planted}
+      ) AS planted(doc_id, text)
+    ),
+    halves AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h32,
+             CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) AS l32
+      FROM corpus
+    ),
+    sigs AS (
+      SELECT doc_id,
+             (h32 - CASE WHEN h32 >= 2147483648 THEN 4294967296 ELSE 0 END)
+               * 4294967296 + l32 AS ph
+      FROM halves
+    )
+    SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= 3
+    """
+
+
+@register(
+    "mm03_phash_dedup",
+    _phash_dedup_oracle(),
+    survey_ops=("X-MM-3",),
+    doc="Multimodal near-dup detection: 64-bit perceptual-hash "
+    "signatures over the binary media column (Arrow-batched "
+    "mapInPandas — payload bytes cross to Python once, only a long "
+    "returns), then pairs at hamming<=3 via the same distinct-"
+    "signature pigeonhole blocking dd04 uses (llm_dedup.hamming_pairs: "
+    "4x16-bit chunks, lossless, flood-proof). The hash itself is the "
+    "documented md5-derived STUB (no image codec in this environment), "
+    "so only identical payloads pair up — a real dHash drops into "
+    "phash_signatures and the hamming<=3 blocking starts catching "
+    "re-encoded/resized copies with the identical plan. Deterministic "
+    "planted duplicates (same literals in both engines) keep the "
+    "graded row non-vacuous on this duplicate-free corpus. At 100 TB: "
+    "signature extraction is the only pass that reads payload bytes; "
+    "pair generation runs on 8-byte signatures.",
+)
+def mm03_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.llm.multimodal import phash_signatures
+    from travel_data_ingestion_spark.queries.llm_dedup import hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    planted = spark.createDataFrame(
+        [(i, t, "planted") for i, t in _PLANTED_MEDIA],
+        "doc_id long, text string, source string",
+    )
+    media = media_from_documents(docs.unionByName(planted))
+    sigs = phash_signatures(media)
+    return hamming_pairs(sigs, "media_id", "phash").select(
+        F.col("id_a").alias("media_a"), F.col("id_b").alias("media_b"), "hamming"
+    )

@@ -35,6 +35,16 @@ PROBE_QUERIES = [
     "dd01_exact_dedup",
     "dd03_minhash_lsh_pairs",
     "t09_repetition_stats",
+    # round-5 additions: distinct-signature SimHash blocking (replica
+    # variants land at small hamming -> real cross-signature verify
+    # load), the broadcast-bitmap decontamination sweep (map-only; note
+    # the fixed 64 Kbit filter saturates as the replicated benchmark
+    # grows — time should stay linear, FP rate is expected to rise),
+    # the binned range join, and perceptual-hash media dedup.
+    "dd04_simhash",
+    "cu08_bloom_decontam",
+    "x02_range_join",
+    "mm03_phash_dedup",
 ]
 
 

@@ -90,3 +90,22 @@ def test_prefix_join_matches_bruteforce_on_random_corpora(spark):
         )
         assert got == expected, f"trial {trial}: {got} != {expected}"
         assert expected, f"trial {trial} vacuous — no pair above threshold"
+
+
+def test_lsh_precision_exact_and_recall_floor(spark):
+    """dd03's LSH candidates pass exact Jaccard verification, so every
+    emitted pair must be in dd02's exact output (perfect precision by
+    construction); banding recall over the real corpus must clear 0.9.
+    Pins the Kirsch-Mitzenmacher double-hashing permutation family
+    (h1 + i*h2) against a silent quality regression."""
+    from tests.conftest import SF_DIR
+    from travel_data_ingestion_spark.queries.llm_dedup import (
+        dd02_ngram_jaccard_pairs,
+        dd03_minhash_lsh_pairs,
+    )
+
+    exact = {(r.doc_a, r.doc_b) for r in dd02_ngram_jaccard_pairs(spark, SF_DIR).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in dd03_minhash_lsh_pairs(spark, SF_DIR).collect()}
+    assert exact, "corpus has no true near-dup pairs; recall check vacuous"
+    assert lsh <= exact, f"false positives escaped verification: {sorted(lsh - exact)[:5]}"
+    assert len(lsh) / len(exact) >= 0.9, (len(lsh), len(exact))

@@ -37,14 +37,26 @@ _SHINGLES_SQL = f"""
 
 
 def _shingles(n: int = 3) -> F.Column:
-    """Distinct n-token shingles as a native higher-order expression."""
+    """Distinct n-token shingles as a native higher-order expression.
+
+    The tokenizing split is BOUND ONCE as a lambda variable (the
+    single-element-array transform is Catalyst's let-binding): embedding
+    the split expression directly in the per-index lambda re-executes
+    the regex split for every element_at — O(tokens^2) splits per doc,
+    profiled at sf0.1 as 15 s of pure shingle construction on 5000 docs
+    (vs ~1 s bound). Expression trees have no CSE across a lambda
+    boundary, so the binding is load-bearing, not style."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
-    return F.array_distinct(F.when(F.size(toks) >= n, gram).otherwise(F.array()))
+
+    def grams(t: F.Column) -> F.Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+        gram = F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+        )
+        return F.array_distinct(F.when(F.size(t) >= n, gram).otherwise(F.array()))
+
+    return F.element_at(F.transform(F.array(toks), grams), 1)
 
 
 @register(
@@ -210,13 +222,33 @@ def _jaccard_pairs_exact(sh: DataFrame) -> DataFrame:
     )
 
 
-# dd03 oracle: md5-derived minhash (60-bit ints from the digest prefix)
-# reproduces signatures identically in DuckDB; code-generated SQL.
+# XOR permutation constants for the minhash family: 60-bit values
+# md5-derived from the permutation index, generated once in Python and
+# embedded as literals in BOTH engines' expressions. xor with a random
+# constant re-orders the 60-bit hash space non-monotonically, so the 32
+# orders behave independently — unlike linear h1 + i*h2 (tried first:
+# for large i the h2 term dominates, every permutation in a band picks
+# the same min-shingle, and banding recall collapses — caught by the
+# streaming fixture).
+import hashlib as _hashlib
+
+
+def _perm_constants(n_perm: int = 32) -> list[int]:
+    return [
+        int(_hashlib.md5(f"perm{i}".encode()).hexdigest()[:15], 16)
+        for i in range(n_perm)
+    ]
+
+
+# dd03 oracle: md5-derived minhash reproduces signatures identically in
+# DuckDB; code-generated SQL. One md5 hash per shingle fanned into 32
+# permutations by xor constants (see minhash_band_rows).
 def _minhash_oracle(n_perm: int = 32, n_bands: int = 8) -> str:
     rows_per_band = n_perm // n_bands
+    h = "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
+    consts = _perm_constants(n_perm)
     mh = ",\n             ".join(
-        f"MIN(CAST(('0x' || substr(md5('{i}|' || shingle), 1, 15)) AS BIGINT)) AS mh{i}"
-        for i in range(n_perm)
+        f"MIN(xor({h}, {consts[i]})) AS mh{i}" for i in range(n_perm)
     )
     band_selects = "\n      UNION ALL\n".join(
         f"      SELECT doc_id, n_sh, {b} AS band_id, "
@@ -284,14 +316,27 @@ def minhash_band_rows(sh: DataFrame, n_perm: int = 32, n_bands: int = 8) -> Data
     rows_per_band = n_perm // n_bands
     ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
 
-    def perm_hash(i: int) -> F.Column:
-        digest = F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
-        return F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint")
+    # ONE md5 per shingle fanned into 32 permutations by xor with fixed
+    # 60-bit constants (_perm_constants — same literals in the oracle).
+    # xor re-orders the hash space independently per constant, keeping
+    # the banding independence a linear i*h2 fan-out destroys, at 1/32
+    # of the original hashing cost (profiled at sf0.1: 32 md5+hex-conv
+    # per shingle occurrence made the signature aggregation 16 s of
+    # dd03's 25 s).
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
+    # Project h BEFORE the aggregation so the md5 is evaluated exactly
+    # once per shingle row — inlining it into the 32 min() aggregates
+    # would let each aggregate re-hash the shingle.
+    hashed = ex.select("doc_id", "n_sh", h.alias("h"))
+    consts = _perm_constants(n_perm)
 
     # 32 minhash values per doc in ONE aggregation pass (no per-perm scan).
-    minhash = ex.groupBy("doc_id").agg(
+    minhash = hashed.groupBy("doc_id").agg(
         F.max("n_sh").alias("n_sh"),
-        *[F.min(perm_hash(i)).alias(f"mh{i}") for i in range(n_perm)],
+        *[
+            F.min(F.col("h").bitwiseXOR(F.lit(consts[i]))).alias(f"mh{i}")
+            for i in range(n_perm)
+        ],
     )
     # band signatures -> (band_id, sig) bucket keys
     return minhash.select(

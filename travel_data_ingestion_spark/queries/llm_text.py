@@ -44,14 +44,17 @@ _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
 )
 def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    return docs.select(
+    # tokenize ONCE in its own projection; Catalyst's CollapseProject
+    # declines to re-inline a non-cheap expression referenced more than
+    # once, so the split really is evaluated once per row
+    with_toks = docs.select("doc_id", "text", "n_chars", _tokens().alias("toks"))
+    return with_toks.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size("toks").alias("n_tokens"),
         F.length("text").alias("n_chars_actual"),
         "n_chars",
         (
-            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(toks)
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size("toks")
         ).alias("avg_token_len"),
     )
 
@@ -83,14 +86,15 @@ def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    feat = docs.select(
+    # tokenize once (see t01); three features consume the same array
+    with_toks = docs.select("doc_id", "lang", "text", _tokens().alias("toks"))
+    feat = with_toks.select(
         "doc_id",
         "lang",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
-        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size("toks").alias("n_tokens"),
+        F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
+        F.size(F.array_distinct("toks")).alias("n_unique"),
         F.length("text").alias("n_chars_actual"),
         F.ceil(F.length("text") / 3.2).cast("bigint").alias("est_bpe_tokens"),
     )
@@ -146,13 +150,16 @@ _LANG_MARKERS = {
 )
 def t03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
+
+    # tokenize once (see t01); four marker scans consume the same array
     def marker_count(markers: tuple[str, ...]) -> F.Column:
         arr = F.array(*[F.lit(w) for w in markers])
-        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+        return F.size(F.filter("toks", lambda x: F.array_contains(arr, x)))
 
     scores = {lang: marker_count(m) for lang, m in _LANG_MARKERS.items()}
     scored = docs.select(
+        "doc_id", "lang", _tokens().alias("toks")
+    ).select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         scores["en"].alias("s_en"),

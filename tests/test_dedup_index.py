@@ -254,3 +254,31 @@ def test_cluster_index_replay_and_unknown_endpoint(spark, tmp_path):
             spark.createDataFrame([(3,)], "doc_id long"),
             spark.createDataFrame([(3, 99)], "doc_a long, doc_b long"),
         )
+
+
+def test_media_phash_pairs_compose_with_cluster_index(spark, tmp_path):
+    """Multimodal near-dup clustering needs no new operator: mm03's
+    perceptual-hash pairs feed ClusterIndex unchanged (pair schema is
+    the contract), so the planted duplicate media collapse into two
+    clusters keyed by their minimum media id."""
+    from travel_data_ingestion_spark.dedup_index import ClusterIndex
+    from travel_data_ingestion_spark.queries.llm_multimodal import (
+        _PLANTED_MEDIA,
+        _PLANTED_MEDIA_BASE_ID as B,
+        mm03_phash_dedup,
+    )
+
+    pairs = mm03_phash_dedup(spark, SF_DIR).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i, _t in _PLANTED_MEDIA], "doc_id long"
+    )
+    # corpus docs are duplicate-free (verified in llm_multimodal fixture
+    # note), so every pair endpoint is a planted media row
+    cc = ClusterIndex(str(tmp_path / "cc"))
+    cc.update(spark, docs, pairs)
+    clusters = {
+        (r.cluster_id, r.cluster_size) for r in cc.clusters(spark).collect()
+    }
+    assert clusters == {(B + 0, 3), (B + 10, 2)}

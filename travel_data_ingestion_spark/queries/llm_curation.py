@@ -238,6 +238,59 @@ def cu07_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _leakage_safe_split_oracle() -> str:
+    from travel_data_ingestion_spark.queries.llm_dedup import _cc_labels_cte
+
+    return f"""{_cc_labels_cte()},
+    resolved AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, cluster_rep,
+             CAST(('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 4))
+               AS INTEGER) % 100 AS b
+      FROM resolved
+    )
+    """
+
+
+@register(
+    "cu09_leakage_safe_split",
+    _leakage_safe_split_oracle(),
+    survey_ops=("X-CURATE-9",),
+    doc="Leakage-safe train/val/test split (~80/10/10): the split "
+    "bucket hashes the doc's NEAR-DUP CLUSTER REPRESENTATIVE (dd06's "
+    "connected-component label over the MinHash-LSH pair graph; "
+    "singletons represent themselves), not the doc itself — so a "
+    "training document's near-duplicate can never land in the eval "
+    "split, the classic contamination path a per-doc hash split leaves "
+    "open. Deterministic md5 bucketing keeps assignments reproducible "
+    "across runs, engines, and cluster sizes. At 100 TB this costs one "
+    "clustering pass (already run for dedup) + a map-only bucket "
+    "assignment; tests/test_dedup_clusters.py pins that no near-dup "
+    "pair straddles splits.",
+)
+def cu09_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.queries.llm_dedup import _cc_labels
+
+    labels = _cc_labels(spark, sf_dir).select(
+        "doc_id", F.col("label").alias("cluster_rep")
+    )
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_rep").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % 100
+    )
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return labels.select("doc_id", "cluster_rep", split.alias("split"))
+
+
 # cu08 Bloom parameters: m = 65536 bits (1024 x 64-bit words), k = 3
 # md5-derived hash positions per shingle. Positions are the first 16
 # bits of md5(shingle || '#i') — reproducible in any engine, so the

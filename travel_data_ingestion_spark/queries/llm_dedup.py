@@ -737,13 +737,15 @@ def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("cos_sim") >= 0.99)
 
 
-def _dedup_clusters_oracle() -> str:
-    """Connected components in plain SQL: a recursive CTE expands every
-    node's reachable set over the SAME LSH-verified pair graph the Spark
-    side consumes (dd03's oracle nested as a CTE), then the component
-    label is the minimum reachable doc_id. O(V*E) closure — fine at
-    oracle scale, which is exactly why the Spark side uses label
-    propagation instead."""
+def _cc_labels_cte() -> str:
+    """Connected components in plain SQL, as an OPEN ``WITH`` chain
+    ending at ``labels(node, cluster_id)``: a recursive CTE expands
+    every node's reachable set over the SAME LSH-verified pair graph
+    the Spark side consumes (dd03's oracle nested as a CTE), then the
+    component label is the minimum reachable doc_id. O(V*E) closure —
+    fine at oracle scale, which is exactly why the Spark side uses
+    label propagation instead. ``labels`` holds only docs with >=1
+    near-dup edge; consumers COALESCE singletons to their own id."""
     return f"""
     WITH RECURSIVE pairs AS (
 {_minhash_oracle()}
@@ -759,6 +761,11 @@ def _dedup_clusters_oracle() -> str:
       SELECT q.node, e.dst FROM reach q JOIN edges e ON e.src = q.r
     ),
     labels AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+    """
+
+
+def _dedup_clusters_oracle() -> str:
+    return f"""{_cc_labels_cte()}
     SELECT cluster_id,
            COUNT(*) AS cluster_size,
            MIN(node) AS kept_doc_id
@@ -768,24 +775,11 @@ def _dedup_clusters_oracle() -> str:
     """
 
 
-@register(
-    "dd06_dedup_clusters",
-    _dedup_clusters_oracle(),
-    survey_ops=("X-DEDUP-6",),
-    doc="Near-dup clustering: connected components over the dd03 "
-    "MinHash-LSH candidate-pair graph (the 100 TB candidate source — "
-    "NOT dd02's quadratic shingle self-join) via iterative minimum-label "
-    "propagation (large-star/small-star style). Each doc's cluster id "
-    "converges to the smallest doc_id reachable through near-dup edges; "
-    "survivors = cluster minima. Iterations are bounded by the cluster "
-    "diameter (driver loop over DataFrame ops — each pass is one "
-    "shuffle; O(log n) passes in practice) and convergence is verified, "
-    "never assumed. The DuckDB oracle computes the same components with "
-    "a recursive-CTE transitive closure. This is the canonical 'keep "
-    "one per duplicate cluster' pass after any pairwise dedup at "
-    "100 TB.",
-)
-def dd06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc connected-component label (= min reachable doc_id) over
+    dd03's LSH pair graph via bounded min-label propagation; singleton
+    docs keep their own id. Shared by dd06 (cluster report) and cu09
+    (leakage-safe splits)."""
     pairs = dd03_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = (
@@ -825,6 +819,28 @@ def dd06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dd06: label propagation did not converge in 30 passes — "
             "refusing to return a partially-clustered result"
         )
+    return labels
+
+
+@register(
+    "dd06_dedup_clusters",
+    _dedup_clusters_oracle(),
+    survey_ops=("X-DEDUP-6",),
+    doc="Near-dup clustering: connected components over the dd03 "
+    "MinHash-LSH candidate-pair graph (the 100 TB candidate source — "
+    "NOT dd02's quadratic shingle self-join) via iterative minimum-label "
+    "propagation (large-star/small-star style). Each doc's cluster id "
+    "converges to the smallest doc_id reachable through near-dup edges; "
+    "survivors = cluster minima. Iterations are bounded by the cluster "
+    "diameter (driver loop over DataFrame ops — each pass is one "
+    "shuffle; O(log n) passes in practice) and convergence is verified, "
+    "never assumed. The DuckDB oracle computes the same components with "
+    "a recursive-CTE transitive closure. This is the canonical 'keep "
+    "one per duplicate cluster' pass after any pairwise dedup at "
+    "100 TB.",
+)
+def dd06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _cc_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(

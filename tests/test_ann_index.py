@@ -60,6 +60,26 @@ def test_replay_is_noop(spark, built):
     assert spark.read.parquet(built.codes_path).count() == n_before
 
 
+def test_dirty_batch_dedups_vec_ids(spark, tmp_path):
+    """A batch carrying the same vec_id twice stores exactly ONE code
+    row — the anti-join only excludes previously STORED ids, so without
+    the in-batch dedup both copies would append and break the
+    exactly-once ledger contract."""
+    corpus = _corpus(spark).limit(64)
+    idx = PQIndex(str(tmp_path / "idx"))
+    idx.build(spark, corpus)
+    fresh = _corpus(spark).filter(~F.col("vec_id").isin(
+        [r.vec_id for r in corpus.select("vec_id").collect()]
+    )).limit(8)
+    dirty = fresh.unionByName(fresh)  # every new id appears twice
+    assert idx.update(spark, dirty) == 8
+    dup_ids = (
+        spark.read.parquet(idx.codes_path)
+        .groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_ids == 0
+
+
 def test_search_equals_direct_ivfpq(spark, built):
     """Index search == direct ADC over the one-shot encoding restricted
     to the same probed lists (identical books, centers, and tiebreak)."""

@@ -96,8 +96,11 @@ def test_lsh_precision_exact_and_recall_floor(spark):
     """dd03's LSH candidates pass exact Jaccard verification, so every
     emitted pair must be in dd02's exact output (perfect precision by
     construction); banding recall over the real corpus must clear 0.9.
-    Pins the Kirsch-Mitzenmacher double-hashing permutation family
-    (h1 + i*h2) against a silent quality regression."""
+    Pins the xor-constant permutation family (one md5 per shingle fanned
+    by fixed 60-bit xor constants — see minhash_band_rows; the
+    h1 + i*h2 double-hashing family was rejected because h2 dominates at
+    large i and collapses banding recall) against a silent quality
+    regression."""
     from tests.conftest import SF_DIR
     from travel_data_ingestion_spark.queries.llm_dedup import (
         dd02_ngram_jaccard_pairs,

@@ -121,21 +121,31 @@ class PQIndex:
     def update(self, spark: SparkSession, batch: DataFrame) -> int:
         """Encode the batch's NEW vectors with the frozen books; append
         partitioned by list_id. Replaying an indexed vec_id is a no-op.
-        Returns rows appended."""
+        Returns rows appended.
+
+        The anti-join excludes previously STORED ids; a dirty batch can
+        still carry the same vec_id twice, so the batch is deduped on
+        vec_id first — otherwise both copies would be appended and the
+        exactly-once ledger contract would break. ``coded`` is persisted
+        across the count + write pair so the anti-join + encode run
+        once, not twice.
+        """
         if not self.exists():
             raise ValueError("PQIndex.update before build: no frozen codebooks")
         books, centers = self.load_books(spark)
+        fresh = batch.dropDuplicates(["vec_id"])
         if os.path.isdir(self.codes_path):
             seen = spark.read.schema(_CODES_SCHEMA).parquet(self.codes_path).select(
                 "vec_id"
             )
-            fresh = batch.join(seen, "vec_id", "left_anti")
-        else:
-            fresh = batch
-        coded = self._encode_batch(fresh, books, centers)
-        n = coded.count()
-        if n:
-            coded.write.mode("append").partitionBy("list_id").parquet(self.codes_path)
+            fresh = fresh.join(seen, "vec_id", "left_anti")
+        coded = self._encode_batch(fresh, books, centers).persist()
+        try:
+            n = coded.count()
+            if n:
+                coded.write.mode("append").partitionBy("list_id").parquet(self.codes_path)
+        finally:
+            coded.unpersist()
         return n
 
     # -- search ----------------------------------------------------------

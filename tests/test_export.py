@@ -3,11 +3,18 @@
 from __future__ import annotations
 
 import glob
+import heapq
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from travel_data_ingestion_spark.export import shard_id, write_training_shards
+from travel_data_ingestion_spark.export import (
+    curriculum_interleave,
+    shard_id,
+    write_curriculum_shards,
+    write_training_shards,
+)
 from travel_data_ingestion_spark.queries import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -67,3 +74,69 @@ def test_rows_sorted_by_key_within_files(spark, tmp_path):
     for f in glob.glob(os.path.join(p, "shard=*", "*.parquet")):
         ids = [r.doc_id for r in spark.read.parquet(f).collect()]
         assert ids == sorted(ids), f
+
+
+def test_curriculum_salted_rank_equals_global_window(spark):
+    """The 256-bucket two-phase rank (the 100 TB path) must equal the
+    naive single-window per-stratum rank exactly."""
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        (r.doc_id): r.rk
+        for r in curriculum_interleave(docs, stratum="lang").collect()
+    }
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    expected = {
+        r.doc_id: r.rk
+        for r in docs.select(
+            "doc_id", (F.row_number().over(w) - 1).cast("long").alias("rk")
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_curriculum_stride_property(spark):
+    """Stride scheduling's defining property: in any prefix of the
+    curriculum ending at virtual time T, stratum s has contributed
+    exactly min(n_s, floor(T * w_s)) documents — each stratum appears
+    proportionally to its weight at EVERY point of the training order,
+    not just in aggregate."""
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = sorted(
+        curriculum_interleave(docs, stratum="lang").collect(),
+        key=lambda r: (r.vt, r.lang, r.doc_id),
+    )
+    n_by_lang = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    s = sum(n**0.5 for n in n_by_lang.values())
+    weights = {lang: n**0.5 / s for lang, n in n_by_lang.items()}
+    # check at several prefix cut points
+    for cut in (50, 137, 250, len(rows)):
+        prefix = rows[:cut]
+        t_cut = prefix[-1].vt
+        seen: dict[str, int] = {}
+        for r in prefix:
+            seen[r.lang] = seen.get(r.lang, 0) + 1
+        for lang, w in weights.items():
+            expected = min(n_by_lang[lang], int(t_cut * w))
+            # ties at exactly T may straddle the cut; allow off-by-one
+            assert abs(seen.get(lang, 0) - expected) <= 1, (cut, lang)
+
+
+def test_curriculum_shards_replay_global_order(spark, tmp_path):
+    """k-way-merging the shard streams by vt replays the exact global
+    curriculum; every shard's rows are already vt-sorted on disk."""
+    docs = load_table(spark, SF_DIR, "documents")
+    vts = curriculum_interleave(docs, stratum="lang")
+    p = str(tmp_path / "curr")
+    n_shards = 4
+    write_curriculum_shards(vts, p, key="doc_id", n_shards=n_shards)
+    streams = []
+    for s in range(n_shards):
+        rows = spark.read.parquet(os.path.join(p, f"shard={s}")).collect()
+        keys = [(r.vt, r.doc_id) for r in rows]
+        assert keys == sorted(keys), f"shard {s} not vt-sorted on disk"
+        streams.append([(r.vt, r.doc_id) for r in rows])
+    merged = list(heapq.merge(*streams))
+    expected = sorted((r.vt, r.doc_id) for r in vts.collect())
+    assert merged == expected

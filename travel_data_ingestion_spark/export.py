@@ -21,7 +21,7 @@ write; no driver involvement, no global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SHARD_COL = "shard"
@@ -45,6 +45,90 @@ def write_training_shards(
     writer = (
         sharded.repartition(n_shards, SHARD_COL)
         .sortWithinPartitions(SHARD_COL, key)
+        .write.mode("overwrite")
+        .partitionBy(SHARD_COL)
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def curriculum_interleave(
+    df: DataFrame, stratum: str = "lang", key: str = "doc_id"
+) -> DataFrame:
+    """Deterministic mixture-weighted curriculum order (stride
+    scheduling) as (key, stratum, rk, vt).
+
+    Each stratum gets a temperature weight w_s = sqrt(n_s) / sum_s'
+    sqrt(n_s') (alpha = 0.5, the multilingual-pretraining rebalance —
+    same family as cu07); its k-th document, ranked by the deterministic
+    md5 hash of the key WITHIN the stratum, is scheduled at virtual time
+    vt = (k+1) / w_s. Sorting by vt interleaves strata so each appears
+    with frequency proportional to its weight at every point of the
+    training order — the standard deterministic curriculum/mixture
+    export, reproducible across runs, engines, and cluster sizes (no
+    rand(), no physical-order dependence).
+
+    SCALE: the naive per-stratum rank is a window partitioned by
+    stratum — a dominant stratum (en at ~40%) would drag near-half the
+    corpus through ONE window partition at 100 TB. Instead the rank is
+    computed in two phases over 256 salt buckets derived from the md5
+    ordering key itself (bucket = first hex byte, so bucket order is
+    consistent with full-key order): rank within (stratum, bucket) +
+    broadcast cumulative bucket offsets == the exact global
+    within-stratum rank, with per-partition work bounded by
+    n_s / 256. The weight sum accumulates in DECIMAL so the reduction
+    is order-independent across engines; vt's arithmetic
+    ((rk+1) * s / sqrt(n_s)) is IEEE-exact and identical in DuckDB.
+    """
+    hkey = F.md5(F.col(key).cast("string"))
+    base = (
+        df.select(stratum, key)
+        .withColumn("hkey", hkey)
+        .withColumn("bkt", F.substring("hkey", 1, 2))
+    )
+    counts = base.groupBy(stratum, "bkt").agg(F.count(F.lit(1)).alias("n_b"))
+    woff = (
+        Window.partitionBy(stratum)
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        stratum, "bkt", F.coalesce(F.sum("n_b").over(woff), F.lit(0)).alias("off")
+    )
+    wr = Window.partitionBy(stratum, "bkt").orderBy("hkey", key)
+    ranked = base.join(F.broadcast(offsets), [stratum, "bkt"]).withColumn(
+        "rk", (F.row_number().over(wr) - 1 + F.col("off")).cast("long")
+    )
+    stats = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = stats.agg(
+        F.sum(F.sqrt("n_docs").cast("decimal(28,12)")).cast("double").alias("s")
+    )
+    vt = (F.col("rk") + 1) * F.col("s") / F.sqrt(F.col("n_docs"))
+    return (
+        ranked.join(F.broadcast(stats), stratum)
+        .crossJoin(F.broadcast(tot))
+        .select(key, stratum, "rk", vt.alias("vt"))
+    )
+
+
+def write_curriculum_shards(
+    vts: DataFrame,
+    path: str,
+    key: str = "doc_id",
+    n_shards: int = 8,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write a curriculum_interleave result as ``n_shards`` deterministic
+    xxhash64 hash shards with rows sorted by (vt, key) within each shard.
+    A training loader k-way-merging (or round-robin reading) the shard
+    streams replays the global curriculum order; the write itself is one
+    hash shuffle + a sorted write — no global sort, no driver
+    involvement, the same 100 TB shape as write_training_shards."""
+    sharded = vts.withColumn(SHARD_COL, shard_id(F.col(key), n_shards))
+    writer = (
+        sharded.repartition(n_shards, SHARD_COL)
+        .sortWithinPartitions(SHARD_COL, "vt", key)
         .write.mode("overwrite")
         .partitionBy(SHARD_COL)
     )

@@ -536,6 +536,76 @@ def cu06_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curriculum_oracle() -> str:
+    return """
+    WITH stats AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (
+      SELECT CAST(SUM(CAST(sqrt(n_docs) AS DECIMAL(28,12))) AS DOUBLE) AS s FROM stats
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk
+      FROM documents
+    ),
+    vts AS (
+      SELECT r.doc_id, r.lang, r.rk,
+             (r.rk + 1) * t.s / sqrt(st.n_docs) AS vt
+      FROM ranked r JOIN stats st ON r.lang = st.lang CROSS JOIN tot t
+    ),
+    head AS (
+      SELECT doc_id, lang, rk, vt FROM vts ORDER BY vt, lang, doc_id LIMIT 200
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vt, lang, doc_id) AS BIGINT) AS train_pos,
+           doc_id, lang, CAST(rk AS BIGINT) AS lang_rk,
+           ROUND(vt, 6) AS interleave_key
+    FROM head
+    """
+
+
+@register(
+    "cu10_curriculum_export",
+    _curriculum_oracle(),
+    survey_ops=("X-CURATE-10",),
+    doc="Curriculum/mixture training-order export: the first 200 "
+    "positions of the deterministic stride-scheduling interleave "
+    "(export.curriculum_interleave) that orders the corpus for "
+    "training. Each language gets a temperature weight sqrt(n)/sum "
+    "(alpha=0.5, cu07's rebalance); its k-th doc — ranked by md5 hash "
+    "within the stratum — is scheduled at virtual time (k+1)/w, so "
+    "sorting by virtual time interleaves languages proportionally to "
+    "their weights at every point of the training order. The graded "
+    "head is top-k by (vt, lang, doc_id): TakeOrderedAndProject, never "
+    "a global sort; the full-corpus export path is "
+    "export.write_curriculum_shards (xxhash64 shards sorted by vt "
+    "within files, loader k-way-merges — tests/test_export.py). The "
+    "within-stratum rank is computed scale-safely via 256 md5-prefix "
+    "salt buckets + broadcast offsets, not one giant per-language "
+    "window. vt's arithmetic is IEEE-identical in DuckDB (DECIMAL "
+    "weight-sum accumulation; sqrt/mul/div correctly rounded), so the "
+    "oracle hash-compares the full ordering.",
+)
+def cu10_curriculum_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from travel_data_ingestion_spark.export import curriculum_interleave
+
+    docs = load_table(spark, sf_dir, "documents")
+    vts = curriculum_interleave(docs, stratum="lang", key="doc_id")
+    head = vts.orderBy("vt", "lang", "doc_id").limit(200)
+    # row_number over the already-limited head: the window sorts k=200
+    # rows in one partition — bounded by k, not corpus size.
+    w = Window.orderBy("vt", "lang", "doc_id")
+    return head.select(
+        F.row_number().over(w).cast("long").alias("train_pos"),
+        "doc_id",
+        "lang",
+        F.col("rk").alias("lang_rk"),
+        F.round("vt", 6).alias("interleave_key"),
+    )
+
+
 # PII patterns chosen for identical semantics under Java regex (Spark)
 # and RE2 (DuckDB): character classes, bounded repetition, no lookaround.
 _EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

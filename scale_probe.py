@@ -7,6 +7,7 @@ broadcasts, partial aggregation stays map-side), the plan survives a
 scale-up; superlinear growth flags a shuffle or skew problem.
 
 Usage: python scale_probe.py [multiplier] [out_dir]
+       python scale_probe.py simskew [multiplier]   # dominant-label KNN probe
 Writes one JSON line like bench.py.
 """
 
@@ -18,8 +19,9 @@ import shutil
 import sys
 import time
 
-MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe"
+SIMSKEW = len(sys.argv) > 1 and sys.argv[1] == "simskew"
+MULT = int(sys.argv[2 if SIMSKEW else 1]) if len(sys.argv) > (2 if SIMSKEW else 1) else (4 if SIMSKEW else 10)
+OUT = sys.argv[2] if (not SIMSKEW and len(sys.argv) > 2) else "/tmp/scale_probe"
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 PROBE_QUERIES = [
@@ -137,5 +139,75 @@ def main() -> None:
     spark.stop()
 
 
+def simskew() -> None:
+    """Dominant-label within-label-KNN probe: replicate embeddings
+    MULT-fold (shifted vec_ids) and reassign 90% of rows to ONE label,
+    then time the quadratic per-group kernel against the chunked one.
+    The quadratic kernel materializes an n x n cosine matrix and runs a
+    Python sort per row (O(n^2 log n) interpreter work) for the dominant
+    group; the chunked kernel's peak is O(chunk x n) with numpy
+    argpartition preselect — this probe records the cliff vs the flat
+    path that justifies the chunked kernel being the registry default."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from travel_data_ingestion_spark.queries import load_table
+    from travel_data_ingestion_spark.queries.llm_similarity import (
+        within_label_knn_dense,
+        within_label_knn_chunked,
+    )
+    from travel_data_ingestion_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe_simskew")
+    out = "/tmp/scale_probe_simskew"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    emb = load_table(spark, BASE, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0] + 1
+    reps = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * max_id))
+        for r in range(MULT)
+    ]
+    scaled = reps[0]
+    for rep in reps[1:]:
+        scaled = scaled.unionByName(rep)
+    # 90% of rows collapse onto label 0 — the dominant-label shape.
+    dom = F.when(F.pmod(F.col("vec_id"), F.lit(10)) < 9, F.lit(0)).otherwise(
+        F.col("label")
+    )
+    scaled.withColumn("label", dom.cast("int")).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+    n_rows = spark.read.parquet(f"{out}/embeddings.parquet").count()
+    n_dom = (
+        spark.read.parquet(f"{out}/embeddings.parquet")
+        .filter(F.col("label") == 0)
+        .count()
+    )
+
+    timings = {}
+    for name, fn in (
+        ("chunked", within_label_knn_chunked),
+        ("quadratic", within_label_knn_dense),
+    ):
+        t0 = time.perf_counter()
+        n_out = fn(spark, out).count()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        timings[f"{name}_rows"] = n_out
+    print(
+        json.dumps(
+            {
+                "metric": "simskew_probe",
+                "multiplier": MULT,
+                "n_rows": n_rows,
+                "dominant_label_rows": n_dom,
+                "timings_sec": timings,
+            }
+        )
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    simskew() if SIMSKEW else main()

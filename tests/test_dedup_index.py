@@ -282,3 +282,36 @@ def test_media_phash_pairs_compose_with_cluster_index(spark, tmp_path):
         (r.cluster_id, r.cluster_size) for r in cc.clusters(spark).collect()
     }
     assert clusters == {(B + 0, 3), (B + 10, 2)}
+
+
+@pytest.mark.slow
+def test_cluster_index_million_pair_batch(spark, tmp_path):
+    """The documented driver budget: a single update() carrying 10^6
+    candidate pairs (one chain unifying 10^6+1 docs) completes with a
+    bounded Python heap — O(pairs) collected rows + endpoint set +
+    parent map, NOT O(corpus) and never quadratic. tracemalloc pins the
+    driver-side allocation peak; the converged answer (one cluster,
+    min-id survivor) pins union-find correctness over a worst-case
+    path-compression chain."""
+    import tracemalloc
+
+    from travel_data_ingestion_spark.dedup_index import ClusterIndex
+
+    n = 1_000_000
+    docs = spark.range(n + 1).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    cc = ClusterIndex(str(tmp_path / "cc"))
+    tracemalloc.start()
+    merges = cc.update(spark, docs, pairs)
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # a few hundred bytes/pair: collected Rows + endpoint set + parent
+    # map. 2 GiB headroom catches any O(corpus) or quadratic regression
+    # while staying robust to Row-representation changes.
+    assert peak < 2 * 1024**3, f"driver peak {peak/1e9:.2f} GB exceeds budget"
+    assert merges == {}  # all endpoints fresh: no pre-existing clusters
+    clusters = cc.clusters(spark).collect()
+    assert len(clusters) == 1
+    assert (clusters[0].cluster_id, clusters[0].cluster_size) == (0, n + 1)

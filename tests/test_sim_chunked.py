@@ -1,10 +1,12 @@
-"""sim08 (chunked within-label KNN) must equal sim04 exactly.
+"""The chunked within-label KNN (sim04, the registry primary since
+round 6) must equal the dense quadratic kernel exactly.
 
-sim08 exists because sim04's per-group n x n cosine matrix is a memory
-cliff under label skew; the chunked kernel bounds the matrix to
-chunk x n. Same semantics, same oracle — so the two queries must agree
-row-for-row on real data and on adversarial fixtures (dominant label
-spanning many chunks, duplicate vectors stressing the id-asc tiebreak).
+The chunked kernel is primary because the dense kernel's per-group
+n x n cosine matrix is a memory cliff under label skew; chunking bounds
+the matrix to chunk x n (dominant-label probe numbers in NOTES.md).
+Same semantics, same oracle — so the two kernels must agree row-for-row
+on real data and on adversarial fixtures (dominant label spanning many
+chunks, duplicate vectors stressing the id-asc tiebreak).
 """
 
 from __future__ import annotations
@@ -14,8 +16,8 @@ import pyarrow.parquet as pq
 
 from tests.conftest import SF_DIR
 from travel_data_ingestion_spark.queries.llm_similarity import (
-    sim04_within_label_knn,
-    sim08_within_label_knn_chunked,
+    within_label_knn_chunked,
+    within_label_knn_dense,
 )
 
 
@@ -24,8 +26,8 @@ def _rows(df) -> set[tuple]:
 
 
 def test_chunked_equals_full_on_testdata(spark):
-    assert _rows(sim08_within_label_knn_chunked(spark, SF_DIR)) == _rows(
-        sim04_within_label_knn(spark, SF_DIR)
+    assert _rows(within_label_knn_chunked(spark, SF_DIR)) == _rows(
+        within_label_knn_dense(spark, SF_DIR)
     )
 
 
@@ -59,8 +61,8 @@ def test_chunked_equals_full_on_skewed_fixture(spark, tmp_path):
     pq.write_table(tbl, str(d / "embeddings.parquet"))
     sf_dir = str(d)
 
-    full = _rows(sim04_within_label_knn(spark, sf_dir))
-    chunked = _rows(sim08_within_label_knn_chunked(spark, sf_dir, chunk_size=16))
+    full = _rows(within_label_knn_dense(spark, sf_dir))
+    chunked = _rows(within_label_knn_chunked(spark, sf_dir, chunk_size=16))
     assert chunked == full
     # duplicate-vector tiebreak: 300's neighbors are 301, 302 at 1.0
     assert {(300, 0, 301, 1.0), (300, 0, 302, 1.0)} <= chunked

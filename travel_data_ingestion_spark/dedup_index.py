@@ -311,6 +311,21 @@ class ClusterIndex:
     semi-filtered map-only scan of ``assign`` (row-group pruned under a
     doc_id-sorted layout; no shuffle).
 
+    DRIVER BUDGET (the stated bound, not an aspiration): ``update``
+    collects the batch's distinct pairs and union-finds them on the
+    driver — heap is O(distinct pairs + distinct endpoints) at a few
+    hundred bytes per pair (collected Rows + the endpoint set + the
+    parent map; iterative find, path-compressed, no recursion). Size
+    batches to **<= ~10^7 candidate pairs** (~ a few GB of driver heap);
+    a 10^6-pair chain batch is pinned by
+    tests/test_dedup_index.py::test_cluster_index_million_pair_batch to
+    complete within a bounded Python heap. A pathological micro-batch
+    above the budget (~10^8 pairs) must be SPLIT — feed the pairs in
+    slices via repeated ``update`` calls with the same ``batch`` docs;
+    correctness is unaffected because merges compose across calls (the
+    batched == one-shot invariant below), only the per-call driver
+    footprint changes.
+
     Invariant (tests/test_dedup_index.py): feeding batches of
     MinHashIndex.update's new pairs reproduces one-shot dd06 exactly.
     """

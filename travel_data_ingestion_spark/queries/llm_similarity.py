@@ -227,24 +227,21 @@ _WITHIN_LABEL_KNN_ORACLE = """
     """
 
 
-@register(
-    "sim04_within_label_knn",
-    _WITHIN_LABEL_KNN_ORACLE,
-    survey_ops=("X-SIM-4",),
-    doc="Per-partition KNN via grouped applyInPandas: each label group "
-    "arrives as one pandas DataFrame (Arrow batch), numpy computes the "
-    "full cosine matrix vectorized, and only the top-2 neighbor rows "
-    "return to the JVM. The grouped-map UDF family's canonical use: "
-    "per-group dense linear algebra that has no Catalyst expression. "
-    "MEMORY CONTRACT: the whole group's vectors (O(n x dim)) AND the "
-    "full n x n cosine matrix live in one executor's heap — at n=100k, "
-    "dim=64 that is ~50 MB of vectors but an 80 GB matrix. Fine when an "
-    "upstream coarse quantizer bounds cluster size (the IVF contract); "
-    "a dominant label at 100 TB must route through sim08's chunked "
-    "variant, which bounds the matrix to chunk x n. Scores rounded to "
-    "4dp; nbr-asc tiebreak pins ordering.",
-)
-def sim04_within_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def within_label_knn_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic per-group KNN kernel — the BOUNDED-GROUP special case,
+    deliberately NOT the registry's within-label KNN (that is
+    sim04_within_label_knn, the chunked kernel, since round 6 — the
+    dominant-label probe in NOTES.md shows this kernel cliffing while
+    the chunked one stays flat). Kept for groups an upstream coarse
+    quantizer bounds (the IVF contract), where one n x n numpy matrix
+    per group is the fastest shape. Each label group arrives as one
+    pandas DataFrame (Arrow batch); numpy computes the full cosine
+    matrix; only top-2 neighbor rows return to the JVM. MEMORY
+    CONTRACT: O(n x dim) vectors AND the n x n matrix live in one
+    executor's heap — at n=100k, dim=64 that is ~50 MB of vectors but
+    an 80 GB matrix, plus a Python sort per row (O(n^2 log n)
+    interpreter work). Equality with the chunked kernel is pinned by
+    tests/test_sim_chunked.py."""
     import numpy as np
     import pandas as pd
 
@@ -273,21 +270,25 @@ def sim04_within_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sim08_within_label_knn_chunked",
+    "sim04_within_label_knn",
     _WITHIN_LABEL_KNN_ORACLE,
     survey_ops=("X-SIM-4",),
-    doc="sim04's dominant-label scale path: identical semantics (same "
-    "oracle — per-label exact top-2 cosine neighbors), but the per-group "
-    "kernel never materializes the n x n matrix. Query rows stream in "
-    "CHUNKS of 256: each chunk computes a chunk x n block, reduces it to "
-    "top-2 per row via argpartition, and frees the block before the "
-    "next. Peak memory is O(n x dim) vectors + O(chunk x n) block — at "
-    "n=1M, dim=64 that is ~500 MB + ~2 GB per chunk step instead of an "
-    "8 TB matrix, turning the label-skew cliff into a linear pass. "
-    "Equality with sim04 on skewed fixtures is pinned by "
-    "tests/test_sim_chunked.py.",
+    doc="Within-label exact KNN (top-2 cosine neighbors per vector "
+    "inside its label group) via grouped applyInPandas — the CHUNKED "
+    "kernel, the registry's primary since round 6 (formerly registered "
+    "as sim08; the quadratic kernel remains as the unregistered "
+    "within_label_knn_dense helper for quantizer-bounded groups, "
+    "equality pinned by tests/test_sim_chunked.py). The per-group "
+    "kernel never materializes the n x n matrix: query rows stream in "
+    "CHUNKS of 256; each chunk computes a chunk x n block, reduces it "
+    "to top-2 per row via argpartition preselect, and frees the block "
+    "before the next. Peak memory is O(n x dim) vectors + O(chunk x n) "
+    "block — at n=1M, dim=64 that is ~500 MB + ~2 GB per chunk step "
+    "instead of an 8 TB matrix, so a dominant label at 100 TB is a "
+    "linear pass, not a cliff (dominant-label probe numbers in "
+    "NOTES.md). Scores rounded to 4dp; nbr-asc tiebreak pins ordering.",
 )
-def sim08_within_label_knn_chunked(
+def sim04_within_label_knn(
     spark: SparkSession, sf_dir: str, chunk_size: int = 256
 ) -> DataFrame:
     import numpy as np
@@ -306,7 +307,7 @@ def sim08_within_label_knn_chunked(
         out = []
         for lo in range(0, n, chunk_size):
             hi = min(lo + chunk_size, n)
-            # same FP expression as sim04 (dot / norm-product), evaluated
+            # same FP expression as the dense kernel (dot / norm-product), evaluated
             # one row-block at a time — identical rounded scores.
             block = np.round((mat[lo:hi] @ mat.T) / (norms[lo:hi] @ norms.T), 4)
             for bi in range(hi - lo):
@@ -334,6 +335,11 @@ def sim08_within_label_knn_chunked(
     return emb.groupBy("label").applyInPandas(
         topk_chunked, schema="vec_id long, label int, nbr long, cos_sim double"
     )
+
+
+# Kernel-explicit alias (scale_probe / external callers): the registry's
+# primary within-label KNN IS the chunked kernel.
+within_label_knn_chunked = sim04_within_label_knn
 
 
 @register(

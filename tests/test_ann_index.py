@@ -16,6 +16,9 @@ from travel_data_ingestion_spark.ann_index import PQIndex
 from travel_data_ingestion_spark.pq import adc_topk
 from travel_data_ingestion_spark.queries import load_table
 
+# slow lane (incremental IVF-PQ index build/update/search); default gate covers the area via faster tests
+pytestmark = pytest.mark.slow
+
 QUERY_VEC_ID = 7
 
 

@@ -9,6 +9,9 @@ import pytest
 from tests.test_pipeline_e2e import pipeline_wh  # noqa: F401 (fixture reuse)
 from travel_data_ingestion_spark import dashboard as dash
 
+# slow lane (dashboard-surface e2e over the built pipeline); default gate covers the area via faster tests
+pytestmark = pytest.mark.slow
+
 START, END = "2026-02-01", "2026-02-10"
 
 

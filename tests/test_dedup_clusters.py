@@ -4,6 +4,8 @@ LSH pair graph — verified against a driver-side union-find."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SF_DIR
 from travel_data_ingestion_spark.queries import all_queries
 
@@ -31,6 +33,7 @@ def _union_find_clusters(pairs):
     return {root: members for root, members in clusters.items() if len(members) > 1}
 
 
+@pytest.mark.slow
 def test_clusters_match_union_find(spark):
     specs = all_queries()
     pairs = [

@@ -102,6 +102,7 @@ def _embedding_corpus(spark):
     )
 
 
+@pytest.mark.slow
 def test_embedding_incremental_equals_batch(spark, tmp_path):
     """EmbeddingIndex: accumulating update outputs over arbitrary batches
     equals the one-shot dd05 pair set (same planes, probes, threshold)."""
@@ -131,6 +132,7 @@ def test_embedding_incremental_equals_batch(spark, tmp_path):
     assert got == full
 
 
+@pytest.mark.slow
 def test_embedding_replay_is_noop(spark, tmp_path):
     from travel_data_ingestion_spark.dedup_index import EmbeddingIndex
 
@@ -148,6 +150,7 @@ def _clusters(df) -> set[tuple]:
     return {(r.cluster_id, r.cluster_size, r.kept_doc_id) for r in df.collect()}
 
 
+@pytest.mark.slow
 def test_cluster_index_incremental_equals_dd06(spark, tmp_path):
     """Batched MinHashIndex pairs fed through ClusterIndex reproduce the
     one-shot dd06 connected components exactly — the schedule changes,
@@ -168,6 +171,7 @@ def test_cluster_index_incremental_equals_dd06(spark, tmp_path):
     assert cc.resolve(spark).count() == docs.count()
 
 
+@pytest.mark.slow
 def test_cluster_index_merge_and_compression(spark, tmp_path):
     """A later edge merging two pre-existing clusters updates labels for
     BOTH old clusters without touching assign/, and the merge log stays
@@ -237,6 +241,7 @@ def test_cluster_index_collect_is_pairs_bounded(spark, tmp_path, monkeypatch):
     assert resolved.filter(F.col("doc_id") == 42).collect()[0].cluster_id == 17
 
 
+@pytest.mark.slow
 def test_cluster_index_replay_and_unknown_endpoint(spark, tmp_path):
     from travel_data_ingestion_spark.dedup_index import ClusterIndex
 
@@ -256,6 +261,7 @@ def test_cluster_index_replay_and_unknown_endpoint(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_media_phash_pairs_compose_with_cluster_index(spark, tmp_path):
     """Multimodal near-dup clustering needs no new operator: mm03's
     perceptual-hash pairs feed ClusterIndex unchanged (pair schema is

@@ -18,6 +18,9 @@ from tests.fixtures_gen import generate_landing
 from travel_data_ingestion_spark.catalog import Warehouse
 from travel_data_ingestion_spark.pipeline import run_pipeline
 
+# slow lane (full ingest->silver->gold e2e vs the reference SQL); default gate covers the area via faster tests
+pytestmark = pytest.mark.slow
+
 # DuckDB rendering of the reference gold SQL (sp_full_travel_costs.sql).
 FULL_COST_ORACLE = """
 WITH spending_file_filter AS (

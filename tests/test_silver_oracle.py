@@ -5,9 +5,14 @@ from BRONZE parquet with the reference's transform semantics."""
 
 from __future__ import annotations
 
+import pytest
+
 import duckdb
 
 from tests.test_pipeline_e2e import pipeline_wh  # noqa: F401 (fixture)
+
+# slow lane (silver transforms vs reference SQL via DuckDB); default gate covers the area via faster tests
+pytestmark = pytest.mark.slow
 
 
 def _con(wh):

@@ -7,6 +7,8 @@ completion synchronously (batch-of-files as a bounded stream).
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -19,6 +21,10 @@ from travel_data_ingestion_spark.streaming import (
     stream_ingest_csv,
     windowed_event_stats,
 )
+
+# slow lane (cross-micro-batch streaming == one-shot invariants);
+# default gate covers the area via faster tests
+pytestmark = pytest.mark.slow
 
 EVENT_SCHEMA = T.StructType(
     [

@@ -68,12 +68,20 @@ def test_dirty_batch_dedups_vec_ids(spark, tmp_path):
     row — the anti-join only excludes previously STORED ids, so without
     the in-batch dedup both copies would append and break the
     exactly-once ledger contract."""
-    corpus = _corpus(spark).limit(64)
+    # orderBy before every limit: an unordered limit may pick different
+    # rows on re-evaluation (this plan is evaluated multiple times —
+    # build, the isin collect, and twice through the self-union).
+    corpus = _corpus(spark).orderBy("vec_id").limit(64)
     idx = PQIndex(str(tmp_path / "idx"))
     idx.build(spark, corpus)
-    fresh = _corpus(spark).filter(~F.col("vec_id").isin(
-        [r.vec_id for r in corpus.select("vec_id").collect()]
-    )).limit(8)
+    fresh = (
+        _corpus(spark)
+        .filter(~F.col("vec_id").isin(
+            [r.vec_id for r in corpus.select("vec_id").collect()]
+        ))
+        .orderBy("vec_id")
+        .limit(8)
+    )
     dirty = fresh.unionByName(fresh)  # every new id appears twice
     assert idx.update(spark, dirty) == 8
     dup_ids = (

@@ -96,6 +96,36 @@ def test_curriculum_salted_rank_equals_global_window(spark):
     assert got == expected
 
 
+def test_curriculum_keeps_null_stratum_rows(spark):
+    """A NULL stratum (docs with no language tag) is a real curriculum
+    stratum, not a row to silently drop: equi-joins discard NULL keys,
+    so the salted-rank pipeline must rank and weight through a
+    NULL-normalized proxy. Equality with the naive window rank (which
+    keeps NULLs as their own partition) is the contract."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    null_rows = spark.createDataFrame(
+        [(10_000_001, None), (10_000_002, None), (10_000_003, None)],
+        "doc_id long, lang string",
+    )
+    mixed = docs.unionByName(null_rows)
+    out = curriculum_interleave(mixed, stratum="lang").collect()
+    assert len(out) == mixed.count(), "rows were dropped"
+    got = {r.doc_id: (r.lang, r.rk) for r in out}
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    expected = {
+        r.doc_id: (r.lang, r.rk)
+        for r in mixed.select(
+            "doc_id", "lang", (F.row_number().over(w) - 1).cast("long").alias("rk")
+        ).collect()
+    }
+    assert got == expected
+    # the NULL stratum got a real weight: its rows carry finite vt
+    null_vts = [r.vt for r in out if r.lang is None]
+    assert len(null_vts) == 3 and all(v > 0 for v in null_vts)
+
+
 def test_curriculum_stride_property(spark):
     """Stride scheduling's defining property: in any prefix of the
     curriculum ending at virtual time T, stratum s has contributed

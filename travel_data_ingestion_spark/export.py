@@ -31,6 +31,28 @@ def shard_id(key: F.Column, n_shards: int) -> F.Column:
     return F.pmod(F.xxhash64(key), F.lit(n_shards)).cast("int")
 
 
+def _write_shards(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_shards: int,
+    sort_cols: list[str],
+    max_records_per_file: int | None,
+) -> None:
+    """Shared shard-writer: deterministic hash shard id on ``key``, one
+    task per shard, rows sorted by ``sort_cols`` within files."""
+    sharded = df.withColumn(SHARD_COL, shard_id(F.col(key), n_shards))
+    writer = (
+        sharded.repartition(n_shards, SHARD_COL)
+        .sortWithinPartitions(SHARD_COL, *sort_cols)
+        .write.mode("overwrite")
+        .partitionBy(SHARD_COL)
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -41,16 +63,7 @@ def write_training_shards(
     """Write ``df`` as ``n_shards`` deterministic hash shards under
     ``path`` (dirs ``shard=0/`` .. ``shard=N-1/``), rows sorted by
     ``key`` within files."""
-    sharded = df.withColumn(SHARD_COL, shard_id(F.col(key), n_shards))
-    writer = (
-        sharded.repartition(n_shards, SHARD_COL)
-        .sortWithinPartitions(SHARD_COL, key)
-        .write.mode("overwrite")
-        .partitionBy(SHARD_COL)
-    )
-    if max_records_per_file is not None:
-        writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.parquet(path)
+    _write_shards(df, path, key, n_shards, [key], max_records_per_file)
 
 
 def curriculum_interleave(
@@ -81,32 +94,42 @@ def curriculum_interleave(
     is order-independent across engines; vt's arithmetic
     ((rk+1) * s / sqrt(n_s)) is IEEE-exact and identical in DuckDB.
     """
+    # All grouping/join/window keys use a NULL-normalized stratum proxy
+    # (skey): equi-joins drop NULL keys, so a NULL stratum (e.g. docs
+    # with no language tag) would silently vanish from the curriculum,
+    # while the naive window rank this function must equal keeps NULLs
+    # as their own partition. The original stratum value (NULL included)
+    # is carried through to the output untouched.
     hkey = F.md5(F.col(key).cast("string"))
+    skey = F.coalesce(F.col(stratum).cast("string"), F.lit("\x00<null-stratum>"))
     base = (
         df.select(stratum, key)
+        .withColumn("skey", skey)
         .withColumn("hkey", hkey)
         .withColumn("bkt", F.substring("hkey", 1, 2))
     )
-    counts = base.groupBy(stratum, "bkt").agg(F.count(F.lit(1)).alias("n_b"))
+    counts = base.groupBy("skey", "bkt").agg(F.count(F.lit(1)).alias("n_b"))
     woff = (
-        Window.partitionBy(stratum)
+        Window.partitionBy("skey")
         .orderBy("bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        stratum, "bkt", F.coalesce(F.sum("n_b").over(woff), F.lit(0)).alias("off")
+        "skey", "bkt", F.coalesce(F.sum("n_b").over(woff), F.lit(0)).alias("off")
     )
-    wr = Window.partitionBy(stratum, "bkt").orderBy("hkey", key)
-    ranked = base.join(F.broadcast(offsets), [stratum, "bkt"]).withColumn(
+    wr = Window.partitionBy("skey", "bkt").orderBy("hkey", key)
+    ranked = base.join(F.broadcast(offsets), ["skey", "bkt"]).withColumn(
         "rk", (F.row_number().over(wr) - 1 + F.col("off")).cast("long")
     )
-    stats = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("n_docs"))
+    # Per-stratum totals fold the ALREADY-computed bucket counts (<=256
+    # rows per stratum) — no third scan of the corpus.
+    stats = counts.groupBy("skey").agg(F.sum("n_b").alias("n_docs"))
     tot = stats.agg(
         F.sum(F.sqrt("n_docs").cast("decimal(28,12)")).cast("double").alias("s")
     )
     vt = (F.col("rk") + 1) * F.col("s") / F.sqrt(F.col("n_docs"))
     return (
-        ranked.join(F.broadcast(stats), stratum)
+        ranked.join(F.broadcast(stats), "skey")
         .crossJoin(F.broadcast(tot))
         .select(key, stratum, "rk", vt.alias("vt"))
     )
@@ -125,13 +148,4 @@ def write_curriculum_shards(
     streams replays the global curriculum order; the write itself is one
     hash shuffle + a sorted write — no global sort, no driver
     involvement, the same 100 TB shape as write_training_shards."""
-    sharded = vts.withColumn(SHARD_COL, shard_id(F.col(key), n_shards))
-    writer = (
-        sharded.repartition(n_shards, SHARD_COL)
-        .sortWithinPartitions(SHARD_COL, "vt", key)
-        .write.mode("overwrite")
-        .partitionBy(SHARD_COL)
-    )
-    if max_records_per_file is not None:
-        writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.parquet(path)
+    _write_shards(vts, path, key, n_shards, ["vt", key], max_records_per_file)

@@ -811,8 +811,11 @@ def _dedup_clusters_oracle() -> str:
 # dd06) and cu09 all consume the SAME label table in one grading run, and
 # before this memo each caller cached a fresh copy of the edge set and
 # re-ran the whole dd03 pipeline + propagation. Entries are small (one
-# (doc_id, label) row per doc, materialized) and at most one per sf_dir.
+# (doc_id, label) row per doc, materialized); the memo is capped and
+# evicts (unpersisting) oldest-first so a long-lived process cycling
+# SparkSessions/sf_dirs cannot accumulate dead cached DataFrames.
 _CC_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CC_LABELS_CACHE_CAP = 8
 
 
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -822,10 +825,14 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     (leakage-safe splits); memoized per (application, sf_dir).
 
     The edge set is cached only for the duration of the propagation loop
-    and unpersisted once the converged labels are materialized
-    (localCheckpoint truncates the 30-join lineage, so later evaluations
-    never replay dd03 or the loop) — a try/finally, so a convergence
-    failure cannot leak the cache either."""
+    and unpersisted once the converged labels are materialized — a
+    try/finally, so a convergence failure cannot leak the cache either.
+    Materialization is persist(MEMORY_AND_DISK) + eager count, NOT
+    localCheckpoint: persisted blocks keep their lineage, so losing an
+    executor mid-application degrades to a recompute instead of a
+    permanent 'checkpoint block not found' failure for every later
+    dd06/dd07/cu09 call — the failure mode that matters on a real
+    cluster even though local[32] never hits it."""
     key = (spark.sparkContext.applicationId, sf_dir)
     memo = _CC_LABELS_CACHE.get(key)
     if memo is not None:
@@ -870,9 +877,19 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dd06: label propagation did not converge in 30 passes — "
                 "refusing to return a partially-clustered result"
             )
-        labels = labels.localCheckpoint(eager=True)
+        from pyspark import StorageLevel
+
+        labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+        labels.count()  # eager materialization before the edge cache drops
     finally:
         edges.unpersist()
+    while len(_CC_LABELS_CACHE) >= _CC_LABELS_CACHE_CAP:
+        _old_key = next(iter(_CC_LABELS_CACHE))
+        _old = _CC_LABELS_CACHE.pop(_old_key)
+        try:
+            _old.unpersist()
+        except Exception:
+            pass  # owning SparkContext may already be stopped
     _CC_LABELS_CACHE[key] = labels
     return labels
 

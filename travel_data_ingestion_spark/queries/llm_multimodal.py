@@ -144,3 +144,68 @@ def mm03_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(sigs, "media_id", "phash").select(
         F.col("id_a").alias("media_a"), F.col("id_b").alias("media_b"), "hamming"
     )
+
+
+def _media_clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+{_phash_dedup_oracle()}
+    ),
+    edges AS (
+      SELECT media_a AS src, media_b AS dst FROM pairs
+      UNION
+      SELECT media_b AS src, media_a AS dst FROM pairs
+    ),
+    reach (node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT q.node, e.dst FROM reach q JOIN edges e ON e.src = q.r
+    ),
+    labels AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id,
+           COUNT(*) AS cluster_size,
+           MIN(node) AS kept_media_id
+    FROM labels
+    GROUP BY cluster_id
+    HAVING COUNT(*) > 1
+    """
+
+
+@register(
+    "mm04_media_dedup_clusters",
+    _media_clusters_oracle(),
+    survey_ops=("X-MM-4",),
+    doc="Multimodal near-dup clustering: connected components over "
+    "mm03's perceptual-hash pair graph via the same bounded min-label "
+    "propagation dd06 runs on text (llm_dedup.propagate_min_labels — "
+    "the pair schema is the contract, so media clustering is the text "
+    "machinery applied to a different signature). Survivors = cluster "
+    "minima; the planted duplicate media collapse into a size-3 and a "
+    "size-2 cluster every round, keeping the row non-vacuous. "
+    "Propagation runs over edge endpoints only (O(pairs) per pass, "
+    "converged-verified, memoized per run); the DuckDB oracle computes "
+    "the same components with a recursive-CTE transitive closure. The "
+    "incremental/streaming form of the same composition is "
+    "ClusterIndex fed by mm03 pairs "
+    "(tests/test_dedup_index.py::test_media_phash_pairs_compose_with_cluster_index).",
+)
+def mm04_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.queries.llm_dedup import graph_labels
+
+    labels = graph_labels(
+        spark,
+        sf_dir,
+        "mm03",
+        lambda: mm03_phash_dedup(spark, sf_dir).select("media_a", "media_b"),
+        a_col="media_a",
+        b_col="media_b",
+    )
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("node").alias("kept_media_id"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .orderBy("cluster_id")
+    )

@@ -472,3 +472,72 @@ def t08_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_before") % seq_len).alias("seq_offset"),
         (seq_end - seq_start + 1).alias("n_seqs_spanned"),
     )
+
+
+
+_BOILER_DF = 3  # a shingle in >= 3 docs is corpus boilerplate
+
+
+def _boilerplate_oracle() -> str:
+    from travel_data_ingestion_spark.queries.llm_dedup import (
+        _SHINGLES_SQL,
+        _TOKENIZE_SQL,
+    )
+
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM documents WHERE len({_TOKENIZE_SQL}) >= 3
+    ),
+    ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle FROM sh
+    ),
+    dfs AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
+    scored AS (
+      SELECT e.doc_id, MAX(e.n_sh) AS n_sh,
+             COUNT(*) FILTER (d.df >= {_BOILER_DF}) AS n_boiler
+      FROM ex e JOIN dfs d ON e.shingle = d.shingle
+      GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_sh, n_boiler,
+           ROUND(CAST(n_boiler AS DOUBLE) / n_sh, 6) AS boilerplate_frac
+    FROM scored
+    """
+
+
+@register(
+    "t10_boilerplate_coverage",
+    _boilerplate_oracle(),
+    survey_ops=("X-TEXT-10",),
+    doc="Cross-document boilerplate coverage (CCNet/RefinedWeb-style "
+    "common-content signal): a 3-token shingle appearing in >= 3 "
+    "documents is corpus boilerplate (headers, templates, scraped "
+    "chrome); each doc reports how much of it is made of such shingles. "
+    "Complements t09 (INTRA-doc repetition) and cu03 (overlap vs a "
+    "BENCHMARK): this is repetition ACROSS the corpus itself — the "
+    "signal behind common-line/paragraph removal in production "
+    "pretraining pipelines. At 100 TB: one shingle-df aggregation "
+    "(uniform hash keys, map-side partial agg), a rejoin on shingle "
+    "(hot boilerplate shingles fan out to their own occurrence rows "
+    "only — no pair blowup possible, unlike a dedup self-join), one "
+    "per-doc aggregation. Folded into su07 (corpus-level text suite).",
+)
+def t10_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.queries.llm_dedup import shingle_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_docs(docs)
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    dfs = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        ex.join(dfs, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_sh").alias("n_sh"),
+            F.count(F.when(F.col("df") >= _BOILER_DF, 1)).alias("n_boiler"),
+        )
+    )
+    frac = F.col("n_boiler").cast("double") / F.col("n_sh")
+    return scored.select(
+        "doc_id", "n_sh", "n_boiler", F.round(frac, 6).alias("boilerplate_frac")
+    )

@@ -131,9 +131,9 @@ SUITES: dict[str, tuple[list[str], str]] = {
         "all map-only Catalyst expressions.",
     ),
     "su07_text_corpus_suite": (
-        ["t05_vocabulary", "t06_tfidf_keywords"],
-        "Corpus-level text suite: vocabulary statistics and TF-IDF "
-        "keyword extraction.",
+        ["t05_vocabulary", "t06_tfidf_keywords", "t10_boilerplate_coverage"],
+        "Corpus-level text suite: vocabulary statistics, TF-IDF "
+        "keyword extraction, cross-document boilerplate coverage.",
     ),
 }
 

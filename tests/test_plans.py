@@ -72,6 +72,15 @@ def test_topk_uses_take_ordered(spark):
     assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
 
 
+def test_curriculum_head_uses_take_ordered(spark):
+    """cu10's graded head must be a top-k (TakeOrderedAndProject), never
+    a global sort: the only Sort nodes allowed are the bounded
+    per-partition window sorts of the salted rank (each covers one
+    (stratum, bucket) slice, n_s/256 rows) and the final k-row window."""
+    plan = _formatted_plan(spark, "cu10_curriculum_export")
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_partial_aggregation_before_shuffle(spark):
     plan = _formatted_plan(spark, "d06_pivot_sum_case")
     # HashAggregate appears twice: partial (map-side) + final

@@ -550,9 +550,13 @@ def _curriculum_oracle() -> str:
       FROM documents
     ),
     vts AS (
+      -- null-safe stratum join: a NULL lang is a real stratum (the
+      -- Spark side ranks it through a NULL-normalized proxy), so the
+      -- oracle must not drop it either
       SELECT r.doc_id, r.lang, r.rk,
              (r.rk + 1) * t.s / sqrt(st.n_docs) AS vt
-      FROM ranked r JOIN stats st ON r.lang = st.lang CROSS JOIN tot t
+      FROM ranked r JOIN stats st ON r.lang IS NOT DISTINCT FROM st.lang
+      CROSS JOIN tot t
     ),
     head AS (
       SELECT doc_id, lang, rk, vt FROM vts ORDER BY vt, lang, doc_id LIMIT 200

@@ -77,3 +77,45 @@ def test_leakage_safe_split_never_straddles_near_dups(spark):
     frac_train = sum(1 for s, _ in split_of.values() if s == "train") / n
     assert 0.7 <= frac_train <= 0.9, frac_train
     assert {s for s, _ in split_of.values()} == {"train", "val", "test"}
+
+
+def test_propagate_min_labels_matches_union_find_on_random_graphs(spark):
+    """The graph-generic propagation (mm04's path) must equal a Python
+    union-find on arbitrary graph shapes — random sparse graphs plus a
+    worst-case chain and a star, which stress the iteration bound and
+    the min-label choice."""
+    import random
+
+    from travel_data_ingestion_spark.queries.llm_dedup import propagate_min_labels
+
+    cases = []
+    for seed in range(3):
+        rng = random.Random(seed)
+        n = rng.randint(5, 40)
+        edges = {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(rng.randint(1, n * 2))
+        }
+        cases.append(edges)
+    cases.append({(i, i + 1) for i in range(20)})        # chain (max diameter)
+    cases.append({(0, i) for i in range(1, 15)})          # star
+    cases.append({(0, 1), (2, 3), (4, 5), (1, 2)})        # partial merges
+
+    for edges in cases:
+        pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+        df = propagate_min_labels(pairs, "doc_a", "doc_b")
+        labels = {r.node: r.label for r in df.collect()}
+        df.unpersist()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in {v for e in edges for v in e}}
+        assert labels == expected, sorted(edges)

@@ -831,12 +831,27 @@ def propagate_min_labels(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
     practice, convergence verified, never assumed. The edge set is
     cached only for the duration of the loop and unpersisted once the
     converged labels are materialized — a try/finally, so a convergence
-    failure cannot leak the cache. Materialization is
-    persist(MEMORY_AND_DISK) + eager count, NOT localCheckpoint:
-    persisted blocks keep their lineage, so losing an executor
-    mid-application degrades to a recompute instead of a permanent
-    'checkpoint block not found' failure — the failure mode that
-    matters on a real cluster even though local[32] never hits it."""
+    failure cannot leak the cache.
+
+    LINEAGE TRUNCATION IS LOAD-BEARING: each pass references the
+    previous labels THREE times (neighbor lookup, the least-merge, the
+    convergence check), so without truncation the logical plan doubles
+    per pass and Catalyst analysis goes exponential — a diameter-20
+    chain hangs planning long before any data moves. Every pass
+    therefore checkpoints its result: reliable ``checkpoint`` when the
+    SparkContext has a checkpoint dir (set one on a real cluster —
+    executor loss then costs nothing), ``localCheckpoint`` otherwise
+    (fine in single-JVM local mode, where executor loss means the app
+    died anyway)."""
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        try:
+            reliable = sc._jsc.sc().getCheckpointDir().isDefined()
+        except Exception:
+            reliable = False
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -844,7 +859,7 @@ def propagate_min_labels(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
         .cache()
     )
     try:
-        labels = (
+        labels = _truncate(
             edges.select(F.col("src").alias("node"))
             .distinct()
             .select("node", F.col("node").alias("label"))
@@ -856,7 +871,7 @@ def propagate_min_labels(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
                 .groupBy(F.col("src").alias("node"))
                 .agg(F.min("label").alias("nbr_label"))
             )
-            new_labels = (
+            new_labels = _truncate(
                 labels.join(neighbor_min, "node", "left")
                 .select(
                     "node",
@@ -879,10 +894,6 @@ def propagate_min_labels(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
                 "label propagation did not converge in 30 passes — "
                 "refusing to return a partially-clustered result"
             )
-        from pyspark import StorageLevel
-
-        labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
-        labels.count()  # eager materialization before the edge cache drops
     finally:
         edges.unpersist()
     return labels

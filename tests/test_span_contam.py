@@ -1,0 +1,57 @@
+"""cu11 span-level contamination: island-merge semantics, pinned.
+
+Planted fixture for ``merge_hit_spans``: overlapping and adjacent hit
+shingles must merge into one span; a gap of >= 2 tokens between covered
+ranges must split spans. Plus a cross-check that cu11's per-doc shingle
+totals agree with cu03's exact hit counts (same benchmark split, same
+3-gram join — cu11 only adds WHERE in the doc each hit lands).
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+from travel_data_ingestion_spark.queries.llm_curation import (
+    cu03_decontaminate,
+    cu11_span_contamination,
+    merge_hit_spans,
+)
+
+
+def test_merge_hit_spans_islands(spark):
+    # n=3: a hit at pos p covers tokens [p, p+2].
+    # doc 1: hits at 0,1,2 overlap -> one span [0,4];
+    #        hit at 6 is adjacent to end 4+1=5? no: 6 > 4+1 -> new span [6,8];
+    #        hit at 9 starts exactly at 8+1 -> merges -> [6,11].
+    # doc 2: single hit -> [5,7].
+    hits = spark.createDataFrame(
+        [(1, 0), (1, 1), (1, 2), (1, 6), (1, 9), (2, 5)],
+        "doc_id int, pos int",
+    )
+    rows = {
+        (r.doc_id, r.span_idx): (r.span_start, r.span_end, r.span_tokens, r.n_hit_shingles)
+        for r in merge_hit_spans(hits, 3).collect()
+    }
+    assert rows == {
+        (1, 1): (0, 4, 5, 3),
+        (1, 2): (6, 11, 6, 2),
+        (2, 1): (5, 7, 3, 1),
+    }
+
+
+def test_span_totals_match_exact_decontam(spark):
+    spans = cu11_span_contamination(spark, SF_DIR).collect()
+    assert spans, "fixture vacuous: no contaminated spans at test SF"
+    per_doc: dict[int, int] = {}
+    for r in spans:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_hit_shingles
+        assert r.span_end - r.span_start + 1 == r.span_tokens
+        assert r.span_tokens >= 3  # a single 3-gram hit covers 3 tokens
+
+    # cu03 reports docs over the 0.2 ratio with n_hit counted over the
+    # doc's DISTINCT shingles; cu11 counts every hit POSITION. So every
+    # cu03-flagged doc must appear with at least that many positional
+    # hits (equality unless the doc repeats a contaminated shingle).
+    exact = {r.doc_id: r.n_hit for r in cu03_decontaminate(spark, SF_DIR).collect()}
+    assert exact, "fixture vacuous: cu03 flagged nothing"
+    for d, n in exact.items():
+        assert per_doc.get(d, 0) >= n, (d, per_doc.get(d), n)

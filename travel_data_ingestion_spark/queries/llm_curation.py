@@ -9,7 +9,7 @@ cards and mixture weights.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from travel_data_ingestion_spark.queries import load_table, register
@@ -127,6 +127,134 @@ def cu03_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = F.col("n_hit").cast("double") / F.col("n_sh")
     return overlap.filter(ratio >= 0.2).select(
         "doc_id", "n_hit", F.round(ratio, 6).alias("contamination_ratio")
+    )
+
+
+_SPAN_CONTAM_ORACLE = f"""
+    WITH eligible AS (
+      SELECT doc_id, {_TOKENIZE_SQL} AS t
+      FROM documents
+      WHERE len({_TOKENIZE_SQL}) >= 3
+    ),
+    bench_sh AS (
+      SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM eligible, UNNEST(range(1, greatest(len(t) - 1, 1))) AS r(i)
+      WHERE doc_id % 50 = 0
+    ),
+    pos_sh AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM eligible, UNNEST(range(1, greatest(len(t) - 1, 1))) AS r(i)
+      WHERE doc_id % 50 <> 0
+    ),
+    hits AS (
+      SELECT p.doc_id, p.pos
+      FROM pos_sh p JOIN bench_sh b USING (shingle)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 2) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM hits
+    ),
+    num AS (
+      SELECT doc_id, pos,
+             CAST(SUM(is_new) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS span_idx
+      FROM isl
+    )
+    SELECT doc_id, span_idx,
+           MIN(pos) AS span_start,
+           MAX(pos) + 2 AS span_end,
+           MAX(pos) + 2 - MIN(pos) + 1 AS span_tokens,
+           COUNT(*) AS n_hit_shingles
+    FROM num
+    GROUP BY doc_id, span_idx
+"""
+
+
+@register(
+    "cu11_span_contamination",
+    _SPAN_CONTAM_ORACLE,
+    survey_ops=("X-CURATE-11",),
+    doc="Span-level contamination report: for every training document, "
+    "the maximal contiguous TOKEN RANGES whose 3-token shingles appear "
+    "in the held-out benchmark set (doc_id%50==0, same split as cu03) — "
+    "the surgical complement to cu03's per-doc ratio: instead of "
+    "dropping a whole document over one quoted paragraph, a pipeline "
+    "can excise exactly the overlapping spans. Hit shingle positions "
+    "are merged into islands with the standard gaps-and-islands window "
+    "(a hit at position p covers tokens [p, p+2]; a new span starts "
+    "when p > prev_max_end + 1). At 100 TB: the benchmark shingle set "
+    "broadcasts (same as cu03/cu08), the positional-shingle explode is "
+    "map-side, and the island merge windows over (doc_id) — partitions "
+    "are bounded by hits per document, never by corpus size.",
+)
+def cu11_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = 3
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    eligible = docs.filter(F.size(toks) >= n)
+    bench_sh = (
+        eligible.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(_shingles(n)).alias("shingle"))
+        .distinct()
+    )
+
+    # Positional shingles: (pos, shingle) per 3-gram start. The token
+    # array is let-bound once via the single-element-array transform —
+    # same O(tokens^2) trap as _shingles (no CSE across lambdas).
+    def pos_grams(t: F.Column) -> F.Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+        gram = F.transform(
+            idx,
+            lambda i: F.struct(
+                (i - 1).cast("long").alias("pos"),
+                F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(n)]
+                ).alias("shingle"),
+            ),
+        )
+        return F.when(F.size(t) >= n, gram).otherwise(
+            F.array().cast("array<struct<pos:bigint,shingle:string>>")
+        )
+
+    pos_sh = F.element_at(F.transform(F.array(toks), pos_grams), 1)
+    hits = (
+        eligible.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", F.explode(pos_sh).alias("ps"))
+        .select("doc_id", F.col("ps.pos").alias("pos"), F.col("ps.shingle").alias("shingle"))
+        .join(F.broadcast(bench_sh), "shingle")
+        .select("doc_id", "pos")
+    )
+    return merge_hit_spans(hits, n)
+
+
+def merge_hit_spans(hits: DataFrame, n: int) -> DataFrame:
+    """Merge hit shingle start positions ``(doc_id, pos)`` into maximal
+    contiguous token spans (each hit covers tokens ``[pos, pos+n-1]``;
+    spans merge when overlapping or adjacent). Gaps-and-islands over a
+    per-document window — partition size is bounded by hits per doc."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n - 1).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "is_new", (F.col("pos") > F.coalesce(prev_end, F.lit(-2)) + 1).cast("int")
+    )
+    numbered = marked.withColumn(
+        "span_idx",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("doc_id", "span_idx").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + n - 1).alias("span_end"),
+        (F.max("pos") + n - 1 - F.min("pos") + 1).alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_hit_shingles"),
     )
 
 

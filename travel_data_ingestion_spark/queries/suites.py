@@ -113,10 +113,11 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "cu03_decontaminate",
             "cu04_corpus_stats",
             "cu05_pii_redact",
+            "cu11_span_contamination",
         ],
         "Corpus-curation suite: deterministic hash sampling, stratified "
         "quotas, benchmark decontamination, per-source stats, PII "
-        "redaction.",
+        "redaction, span-level contamination reporting.",
     ),
     "su06_text_doc_suite": (
         [

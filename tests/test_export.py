@@ -170,3 +170,42 @@ def test_curriculum_shards_replay_global_order(spark, tmp_path):
     merged = list(heapq.merge(*streams))
     expected = sorted((r.vt, r.doc_id) for r in vts.collect())
     assert merged == expected
+
+
+def test_curriculum_config_weights(spark):
+    """Config-table weights: vt must equal (rk+1) * sum(w) / w_s with
+    w_s read from the config (default for absent strata, extra config
+    rows ignored), while rk stays the plain within-stratum hash rank."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    cfg = spark.createDataFrame(
+        [("en", 1.0), ("zh", 4.0), ("xx", 9.0)], "lang string, weight double"
+    )
+    out = curriculum_interleave(
+        docs, stratum="lang", weights=cfg, default_weight=2.0
+    ).collect()
+    assert len(out) == docs.count()
+
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    w_by_lang = {lang: {"en": 1.0, "zh": 4.0}.get(lang, 2.0) for lang in langs}
+    s = sum(w_by_lang.values())  # 'xx' absent from corpus -> not in the sum
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    rks = {
+        r.doc_id: r.rk
+        for r in docs.select(
+            "doc_id", (F.row_number().over(w) - 1).cast("long").alias("rk")
+        ).collect()
+    }
+    for r in out:
+        assert r.rk == rks[r.doc_id], (r.doc_id, r.rk, rks[r.doc_id])
+        assert r.vt == (r.rk + 1) * s / w_by_lang[r.lang], (r.doc_id, r.vt)
+
+    # heavier weight -> denser early presence: zh (w=4) contributes ~4x
+    # the docs of en (w=1) in any early prefix
+    rows = sorted(out, key=lambda r: (r.vt, r.lang, r.doc_id))
+    prefix = rows[:100]
+    seen: dict[str, int] = {}
+    for r in prefix:
+        seen[r.lang] = seen.get(r.lang, 0) + 1
+    assert seen.get("zh", 0) > 2 * seen.get("en", 1)

@@ -66,15 +66,26 @@ def write_training_shards(
     _write_shards(df, path, key, n_shards, [key], max_records_per_file)
 
 
+NULL_STRATUM = "\x00<null-stratum>"
+
+
 def curriculum_interleave(
-    df: DataFrame, stratum: str = "lang", key: str = "doc_id"
+    df: DataFrame,
+    stratum: str = "lang",
+    key: str = "doc_id",
+    weights: DataFrame | None = None,
+    default_weight: float = 1.0,
 ) -> DataFrame:
     """Deterministic mixture-weighted curriculum order (stride
     scheduling) as (key, stratum, rk, vt).
 
     Each stratum gets a temperature weight w_s = sqrt(n_s) / sum_s'
     sqrt(n_s') (alpha = 0.5, the multilingual-pretraining rebalance —
-    same family as cu07); its k-th document, ranked by the deterministic
+    same family as cu07) — or, when ``weights`` is given, an explicit
+    mixture weight from a config table ``(stratum, weight)`` (strata
+    absent from the config fall back to ``default_weight``; extra
+    config rows for strata absent from the corpus are ignored). Its
+    k-th document, ranked by the deterministic
     md5 hash of the key WITHIN the stratum, is scheduled at virtual time
     vt = (k+1) / w_s. Sorting by vt interleaves strata so each appears
     with frequency proportional to its weight at every point of the
@@ -101,7 +112,7 @@ def curriculum_interleave(
     # as their own partition. The original stratum value (NULL included)
     # is carried through to the output untouched.
     hkey = F.md5(F.col(key).cast("string"))
-    skey = F.coalesce(F.col(stratum).cast("string"), F.lit("\x00<null-stratum>"))
+    skey = F.coalesce(F.col(stratum).cast("string"), F.lit(NULL_STRATUM))
     base = (
         df.select(stratum, key)
         .withColumn("skey", skey)
@@ -124,10 +135,26 @@ def curriculum_interleave(
     # Per-stratum totals fold the ALREADY-computed bucket counts (<=256
     # rows per stratum) — no third scan of the corpus.
     stats = counts.groupBy("skey").agg(F.sum("n_b").alias("n_docs"))
+    if weights is None:
+        stats = stats.withColumn("w_raw", F.sqrt("n_docs"))
+    else:
+        # Config weights join on the same NULL-normalized proxy; the
+        # raw weight is the config value, not a function of n_s.
+        wcfg = weights.select(
+            F.coalesce(F.col(stratum).cast("string"), F.lit(NULL_STRATUM)).alias(
+                "skey"
+            ),
+            F.col("weight").cast("double").alias("w_cfg"),
+        )
+        stats = stats.join(F.broadcast(wcfg), "skey", "left").select(
+            "skey",
+            "n_docs",
+            F.coalesce("w_cfg", F.lit(float(default_weight))).alias("w_raw"),
+        )
     tot = stats.agg(
-        F.sum(F.sqrt("n_docs").cast("decimal(28,12)")).cast("double").alias("s")
+        F.sum(F.col("w_raw").cast("decimal(28,12)")).cast("double").alias("s")
     )
-    vt = (F.col("rk") + 1) * F.col("s") / F.sqrt(F.col("n_docs"))
+    vt = (F.col("rk") + 1) * F.col("s") / F.col("w_raw")
     return (
         ranked.join(F.broadcast(stats), "skey")
         .crossJoin(F.broadcast(tot))

@@ -738,6 +738,84 @@ def cu10_curriculum_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mixture-weight config for cu12: explicit per-language weights as a
+# small config table (the production shape: weights come from a data
+# card / ablation, not a formula). Strata missing from the config fall
+# back to the default; config rows for absent strata are ignored.
+_MIX_CFG: list[tuple[str, float]] = [("en", 1.0), ("zh", 4.0), ("de", 3.0)]
+_MIX_DEFAULT = 2.0
+
+
+def _weighted_curriculum_oracle() -> str:
+    cfg = ", ".join(f"('{lang}', {w!r})" for lang, w in _MIX_CFG)
+    return f"""
+    WITH cfg(lang, w) AS (VALUES {cfg}),
+    stats AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    wts AS (
+      SELECT s.lang, COALESCE(c.w, {_MIX_DEFAULT!r}) AS w_raw
+      FROM stats s LEFT JOIN cfg c ON s.lang IS NOT DISTINCT FROM c.lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(w_raw AS DECIMAL(28,12))) AS DOUBLE) AS s FROM wts
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk
+      FROM documents
+    ),
+    vts AS (
+      SELECT r.doc_id, r.lang, r.rk,
+             (r.rk + 1) * t.s / w.w_raw AS vt
+      FROM ranked r JOIN wts w ON r.lang IS NOT DISTINCT FROM w.lang
+      CROSS JOIN tot t
+    ),
+    head AS (
+      SELECT doc_id, lang, rk, vt FROM vts ORDER BY vt, lang, doc_id LIMIT 200
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vt, lang, doc_id) AS BIGINT) AS train_pos,
+           doc_id, lang, CAST(rk AS BIGINT) AS lang_rk,
+           ROUND(vt, 6) AS interleave_key
+    FROM head
+    """
+
+
+@register(
+    "cu12_weighted_curriculum",
+    _weighted_curriculum_oracle(),
+    survey_ops=("X-CURATE-12",),
+    doc="Config-driven curriculum export: cu10's stride-scheduling "
+    "interleave with mixture weights supplied as a CONFIG TABLE "
+    "(lang -> weight; absent strata fall back to a default) instead of "
+    "the sqrt(n) temperature formula — the production shape, where "
+    "weights come from a data card or ablation sweep. Same deterministic "
+    "ordering contract and the same scale-safe salted within-stratum "
+    "rank (export.curriculum_interleave); the config broadcasts, so the "
+    "only corpus-sized work is the rank itself. The graded head is "
+    "top-200 by (vt, lang, doc_id): TakeOrderedAndProject.",
+)
+def cu12_weighted_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from travel_data_ingestion_spark.export import curriculum_interleave
+
+    docs = load_table(spark, sf_dir, "documents")
+    cfg = spark.createDataFrame(_MIX_CFG, "lang string, weight double")
+    vts = curriculum_interleave(
+        docs, stratum="lang", key="doc_id", weights=cfg, default_weight=_MIX_DEFAULT
+    )
+    head = vts.orderBy("vt", "lang", "doc_id").limit(200)
+    w = W.orderBy("vt", "lang", "doc_id")
+    return head.select(
+        F.row_number().over(w).cast("long").alias("train_pos"),
+        "doc_id",
+        "lang",
+        F.col("rk").alias("lang_rk"),
+        F.round("vt", 6).alias("interleave_key"),
+    )
+
+
 # PII patterns chosen for identical semantics under Java regex (Spark)
 # and RE2 (DuckDB): character classes, bounded repetition, no lookaround.
 _EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -114,10 +114,12 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "cu04_corpus_stats",
             "cu05_pii_redact",
             "cu11_span_contamination",
+            "cu12_weighted_curriculum",
         ],
         "Corpus-curation suite: deterministic hash sampling, stratified "
         "quotas, benchmark decontamination, per-source stats, PII "
-        "redaction, span-level contamination reporting.",
+        "redaction, span-level contamination reporting, config-weighted "
+        "curriculum export.",
     ),
     "su06_text_doc_suite": (
         [

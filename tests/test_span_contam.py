@@ -9,6 +9,10 @@ totals agree with cu03's exact hit counts (same benchmark split, same
 
 from __future__ import annotations
 
+import re
+
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_DIR
 from travel_data_ingestion_spark.queries.llm_curation import (
     cu03_decontaminate,
@@ -55,3 +59,35 @@ def test_span_totals_match_exact_decontam(spark):
     assert exact, "fixture vacuous: cu03 flagged nothing"
     for d, n in exact.items():
         assert per_doc.get(d, 0) >= n, (d, per_doc.get(d), n)
+
+
+def test_excision_consistent_with_spans(spark):
+    """cu13's token accounting must agree with cu11's spans (removed ==
+    sum of span widths, spans disjoint so no double-count), and its
+    clean_md5 must equal a straight Python excision of the raw text."""
+    import hashlib
+
+    from travel_data_ingestion_spark.queries import load_table
+    from travel_data_ingestion_spark.queries.llm_curation import cu13_span_excision
+
+    spans: dict[int, list[tuple[int, int]]] = {}
+    for r in cu11_span_contamination(spark, SF_DIR).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    out = {r.doc_id: r for r in cu13_span_excision(spark, SF_DIR).collect()}
+    assert set(out) == set(spans)
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id").isin(list(out)))
+        .collect()
+    }
+    for d, r in out.items():
+        widths = sum(e - s + 1 for s, e in spans[d])
+        assert r.n_spans == len(spans[d])
+        assert r.n_tokens_removed == widths, (d, r.n_tokens_removed, widths)
+        toks = re.split(r"\s+", texts[d].strip())
+        assert r.n_tokens_before == len(toks)
+        covered = {i for s, e in spans[d] for i in range(s, e + 1)}
+        clean = " ".join(t for i, t in enumerate(toks) if i not in covered)
+        assert r.clean_md5 == hashlib.md5(clean.encode()).hexdigest(), d

@@ -130,8 +130,10 @@ def cu03_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPAN_CONTAM_ORACLE = f"""
-    WITH eligible AS (
+# Shared CTE chain: benchmark shingle hits -> merged contamination
+# spans per training doc (used by cu11's report and cu13's excision).
+_SPAN_CTES = f"""
+    eligible AS (
       SELECT doc_id, {_TOKENIZE_SQL} AS t
       FROM documents
       WHERE len({_TOKENIZE_SQL}) >= 3
@@ -166,14 +168,22 @@ _SPAN_CONTAM_ORACLE = f"""
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS span_idx
       FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, span_idx,
+             MIN(pos) AS span_start,
+             MAX(pos) + 2 AS span_end,
+             MAX(pos) + 2 - MIN(pos) + 1 AS span_tokens,
+             COUNT(*) AS n_hit_shingles
+      FROM num
+      GROUP BY doc_id, span_idx
     )
-    SELECT doc_id, span_idx,
-           MIN(pos) AS span_start,
-           MAX(pos) + 2 AS span_end,
-           MAX(pos) + 2 - MIN(pos) + 1 AS span_tokens,
-           COUNT(*) AS n_hit_shingles
-    FROM num
-    GROUP BY doc_id, span_idx
+"""
+
+_SPAN_CONTAM_ORACLE = f"""
+    WITH {_SPAN_CTES}
+    SELECT doc_id, span_idx, span_start, span_end, span_tokens, n_hit_shingles
+    FROM spans
 """
 
 
@@ -195,7 +205,12 @@ _SPAN_CONTAM_ORACLE = f"""
     "are bounded by hits per document, never by corpus size.",
 )
 def cu11_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = 3
+    return merge_hit_spans(_benchmark_hits(spark, sf_dir), n=3)
+
+
+def _benchmark_hits(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Positions ``(doc_id, pos)`` of every training-doc n-gram that
+    appears in the held-out benchmark shingle set (doc_id%50==0)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     eligible = docs.filter(F.size(toks) >= n)
@@ -224,14 +239,13 @@ def cu11_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pos_sh = F.element_at(F.transform(F.array(toks), pos_grams), 1)
-    hits = (
+    return (
         eligible.filter(F.col("doc_id") % 50 != 0)
         .select("doc_id", F.explode(pos_sh).alias("ps"))
         .select("doc_id", F.col("ps.pos").alias("pos"), F.col("ps.shingle").alias("shingle"))
         .join(F.broadcast(bench_sh), "shingle")
         .select("doc_id", "pos")
     )
-    return merge_hit_spans(hits, n)
 
 
 def merge_hit_spans(hits: DataFrame, n: int) -> DataFrame:
@@ -255,6 +269,80 @@ def merge_hit_spans(hits: DataFrame, n: int) -> DataFrame:
         (F.max("pos") + n - 1).alias("span_end"),
         (F.max("pos") + n - 1 - F.min("pos") + 1).alias("span_tokens"),
         F.count(F.lit(1)).alias("n_hit_shingles"),
+    )
+
+
+_SPAN_EXCISION_ORACLE = f"""
+    WITH {_SPAN_CTES},
+    per_doc AS (
+      SELECT doc_id,
+             list({{'s': span_start, 'e': span_end}}) AS sp,
+             COUNT(*) AS n_spans
+      FROM spans GROUP BY doc_id
+    ),
+    rebuilt AS (
+      SELECT p.doc_id, p.n_spans, e.t,
+             list_filter(
+               list_transform(range(1, len(e.t)+1),
+                 i -> CASE WHEN len(list_filter(p.sp,
+                             s -> i-1 >= s.s AND i-1 <= s.e)) > 0
+                           THEN NULL ELSE e.t[i] END),
+               x -> x IS NOT NULL) AS kept
+      FROM per_doc p JOIN eligible e USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(len(t) AS BIGINT) AS n_tokens_before,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_tokens_removed,
+           md5(array_to_string(kept, ' ')) AS clean_md5
+    FROM rebuilt
+"""
+
+
+@register(
+    "cu13_span_excision",
+    _SPAN_EXCISION_ORACLE,
+    survey_ops=("X-CURATE-13",),
+    doc="Span excision: rewrite each contaminated training document "
+    "with cu11's benchmark-overlapping token ranges REMOVED — the "
+    "surgical alternative to dropping whole documents (cu03/cu08 flag, "
+    "cu11 locates, cu13 excises). The kept token sequence is rebuilt "
+    "with native higher-order functions (filter with positional lambda "
+    "over the token array; the span list per doc is tiny), entirely "
+    "map-side after the same broadcast hit-join as cu11; output carries "
+    "md5(clean_text) rather than the text itself, like cu05. At "
+    "100 TB: spans flow through one bounded per-doc window, then a "
+    "doc_id equi-join back to the corpus — AQE broadcasts the span "
+    "side when small, and the rewrite itself never leaves the JVM.",
+)
+def cu13_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = 3
+    spans = (
+        merge_hit_spans(_benchmark_hits(spark, sf_dir, n), n)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("sp"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    joined = docs.join(spans, "doc_id").select(
+        "doc_id", "n_spans", "sp", toks.alias("t")
+    )
+
+    def covered(i: F.Column) -> F.Column:
+        return F.exists(
+            F.col("sp"), lambda s: (i >= s["span_start"]) & (i <= s["span_end"])
+        )
+
+    kept = F.filter(F.col("t"), lambda x, i: ~covered(i))
+    return joined.select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.size("t").cast("long").alias("n_tokens_before"),
+        (F.size("t") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
     )
 
 

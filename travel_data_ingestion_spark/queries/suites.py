@@ -115,11 +115,12 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "cu05_pii_redact",
             "cu11_span_contamination",
             "cu12_weighted_curriculum",
+            "cu13_span_excision",
         ],
         "Corpus-curation suite: deterministic hash sampling, stratified "
         "quotas, benchmark decontamination, per-source stats, PII "
-        "redaction, span-level contamination reporting, config-weighted "
-        "curriculum export.",
+        "redaction, span-level contamination reporting and excision, "
+        "config-weighted curriculum export.",
     ),
     "su06_text_doc_suite": (
         [

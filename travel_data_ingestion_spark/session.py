@@ -71,4 +71,42 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ensure_checkpoint_dir(spark)
     return spark
+
+
+def _ensure_checkpoint_dir(spark: SparkSession) -> None:
+    """Guarantee a RELIABLE checkpoint dir whenever one can be correct.
+
+    The connected-components propagation (llm_dedup.propagate_min_labels)
+    must truncate lineage every pass; without a checkpoint dir it falls
+    back to ``localCheckpoint``, whose blocks live on executors — an
+    executor loss mid-propagation on a real cluster kills the job. So:
+
+    - ``SPARK_CHECKPOINT_DIR`` set -> use it (on a cluster this must be
+      shared storage: HDFS/S3/NFS).
+    - else, LOCAL master only -> a process-lifetime temp dir (single-JVM:
+      driver-local disk IS reliable storage, and "executor loss" means
+      the app died anyway).
+    - else (real cluster, no env) -> leave unset: a driver-local temp
+      path would be silently wrong (executors write checkpoint files on
+      their own machines), so the propagation's documented
+      localCheckpoint fallback is the lesser risk.
+    """
+    sc = spark.sparkContext
+    try:
+        if sc._jsc.sc().getCheckpointDir().isDefined():
+            return
+    except Exception:
+        pass  # private-API drift: fall through and just set one
+    ckpt = os.environ.get("SPARK_CHECKPOINT_DIR")
+    if ckpt is None:
+        if not sc.master.startswith("local"):
+            return
+        import atexit
+        import shutil
+        import tempfile
+
+        ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+    sc.setCheckpointDir(ckpt)

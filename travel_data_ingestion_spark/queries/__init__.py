@@ -50,8 +50,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # Harden against foreign session defaults: the oracle comparison
     # assumes UTC rendering and Snowflake-style null-on-garbage parsing.
+    # SPARK_GRAFT_KEEP_ANSI=1 is the verification lane's escape hatch
+    # (tests/test_ansi_lane.py): leave the session's ANSI mode alone and
+    # prove every query ALSO survives strict ANSI — the engine's parsing
+    # helpers are try_*-based, so flipping the guard must not change any
+    # answer on the graded corpus.
+    import os as _os
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+    if _os.environ.get("SPARK_GRAFT_KEEP_ANSI") != "1":
+        spark.conf.set("spark.sql.ansi.enabled", "false")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         from pyspark.sql import functions as F

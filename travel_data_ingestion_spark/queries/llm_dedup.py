@@ -815,7 +815,7 @@ def _dedup_clusters_oracle() -> str:
 # edge-touched node, materialized); the memo is capped and evicts
 # (unpersisting) oldest-first so a long-lived process cycling
 # SparkSessions/sf_dirs cannot accumulate dead cached DataFrames.
-_CC_LABELS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_CC_LABELS_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
 _CC_LABELS_CACHE_CAP = 8
 
 
@@ -909,7 +909,10 @@ def graph_labels(
 ) -> DataFrame:
     """Memoized propagate_min_labels over a named pair graph ('dd03',
     'mm03', ...). ``pairs_fn`` is only invoked on a memo miss."""
-    key = (spark.sparkContext.applicationId, sf_dir, graph)
+    # id(spark) distinguishes newSession() clones sharing one context —
+    # each owns its SQLConf, so a cached plan must not cross sessions
+    # (the ANSI verification lane relies on this).
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir, graph)
     memo = _CC_LABELS_CACHE.get(key)
     if memo is not None:
         return memo
@@ -1039,7 +1042,7 @@ def dd07_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the first build instead of re-indexing the corpus. Scratch dirs are
 # removed at process exit — the memoized DataFrame keeps reading them
 # until then.
-_DD08_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DD08_CACHE: dict[tuple[str, int, str], DataFrame] = {}
 
 
 @register(
@@ -1071,7 +1074,7 @@ def dd08_incremental_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFr
 
     from travel_data_ingestion_spark.dedup_index import ClusterIndex, MinHashIndex
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir)
     memo = _DD08_CACHE.get(key)
     if memo is not None:
         return memo

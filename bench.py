@@ -86,12 +86,26 @@ def run_bench(spark, specs, sf_dir: str, queries=None, n_runs: int = N_RUNS) -> 
         except Exception as e:  # noqa: BLE001 — isolate, report, continue
             errors[name] = f"{type(e).__name__}: {e}"[:500]
 
+    # Back-to-back min-of-N per query, with one extra UNTIMED local
+    # warm-up run immediately before each query's timed block. The
+    # global warmup pass above leaves the first timed query (q01,
+    # alphabetically and temporally first) to absorb the broadcast-
+    # cleanup/GC churn of the eight queries warmed after it — the r6
+    # driver run's q01 1.72x vs the idle re-measure's 1.29x was exactly
+    # this first-block penalty. The local warm-up run soaks that churn
+    # untimed, so every query's timed block starts from the same
+    # just-ran-this-query state. (An interleaved-sweeps variant was
+    # measured and REJECTED: per-query min across round-robin sweeps
+    # reads ~25% slower on identical hardware because every sample then
+    # includes the other queries' cleanup churn — back-to-back min-of-N
+    # is the steady-state number BASELINE.md was measured with.)
     timings: dict[str, float] = {}
     for name in names:
         if name in errors:
             continue
         best = float("inf")
         try:
+            materialize(specs[name].fn(spark, sf_dir))  # local warm-up
             for _ in range(n_runs):
                 t0 = time.perf_counter()
                 materialize(specs[name].fn(spark, sf_dir))

@@ -6,6 +6,8 @@ import glob
 import heapq
 import os
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -209,3 +211,21 @@ def test_curriculum_config_weights(spark):
     for r in prefix:
         seen[r.lang] = seen.get(r.lang, 0) + 1
     assert seen.get("zh", 0) > 2 * seen.get("en", 1)
+
+
+def test_curriculum_rejects_bad_weights_config(spark):
+    """Duplicate stratum rows or non-positive/null weights in the config
+    are hard errors — a duplicate would fan out the stats join and
+    silently double-count the stratum; w <= 0 poisons vt downstream."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    for rows in (
+        [("en", 1.0), ("en", 2.0)],          # duplicate stratum
+        [("en", 0.0)],                        # zero weight
+        [("en", -1.0)],                       # negative weight
+        [("en", None)],                       # null weight
+    ):
+        cfg = spark.createDataFrame(rows, "lang string, weight double")
+        with pytest.raises(ValueError, match="invalid weights config"):
+            curriculum_interleave(docs, stratum="lang", weights=cfg)
+    with pytest.raises(ValueError, match="default_weight"):
+        curriculum_interleave(docs, stratum="lang", default_weight=0.0)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
@@ -86,8 +87,42 @@ def test_excision_consistent_with_spans(spark):
         widths = sum(e - s + 1 for s, e in spans[d])
         assert r.n_spans == len(spans[d])
         assert r.n_tokens_removed == widths, (d, r.n_tokens_removed, widths)
-        toks = re.split(r"\s+", texts[d].strip())
+        # ASCII whitespace class, NOT \s: Python re is Unicode-aware
+        # while Java/RE2 \s is effectively ASCII — a \xa0 in a fixture
+        # would silently diverge this re-tokenization from both engines.
+        toks = re.split(r"[ \t\n\x0b\f\r]+", texts[d].strip())
         assert r.n_tokens_before == len(toks)
         covered = {i for s, e in spans[d] for i in range(s, e + 1)}
         clean = " ".join(t for i, t in enumerate(toks) if i not in covered)
         assert r.clean_md5 == hashlib.md5(clean.encode()).hexdigest(), d
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_span_helpers_lockstep_with_generated_oracle(spark, ddb, n):
+    """_benchmark_hits/merge_hit_spans with n != 3 must equal the
+    _span_ctes(n)-generated DuckDB SQL — the two sides are generated
+    from the same parameter, so changing n can't silently diverge the
+    helpers from the oracle (the registered cu11/cu13 oracles are the
+    n=3 instance of the same generator)."""
+    from travel_data_ingestion_spark.queries.llm_curation import (
+        _benchmark_hits,
+        _span_ctes,
+    )
+
+    got = {
+        (r.doc_id, r.span_idx): (
+            r.span_start,
+            r.span_end,
+            r.span_tokens,
+            r.n_hit_shingles,
+        )
+        for r in merge_hit_spans(_benchmark_hits(spark, SF_DIR, n), n).collect()
+    }
+    want = {
+        (d, i): (s, e, t, h)
+        for d, i, s, e, t, h in ddb.execute(
+            f"WITH {_span_ctes(n)} SELECT doc_id, span_idx, span_start, "
+            "span_end, span_tokens, n_hit_shingles FROM spans"
+        ).fetchall()
+    }
+    assert got == want

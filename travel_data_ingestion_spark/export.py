@@ -105,6 +105,8 @@ def curriculum_interleave(
     is order-independent across engines; vt's arithmetic
     ((rk+1) * s / sqrt(n_s)) is IEEE-exact and identical in DuckDB.
     """
+    if default_weight <= 0:
+        raise ValueError(f"default_weight must be > 0, got {default_weight}")
     # All grouping/join/window keys use a NULL-normalized stratum proxy
     # (skey): equi-joins drop NULL keys, so a NULL stratum (e.g. docs
     # with no language tag) would silently vanish from the curriculum,
@@ -146,6 +148,28 @@ def curriculum_interleave(
             ),
             F.col("weight").cast("double").alias("w_cfg"),
         )
+        # Validate the config eagerly (it is control-plane tiny, the
+        # same budget as the config/ledger collects elsewhere): a
+        # duplicate stratum row would fan out the join below and
+        # silently double-count the stratum; a null/zero/negative
+        # weight would poison vt with inf/NaN far downstream.
+        bad = (
+            wcfg.groupBy("skey")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("w_cfg").alias("w_min"))
+            .filter(
+                (F.col("n") > 1) | F.col("w_min").isNull() | (F.col("w_min") <= 0)
+            )
+            .limit(20)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                "curriculum_interleave: invalid weights config "
+                "(duplicate stratum rows or non-positive/null weight): "
+                + ", ".join(
+                    f"{r.skey!r} (rows={r.n}, min_weight={r.w_min})" for r in bad
+                )
+            )
         stats = stats.join(F.broadcast(wcfg), "skey", "left").select(
             "skey",
             "n_docs",

@@ -132,21 +132,29 @@ def cu03_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared CTE chain: benchmark shingle hits -> merged contamination
 # spans per training doc (used by cu11's report and cu13's excision).
-_SPAN_CTES = f"""
+# GENERATED from the same ``n`` the Spark helpers take, so the two
+# sides cannot drift: _benchmark_hits/merge_hit_spans with any n are in
+# lockstep with _span_ctes(n) (tests/test_span_contam.py pins n=2 and
+# n=4); the registered oracles use the module default n=3.
+
+
+def _span_ctes(n: int = 3) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"""
     eligible AS (
       SELECT doc_id, {_TOKENIZE_SQL} AS t
       FROM documents
-      WHERE len({_TOKENIZE_SQL}) >= 3
+      WHERE len({_TOKENIZE_SQL}) >= {n}
     ),
     bench_sh AS (
-      SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-      FROM eligible, UNNEST(range(1, greatest(len(t) - 1, 1))) AS r(i)
+      SELECT DISTINCT {gram} AS shingle
+      FROM eligible, UNNEST(range(1, greatest(len(t) - {n - 2}, 1))) AS r(i)
       WHERE doc_id % 50 = 0
     ),
     pos_sh AS (
       SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-      FROM eligible, UNNEST(range(1, greatest(len(t) - 1, 1))) AS r(i)
+             {gram} AS shingle
+      FROM eligible, UNNEST(range(1, greatest(len(t) - {n - 2}, 1))) AS r(i)
       WHERE doc_id % 50 <> 0
     ),
     hits AS (
@@ -155,7 +163,7 @@ _SPAN_CTES = f"""
     ),
     isl AS (
       SELECT doc_id, pos,
-             CASE WHEN pos > COALESCE(MAX(pos + 2) OVER (
+             CASE WHEN pos > COALESCE(MAX(pos + {n - 1}) OVER (
                     PARTITION BY doc_id ORDER BY pos
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
                   THEN 1 ELSE 0 END AS is_new
@@ -172,13 +180,16 @@ _SPAN_CTES = f"""
     spans AS (
       SELECT doc_id, span_idx,
              MIN(pos) AS span_start,
-             MAX(pos) + 2 AS span_end,
-             MAX(pos) + 2 - MIN(pos) + 1 AS span_tokens,
+             MAX(pos) + {n - 1} AS span_end,
+             MAX(pos) + {n - 1} - MIN(pos) + 1 AS span_tokens,
              COUNT(*) AS n_hit_shingles
       FROM num
       GROUP BY doc_id, span_idx
     )
 """
+
+
+_SPAN_CTES = _span_ctes(3)
 
 _SPAN_CONTAM_ORACLE = f"""
     WITH {_SPAN_CTES}

@@ -185,9 +185,17 @@ def simskew() -> None:
         .count()
     )
 
+    # untimed warm-up: the first applyInPandas action pays Python-worker
+    # spawn + Arrow codec init (~2-4 s) — without this the first timed
+    # kernel absorbs it and the comparison is order-dependent.
+    within_label_knn_chunked(spark, out).count()
     timings = {}
     for name, fn in (
+        # auto: per-group _auto_chunk sizing (the registry default);
+        # fixed256: the pre-r7 hand-tuned constant, kept as the
+        # parity reference for the auto-tuner.
         ("chunked", within_label_knn_chunked),
+        ("chunked_fixed256", lambda s, d: within_label_knn_chunked(s, d, chunk_size=256)),
         ("quadratic", within_label_knn_dense),
     ):
         t0 = time.perf_counter()

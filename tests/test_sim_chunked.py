@@ -66,3 +66,26 @@ def test_chunked_equals_full_on_skewed_fixture(spark, tmp_path):
     assert chunked == full
     # duplicate-vector tiebreak: 300's neighbors are 301, 302 at 1.0
     assert {(300, 0, 301, 1.0), (300, 0, 302, 1.0)} <= chunked
+
+
+def test_auto_chunk_sizing_and_equality(spark):
+    """_auto_chunk pins the block budget: chunk*n*8 <= 128 MB for any
+    group size above the floor, capped at 4096 for small groups; and
+    the auto-sized kernel equals the old hand-tuned 256 constant
+    row-for-row (chunk boundaries cannot change any score)."""
+    from travel_data_ingestion_spark.queries.llm_similarity import (
+        _CHUNK_BLOCK_BUDGET,
+        _auto_chunk,
+    )
+
+    for n in (1, 10, 4096, 100_000, 1_000_000, 50_000_000):
+        cs = _auto_chunk(n)
+        assert 16 <= cs <= 4096
+        if cs > 16:  # above the floor the budget is a hard bound
+            assert cs * n * 8 <= _CHUNK_BLOCK_BUDGET
+    assert _auto_chunk(100) == 4096  # small group -> one GEMM
+    assert _auto_chunk(1_000_000) == 16  # huge group -> floor
+
+    assert _rows(within_label_knn_chunked(spark, SF_DIR)) == _rows(
+        within_label_knn_chunked(spark, SF_DIR, chunk_size=256)
+    )

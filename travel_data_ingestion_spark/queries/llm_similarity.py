@@ -269,6 +269,28 @@ def within_label_knn_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-group chunk sizing for the chunked KNN kernel: the score block is
+# chunk x n float64 (8 bytes), so chunk = budget/(8n) pins peak block
+# memory at ~_CHUNK_BLOCK_BUDGET regardless of group size — a dominant
+# label only shrinks the chunk, never the guarantee. The budget is
+# deliberately CACHE-sized, not RAM-sized: the per-row top-2 pass
+# re-reads the block after the GEMM, so a block that fits L3 (~16 MB)
+# is the fast path — a 128 MB budget measured 3.5x SLOWER on the 4x
+# dominant-label probe (RAM-bandwidth bound), while 16 MB reproduces
+# the hand-tuned constant's locality (256 rows x n~8k = 16 MB). The
+# 4096 cap keeps small groups on one or two GEMM calls; the floor of
+# 16 bounds the Python loop count when n is huge (n=1e6 -> chunk 16,
+# block 128 MB, unavoidable at that group size). Chunk boundaries
+# cannot change results: each output row's block slice is computed
+# identically for any chunking (equality pinned vs the fixed 256
+# constant and the dense kernel in tests/test_sim_chunked.py).
+_CHUNK_BLOCK_BUDGET = 16 * 1024 * 1024
+
+
+def _auto_chunk(n: int) -> int:
+    return max(16, min(4096, _CHUNK_BLOCK_BUDGET // (8 * max(n, 1))))
+
+
 @register(
     "sim04_within_label_knn",
     _WITHIN_LABEL_KNN_ORACLE,
@@ -280,16 +302,19 @@ def within_label_knn_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     "within_label_knn_dense helper for quantizer-bounded groups, "
     "equality pinned by tests/test_sim_chunked.py). The per-group "
     "kernel never materializes the n x n matrix: query rows stream in "
-    "CHUNKS of 256; each chunk computes a chunk x n block, reduces it "
-    "to top-2 per row via argpartition preselect, and frees the block "
-    "before the next. Peak memory is O(n x dim) vectors + O(chunk x n) "
-    "block — at n=1M, dim=64 that is ~500 MB + ~2 GB per chunk step "
-    "instead of an 8 TB matrix, so a dominant label at 100 TB is a "
-    "linear pass, not a cliff (dominant-label probe numbers in "
-    "NOTES.md). Scores rounded to 4dp; nbr-asc tiebreak pins ordering.",
+    "chunks sized per group by _auto_chunk (block budget 128 MB: chunk "
+    "= budget/(8n), clamped [16, 4096]); each chunk computes a chunk x "
+    "n block, reduces it to top-2 per row via argpartition preselect, "
+    "and frees the block before the next. Peak memory is O(n x dim) "
+    "vectors + the FIXED block budget — at n=1M, dim=64 that is "
+    "~500 MB + 128 MB per chunk step instead of an 8 TB matrix, so a "
+    "dominant label at 100 TB is a linear pass, not a cliff (dominant-"
+    "label probe numbers in NOTES.md; auto sizing >= parity with the "
+    "old hand-tuned 256). Scores rounded to 4dp; nbr-asc tiebreak pins "
+    "ordering.",
 )
 def sim04_within_label_knn(
-    spark: SparkSession, sf_dir: str, chunk_size: int = 256
+    spark: SparkSession, sf_dir: str, chunk_size: int | None = None
 ) -> DataFrame:
     import numpy as np
     import pandas as pd
@@ -304,9 +329,10 @@ def sim04_within_label_knn(
         ids = pdf["vec_id"].to_numpy()
         label = int(pdf["label"].iloc[0])
         n = len(ids)
+        cs = chunk_size if chunk_size is not None else _auto_chunk(n)
         out = []
-        for lo in range(0, n, chunk_size):
-            hi = min(lo + chunk_size, n)
+        for lo in range(0, n, cs):
+            hi = min(lo + cs, n)
             # same FP expression as the dense kernel (dot / norm-product), evaluated
             # one row-block at a time — identical rounded scores.
             block = np.round((mat[lo:hi] @ mat.T) / (norms[lo:hi] @ norms.T), 4)

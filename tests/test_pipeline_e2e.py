@@ -253,3 +253,74 @@ def test_transport_mode_and_summary(spark, pipeline_wh):
     assert isinstance(doc["spending_items"], list)
     assert isinstance(doc["timeline_segments"], list)
     assert len(doc["timeline_segments"]) == 2  # one visit + one activity
+
+
+def test_interleaved_disjoint_writers_keep_ledger_consistent(spark, pipeline_wh):
+    """Two 'drivers' with STALE batch selections writing DISJOINT
+    load_ids of the same dataset (the interleave the single-driver
+    design note worries about): each pinned run overwrites only its own
+    load_id partition, so the table keeps every load exactly once, the
+    append-only ledger stays consistent (replayed SUCCESS rows are
+    harmless — pending_load_ids reads DISTINCT load_id), and an
+    unpinned follow-up run sees no pending work. True same-instant
+    concurrency remains out of scope (SURVEY §7.4-4: one driver per
+    warehouse); this pins the sequential-interleave contract.
+
+    NOTE: mutates the shared module fixture (lands a second
+    transactions load) — keep this test LAST in the module so the
+    gold-vs-silver comparisons above it see the original state."""
+    from pyspark.sql import functions as F
+
+    from travel_data_ingestion_spark.silver import run_silver
+    from travel_data_ingestion_spark.silver.runner import pending_load_ids
+
+    from tests.fixtures_gen import _w
+    from travel_data_ingestion_spark.config import load_config
+    from travel_data_ingestion_spark.ingest import ingest_dataset
+
+    wh = pipeline_wh
+    # the base fixture ships ONE transactions load; land a second file
+    # (matching the config glob) and ingest it as a fresh load_id
+    cfg = load_config(spark, wh)["transactions"]
+    _w(
+        os.path.join(cfg.source_path, "transactions_2026_03.csv"),
+        ["country", "date", "name", "type", "amount", "comments"],
+        [["Japan", "2026-03-01", "merchant_x", "Hotel", "$120.00", "Dinner"],
+         ["Japan", "2026-03-02", "merchant_y", "food", "55.50", "Train ticket"]],
+    )
+    ingest_dataset(spark, wh, cfg)
+    bronze_ids = sorted(
+        int(r.load_id)
+        for r in wh.read(spark, "bronze", "transactions")
+        .select("load_id")
+        .distinct()
+        .collect()
+    )
+    assert len(bronze_ids) >= 2, "fixture must span two loads"
+    a, b = bronze_ids[0], bronze_ids[1]
+
+    def rows_by_load():
+        df = spark.read.parquet(wh.path("silver", "all_spending"))
+        return {
+            int(r.load_id): r.n
+            for r in df.groupBy("load_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    # interleave: A pins load a (already processed by the pipeline — a
+    # stale selection), B pins the fresh load b; both selections were
+    # made before either wrote (pinned runs ignore the ledger)
+    before_a = rows_by_load()[a]
+    run_silver(spark, wh, datasets=["transactions"], load_id=a)
+    run_silver(spark, wh, datasets=["transactions"], load_id=b)
+    after = rows_by_load()
+    assert after[a] == before_a  # A's overwrite touched only its own partition
+    assert after.get(b, 0) > 0  # B's load landed
+
+    # replay BOTH with stale selections — data must not change
+    run_silver(spark, wh, datasets=["transactions"], load_id=b)
+    run_silver(spark, wh, datasets=["transactions"], load_id=a)
+    assert rows_by_load() == after
+
+    # ledger: no pending work afterwards, and an unpinned run is a no-op
+    assert pending_load_ids(spark, wh, "transactions", "transactions") == []
+    assert run_silver(spark, wh, datasets=["transactions"]) == {}

@@ -223,9 +223,11 @@ def test_curriculum_rejects_bad_weights_config(spark):
         [("en", 0.0)],                        # zero weight
         [("en", -1.0)],                       # negative weight
         [("en", None)],                       # null weight
+        [("en", float("nan"))],               # NaN weight
     ):
         cfg = spark.createDataFrame(rows, "lang string, weight double")
         with pytest.raises(ValueError, match="invalid weights config"):
             curriculum_interleave(docs, stratum="lang", weights=cfg)
-    with pytest.raises(ValueError, match="default_weight"):
-        curriculum_interleave(docs, stratum="lang", default_weight=0.0)
+    for dw in (0.0, -1.0, float("nan")):
+        with pytest.raises(ValueError, match="default_weight"):
+            curriculum_interleave(docs, stratum="lang", default_weight=dw)

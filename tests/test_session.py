@@ -62,6 +62,15 @@ def test_env_override_wins(tmp_path, monkeypatch):
     got = _ckpt_dir(s)
     # Spark appends a per-context UUID subdir under the configured path.
     assert got is not None and "/ckpt/" in got + "/"
-    # restore a usable default for the rest of the session-scoped tests
+    # Restore a usable default for the rest of the session-scoped tests:
+    # the dir must be CLEARED first — _ensure_checkpoint_dir early-
+    # returns when one is set, so without the clear this test would
+    # leave the shared context checkpointing into pytest's reclaimed
+    # tmp_path for the remainder of the session.
+    getattr(s.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+        s.sparkContext._jvm.scala.Option.apply(None)
+    )
     monkeypatch.delenv("SPARK_CHECKPOINT_DIR")
     _ensure_checkpoint_dir(s)
+    restored = _ckpt_dir(s)
+    assert restored is not None and "/ckpt/" not in restored + "/"

@@ -105,7 +105,9 @@ def curriculum_interleave(
     is order-independent across engines; vt's arithmetic
     ((rk+1) * s / sqrt(n_s)) is IEEE-exact and identical in DuckDB.
     """
-    if default_weight <= 0:
+    import math
+
+    if not default_weight > 0 or math.isnan(default_weight):
         raise ValueError(f"default_weight must be > 0, got {default_weight}")
     # All grouping/join/window keys use a NULL-normalized stratum proxy
     # (skey): equi-joins drop NULL keys, so a NULL stratum (e.g. docs
@@ -157,7 +159,10 @@ def curriculum_interleave(
             wcfg.groupBy("skey")
             .agg(F.count(F.lit(1)).alias("n"), F.min("w_cfg").alias("w_min"))
             .filter(
-                (F.col("n") > 1) | F.col("w_min").isNull() | (F.col("w_min") <= 0)
+                (F.col("n") > 1)
+                | F.col("w_min").isNull()
+                | F.isnan("w_min")
+                | (F.col("w_min") <= 0)
             )
             .limit(20)
             .collect()

@@ -302,15 +302,16 @@ def _auto_chunk(n: int) -> int:
     "within_label_knn_dense helper for quantizer-bounded groups, "
     "equality pinned by tests/test_sim_chunked.py). The per-group "
     "kernel never materializes the n x n matrix: query rows stream in "
-    "chunks sized per group by _auto_chunk (block budget 128 MB: chunk "
-    "= budget/(8n), clamped [16, 4096]); each chunk computes a chunk x "
-    "n block, reduces it to top-2 per row via argpartition preselect, "
-    "and frees the block before the next. Peak memory is O(n x dim) "
-    "vectors + the FIXED block budget — at n=1M, dim=64 that is "
-    "~500 MB + 128 MB per chunk step instead of an 8 TB matrix, so a "
-    "dominant label at 100 TB is a linear pass, not a cliff (dominant-"
-    "label probe numbers in NOTES.md; auto sizing >= parity with the "
-    "old hand-tuned 256). Scores rounded to 4dp; nbr-asc tiebreak pins "
+    "chunks sized per group by _auto_chunk (cache-sized 16 MB block "
+    "budget: chunk = budget/(8n), clamped [16, 4096]); each chunk "
+    "computes a chunk x n block, reduces it to top-2 per row via "
+    "argpartition preselect, and frees the block before the next. Peak "
+    "memory is O(n x dim) vectors + the bounded block (16 MB above the "
+    "floor; at the n>=131k floor of 16 rows it grows with n, e.g. "
+    "128 MB at n=1M) — never the 8 TB n x n matrix, so a dominant "
+    "label at 100 TB is a linear pass, not a cliff (dominant-label "
+    "probe numbers in NOTES.md; auto sizing >= parity with the old "
+    "hand-tuned 256). Scores rounded to 4dp; nbr-asc tiebreak pins "
     "ordering.",
 )
 def sim04_within_label_knn(

@@ -541,3 +541,61 @@ def t10_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "n_sh", "n_boiler", F.round(frac, 6).alias("boilerplate_frac")
     )
+
+
+_UNIGRAM_LM_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_TOKENIZE_SQL}) AS token FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    terms AS (
+      SELECT t.doc_id,
+             ROUND(-ln(CAST(f.cnt AS DOUBLE) / (SELECT n FROM tot)), 6) AS nll
+      FROM toks t JOIN freq f USING (token)
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(nll AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_nll
+    FROM terms GROUP BY doc_id
+"""
+
+
+@register(
+    "t11_unigram_logprob",
+    _UNIGRAM_LM_ORACLE,
+    survey_ops=("X-TEXT-11",),
+    doc="Unigram-LM quality score (the CCNet-family LM filter, reduced "
+    "to its order-0 form): every document scored by the average "
+    "negative log-probability of its tokens under the corpus' own "
+    "unigram distribution — low = templated/common-token text, high = "
+    "rare-token (or noisy) text; production pipelines keep a mid band "
+    "and route the tails to review. Complements t02 (surface "
+    "heuristics), t09 (intra-doc repetition) and t10 (cross-doc "
+    "boilerplate) with a distribution-based signal. Cross-engine "
+    "determinism: per-token -ln p is rounded to 6dp BEFORE the "
+    "decimal-exact sum (same family as the i03 trig rule — libm vs "
+    "java.lang.Math may differ in final ulps), and the final average "
+    "is rounded to 6dp on both sides. At 100 TB: one token-frequency "
+    "aggregation (uniform keys, map-side partial), a rejoin on token "
+    "(the frequency table is vocabulary-sized — bounded, "
+    "AQE-broadcastable; hot tokens fan out to their own occurrence "
+    "rows only), one per-doc aggregation. Folded into su07.",
+)
+def t11_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.compat import dsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    nll = F.round(
+        -F.log(F.col("cnt").cast("double") / F.col("n_total")), 6
+    ).alias("nll")
+    terms = toks.join(freq, "token").crossJoin(F.broadcast(tot)).select("doc_id", nll)
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(dsum("nll", 12) / F.count(F.lit(1)), 6).alias("avg_nll"),
+    )

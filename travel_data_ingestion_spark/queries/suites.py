@@ -135,9 +135,15 @@ SUITES: dict[str, tuple[list[str], str]] = {
         "all map-only Catalyst expressions.",
     ),
     "su07_text_corpus_suite": (
-        ["t05_vocabulary", "t06_tfidf_keywords", "t10_boilerplate_coverage"],
+        [
+            "t05_vocabulary",
+            "t06_tfidf_keywords",
+            "t10_boilerplate_coverage",
+            "t11_unigram_logprob",
+        ],
         "Corpus-level text suite: vocabulary statistics, TF-IDF "
-        "keyword extraction, cross-document boilerplate coverage.",
+        "keyword extraction, cross-document boilerplate coverage, "
+        "unigram-LM quality scoring.",
     ),
 }
 

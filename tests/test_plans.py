@@ -299,3 +299,16 @@ def test_sequence_pack_single_shuffle(spark):
     exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
     assert len(exchanges) == 1
     assert "hashpartitioning(shard" in plan
+
+
+def test_unigram_logprob_plan_shape(spark):
+    """t11: the corpus-total scalar broadcasts (1-row BNLJ, deliberate),
+    the token->frequency rejoin is a hash join (never cartesian), and
+    no Python reaches the plan — the whole score is codegen'd
+    expressions over two aggregations."""
+    plan = _formatted_plan(spark, "t11_unigram_logprob")
+    assert "BroadcastNestedLoopJoin" in plan  # crossJoin with 1-row total
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # partial aggregation before the doc_id shuffle (map-side combine)
+    assert "partial_count" in plan or "HashAggregate" in plan

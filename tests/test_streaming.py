@@ -390,3 +390,74 @@ def test_stream_clustered_neardup(spark, tmp_path):
         for r in cc_full.clusters(spark).collect()
     }
     assert got == full
+
+
+def test_stream_ingest_matches_batch_parsing_and_load_ids(spark, tmp_path):
+    """The streamed CSV reader must produce the same bronze rows as the
+    batch path for the same file (doubled-quote escapes, NULL/null/''
+    -> real NULLs), and its ledger-allocated load_ids must never collide
+    with loads the batch path already wrote."""
+    import csv
+
+    from travel_data_ingestion_spark.config import default_config, load_config, save_config
+    from travel_data_ingestion_spark.ingest import ingest_all
+
+    landing = str(tmp_path / "landing")
+    generate_landing(landing)
+    # a deliberately nasty file: quoted comma, doubled-quote escape,
+    # NULL / null / empty tokens
+    nasty = os.path.join(landing, "transactions_9999_01.csv")
+    with open(nasty, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["country", "date", "name", "type", "amount", "comments"])
+        f.write('Japan,2026-01-01,"a""b","Ho,tel",12.50,NULL\n')
+        f.write("Japan,2026-01-02,m2,food,3.25,null\n")
+        f.write("Japan,2026-01-03,m3,misc,4.75,\n")
+
+    # batch path first — allocates load ids through the admin ledger
+    wh_b = Warehouse(str(tmp_path / "wh_batch"))
+    wh_b.init()
+    save_config(spark, wh_b, default_config(landing))
+    ingest_all(spark, wh_b, load_config(spark, wh_b))
+    batch_rows = {
+        tuple(r)
+        for r in wh_b.read(spark, "bronze", "transactions")
+        .filter(F.col("_source_file") == "transactions_9999_01.csv")
+        .select("country", "date", "name", "type", "amount", "comments")
+        .collect()
+    }
+
+    # streaming path into a SECOND warehouse that already has batch loads
+    wh_s = Warehouse(str(tmp_path / "wh_stream"))
+    wh_s.init()
+    save_config(spark, wh_s, default_config(landing))
+    ingest_all(spark, wh_s, load_config(spark, wh_s))
+    batch_loads = {
+        int(r.load_id)
+        for r in wh_s.read(spark, "bronze", "transactions").select("load_id").distinct().collect()
+    }
+    stream_landing = str(tmp_path / "landing2")
+    os.makedirs(stream_landing)
+    import shutil
+
+    shutil.copy(nasty, stream_landing)
+    stream_ingest_csv(spark, wh_s, stream_landing, "transactions", "transactions*.csv")
+    streamed = wh_s.read(spark, "bronze", "transactions").filter(
+        F.col("_source_file") == "transactions_9999_01.csv"
+    )
+    stream_rows = {
+        tuple(r)
+        for r in streamed.filter(~F.col("load_id").isin(list(batch_loads)))
+        .select("country", "date", "name", "type", "amount", "comments")
+        .collect()
+    }
+    assert stream_rows == batch_rows  # identical parsing incl. nulls/escapes
+    nulls = [r.comments for r in streamed.collect()]
+    assert nulls.count(None) >= 2  # NULL and null both became real NULLs
+    stream_loads = {
+        int(r.load_id) for r in streamed.select("load_id").distinct().collect()
+    }
+    # the stream's own loads (the nasty file also exists as a batch load
+    # in this warehouse) allocate ABOVE everything the ledger knew
+    stream_only = stream_loads - batch_loads
+    assert stream_only and min(stream_only) > max(batch_loads)

@@ -203,6 +203,15 @@ def nprobe_sweep(
         r.vec_id: list(r.e)
         for r in corpus.filter(F.col("vec_id").isin(list(query_ids))).collect()
     }
+    missing = set(query_ids) - set(qvecs)
+    if missing:
+        raise ValueError(
+            f"nprobe_sweep: query_ids absent from the corpus: "
+            f"{sorted(missing)[:5]}{'...' if len(missing) > 5 else ''} — "
+            "recall would be silently computed over a different sample"
+        )
+    if not qvecs:
+        raise ValueError("nprobe_sweep: empty query sample")
 
     def exact_topk(qid: int, query: list[float]) -> set[int]:
         dist = F.aggregate(
@@ -219,11 +228,19 @@ def nprobe_sweep(
             .collect()
         }
 
+    # Ground truth depends only on the query, not on nprobe — compute it
+    # ONCE per query (one exact scan each), not once per (query, nprobe):
+    # the sweep's stated budget is "one exact top-k scan + nlist pruned
+    # ADC scans" per query, and recomputing truth inside the loop would
+    # multiply the exact-scan cost by nlist.
+    truths = {qid: exact_topk(qid, q) for qid, q in qvecs.items()}
+    if any(not t for t in truths.values()):
+        raise ValueError("nprobe_sweep: corpus too small for ground-truth top-k")
     recalls: dict[int, float] = {}
     for nprobe in range(1, nlist + 1):
         hits = 0.0
         for qid, q in qvecs.items():
-            truth = exact_topk(qid, q)
+            truth = truths[qid]
             # over-fetch one, drop the query itself, keep the top-k
             rows = idx.search(spark, q, k=k + 1, nprobe=nprobe).collect()
             got = [r.vec_id for r in rows if r.vec_id != qid][:k]

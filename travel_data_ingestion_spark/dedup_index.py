@@ -25,9 +25,11 @@ set over the full corpus — incrementality changes the schedule, never
 the answer.
 
 Layout under ``path``:
-- ``docs/``  parquet ledger: (doc_id, n_sh, shingles) — shingles kept
-  for candidate verification without re-reading the corpus; empty for
-  unindexable (<3-token) docs, which are remembered but never join.
+- ``docs/``  parquet ledger: (doc_id, n_sh, shingles, batch_id) —
+  shingles kept for candidate verification without re-reading the
+  corpus; empty for unindexable (<3-token) docs, which are remembered
+  but never join; batch_id powers streaming epoch-replay pair
+  recomputation (see update).
 - ``bands/`` parquet: (doc_id, n_sh, band_id, sig) — 8 rows per
   indexable doc, the LSH bucket table.
 
@@ -49,7 +51,12 @@ from travel_data_ingestion_spark.queries.llm_dedup import (
     shingle_docs,
 )
 
-_DOCS_SCHEMA = "doc_id long, n_sh int, shingles array<string>"
+# batch_id: which update() call indexed the doc (-1 for the batch API).
+# It exists for STREAMING epoch replay: a replayed epoch recomputes the
+# SAME pairs it emitted the first time (its own docs are excluded from
+# the "already seen" set), so a crash between the index commit and the
+# pairs write cannot lose pairs — see update(batch_id=...).
+_DOCS_SCHEMA = "doc_id long, n_sh int, shingles array<string>, batch_id long"
 _BANDS_SCHEMA = "doc_id long, n_sh int, band_id int, sig string"
 
 
@@ -76,18 +83,59 @@ class MinHashIndex:
             return spark.createDataFrame([], _BANDS_SCHEMA)
         return spark.read.schema(_BANDS_SCHEMA).parquet(self.bands_path)
 
-    def update(self, spark: SparkSession, batch: DataFrame) -> DataFrame:
+    def update(
+        self, spark: SparkSession, batch: DataFrame, batch_id: int | None = None
+    ) -> DataFrame:
         """Index a batch of (doc_id, text) docs; return the NEW near-dup
         pairs (doc_a, doc_b, jaccard) this batch introduces.
 
         A returned pair always has its new doc on one side; pairs whose
         both sides predate the batch were returned by the update that
         introduced them. ``build`` is just ``update`` on an empty index.
-        """
-        seen = self._read_docs(spark).select("doc_id")
-        fresh = batch.join(seen, "doc_id", "left_anti")
 
-        sh_new = shingle_docs(fresh)
+        ``batch_id`` selects the replay semantics:
+
+        - **None (the batch API)**: a fresh NEGATIVE id is allocated
+          internally per call (-1, -2, ...), so a repeated update with
+          already-ledgered docs is a full no-op — no appends, no pairs.
+        - **>= 0 (streaming epochs)**: docs this same batch_id indexed
+          earlier are EXCLUDED from the "seen" set when computing pairs
+          (appends stay exactly-once via the full-ledger anti-join), so
+          a replayed epoch re-emits exactly the pairs the first attempt
+          produced. The caller writes pairs idempotently per epoch
+          (streaming/neardup.py partitions by epoch and overwrites), so
+          a crash ANYWHERE between the index commit and the pairs write
+          loses nothing and duplicates nothing. Do not mix the two APIs'
+          id spaces on one index: epochs are non-negative, batch
+          allocations negative, so they cannot collide.
+
+        The "new side" of the candidate join derives from the
+        POST-append ledger filtered by batch_id — deliberately NOT from
+        the pre-append anti-join: a Spark write refreshes cached file
+        listings for its target path, so a pre-append frame re-evaluated
+        after the append can silently collapse to empty (measured; the
+        r7 refactor hit exactly this), while the batch_id predicate is
+        stable under any re-evaluation.
+
+        Write ordering is part of the crash contract: bands land BEFORE
+        the doc ledger, because the ledger is the replay key — a crash
+        between the two writes re-runs the doc as fresh (band duplicates
+        are absorbed by the candidate join's ``distinct``), while the
+        reverse order would leave a ledgered-but-bandless doc invisible
+        to near-dup detection forever.
+        """
+        batch = batch.select("doc_id", "text").dropDuplicates(["doc_id"])
+        ledger = self._read_docs(spark)
+        if batch_id is None:
+            prev_min = ledger.agg(F.min("batch_id")).first()[0]
+            bid = min(int(prev_min or 0), 0) - 1
+        else:
+            bid = int(batch_id)
+            if bid < 0:
+                raise ValueError("stream batch_id must be >= 0")
+        fresh = batch.join(ledger.select("doc_id"), "doc_id", "left_anti").persist()
+
+        sh_new = shingle_docs(fresh).persist()
         # ledger rows for ALL fresh docs — unindexable ones keep an empty
         # shingle set so replays skip them too.
         ledger_new = (
@@ -97,23 +145,30 @@ class MinHashIndex:
                 "doc_id",
                 F.coalesce("n_sh", F.lit(0)).alias("n_sh"),
                 F.coalesce("shingles", F.array().cast("array<string>")).alias("shingles"),
+                F.lit(bid).alias("batch_id"),
             )
         )
         bands_new = minhash_band_rows(sh_new)
 
-        # Materialize ONCE before pair-finding: the append below must not
-        # race the candidate join's scan of the old index, and signatures
-        # must not be recomputed per downstream branch.
-        ledger_new.write.mode("append").parquet(self.docs_path)
-        bands_new.write.mode("append").parquet(self.bands_path)
+        try:
+            # bands FIRST, ledger LAST (see docstring).
+            bands_new.write.mode("append").parquet(self.bands_path)
+            ledger_new.write.mode("append").parquet(self.docs_path)
+        finally:
+            sh_new.unpersist()
+            fresh.unpersist()
 
-        # Re-reads below list the index files AFTER the append, so they see
-        # old + new rows; ``fresh``'s anti-join keeps the pre-append file
-        # listing (pinned when ``seen`` was created), so ``new_ids`` still
-        # means "new in this batch".
+        # Re-reads below list the index files AFTER the append, so they
+        # see old + new rows; the new side is "this batch minus docs
+        # indexed under OTHER batch ids" — the fresh set on first run,
+        # the epoch's own docs again on a replay.
         bands_all = self._read_bands(spark)
         docs_all = self._read_docs(spark)
-        new_ids = fresh.select("doc_id")
+        new_ids = batch.join(
+            docs_all.filter(F.col("batch_id") != bid).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        ).select("doc_id")
 
         # Candidates: new-side band rows vs the WHOLE index (old + new);
         # (least, greatest) + distinct canonicalizes each pair to one row.
@@ -165,7 +220,7 @@ class MinHashIndex:
     build = update
 
 
-_VECS_SCHEMA = "vec_id long, e array<double>"
+_VECS_SCHEMA = "vec_id long, e array<double>, batch_id long"
 _BUCKETS_SCHEMA = "vec_id long, bucket long"
 
 
@@ -208,9 +263,20 @@ class EmbeddingIndex:
             return spark.createDataFrame([], _BUCKETS_SCHEMA)
         return spark.read.schema(_BUCKETS_SCHEMA).parquet(self.buckets_path)
 
-    def update(self, spark: SparkSession, batch: DataFrame) -> DataFrame:
+    def update(
+        self, spark: SparkSession, batch: DataFrame, batch_id: int | None = None
+    ) -> DataFrame:
         """Index a batch of (vec_id, e: array<double>) vectors; return the
-        NEW near-dup pairs (vec_a, vec_b, cos_sim) this batch introduces."""
+        NEW near-dup pairs (vec_a, vec_b, cos_sim) this batch introduces.
+
+        ``batch_id`` semantics mirror ``MinHashIndex.update``: None =
+        replay is a full no-op; set (streaming epoch) = a replayed epoch
+        re-emits exactly its own pairs (appends stay exactly-once), so
+        epoch-partitioned idempotent pairs writes survive any crash
+        point. Buckets land BEFORE the vec ledger (the replay key) for
+        the same crash-window reason; bucket duplicates from a partial
+        replay are absorbed by the output dropDuplicates.
+        """
         from travel_data_ingestion_spark.queries.llm_similarity import (
             _lsh_planes,
             cosine,
@@ -218,19 +284,46 @@ class EmbeddingIndex:
         )
 
         planes = _lsh_planes(self.N_PLANES)
-        # Pin the PRE-append state as DataFrames before writing.
-        old_vecs = self._read_vecs(spark)
-        old_buckets = self._read_buckets(spark)
+        stored_vecs = self._read_vecs(spark)
+        batch = batch.select("vec_id", "e").dropDuplicates(["vec_id"])
+        if batch_id is None:
+            prev_min = stored_vecs.agg(F.min("batch_id")).first()[0]
+            bid = min(int(prev_min or 0), 0) - 1
+        else:
+            bid = int(batch_id)
+            if bid < 0:
+                raise ValueError("stream batch_id must be >= 0")
 
-        fresh = batch.select("vec_id", "e").join(
-            old_vecs.select("vec_id"), "vec_id", "left_anti"
-        )
-        keyed_new = fresh.withColumn(
+        fresh = batch.join(stored_vecs.select("vec_id"), "vec_id", "left_anti")
+        keyed_fresh = fresh.withColumn(
             "bucket", hyperplane_signature(F.col("e"), planes)
-        )
-        keyed_new.select("vec_id", "e").write.mode("append").parquet(self.vecs_path)
-        keyed_new.select("vec_id", "bucket").write.mode("append").parquet(
-            self.buckets_path
+        ).persist()
+        try:
+            keyed_fresh.select("vec_id", "bucket").write.mode("append").parquet(
+                self.buckets_path
+            )
+            keyed_fresh.select(
+                "vec_id", "e", F.lit(bid).alias("batch_id")
+            ).write.mode("append").parquet(self.vecs_path)
+        finally:
+            keyed_fresh.unpersist()
+
+        # Post-append reads split by batch_id — never a pre-append frame
+        # re-evaluated after the write (the write refreshes cached file
+        # listings; see MinHashIndex.update). New side = this batch minus
+        # vectors indexed under OTHER ids (signatures recompute — pure
+        # function — so a replayed epoch reproduces its buckets); old
+        # side = everything indexed under other ids, so a replayed epoch
+        # cannot pair a vector with its own committed copy.
+        all_vecs = self._read_vecs(spark)
+        keyed_new = batch.join(
+            all_vecs.filter(F.col("batch_id") != bid).select("vec_id"),
+            "vec_id",
+            "left_anti",
+        ).withColumn("bucket", hyperplane_signature(F.col("e"), planes))
+        old_vecs = all_vecs.filter(F.col("batch_id") != bid).select("vec_id", "e")
+        old_buckets = self._read_buckets(spark).join(
+            old_vecs.select("vec_id"), "vec_id", "left_semi"
         )
 
         # Multi-probe side: each new vector probes its own bucket + every
@@ -273,6 +366,9 @@ class EmbeddingIndex:
             pair(cand_new)
             .unionByName(pair(cand_old))
             .filter(F.col("cos_sim") >= self.THRESHOLD)
+            # defensive canonicalization: bucket-row duplicates left by a
+            # crashed partial append must not duplicate a pair
+            .dropDuplicates(["vec_a", "vec_b"])
         )
 
     build = update
@@ -341,11 +437,18 @@ class ClusterIndex:
         return spark.read.schema(_ASSIGN_SCHEMA).parquet(self.assign_path)
 
     def _read_remap(self, spark: SparkSession) -> dict[int, int]:
-        if not os.path.isdir(self.remap_path):
-            return {}
+        path = self.remap_path
+        if not os.path.isdir(path):
+            # crash landed between the two swap renames: the parked old
+            # log is the consistent pre-rewrite state (the interrupted
+            # batch's merges heal when its epoch replays)
+            old = f"{self.remap_path}__old"
+            if not os.path.isdir(old):
+                return {}
+            path = old
         return {
             r.src: r.dst
-            for r in spark.read.schema(_REMAP_SCHEMA).parquet(self.remap_path).collect()
+            for r in spark.read.schema(_REMAP_SCHEMA).parquet(path).collect()
         }
 
     def update(self, spark: SparkSession, batch: DataFrame, pairs: DataFrame) -> dict[int, int]:
@@ -359,7 +462,11 @@ class ClusterIndex:
         """
         assign = self._read_assign(spark)
         remap = self._read_remap(spark)
-        fresh = batch.select("doc_id").join(assign.select("doc_id"), "doc_id", "left_anti")
+        fresh = (
+            batch.select("doc_id")
+            .dropDuplicates(["doc_id"])
+            .join(assign.select("doc_id"), "doc_id", "left_anti")
+        )
 
         edge_rows = pairs.select("doc_a", "doc_b").distinct().collect()
         endpoints = {r.doc_a for r in edge_rows} | {r.doc_b for r in edge_rows}
@@ -462,13 +569,26 @@ class ClusterIndex:
             [(int(s), int(d)) for s, d in sorted(new_remap.items())] or [],
             _REMAP_SCHEMA,
         )
-        tmp = f"{self.remap_path}__tmp"
-        remap_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(self.remap_path):
-            import shutil
+        # Swap with the smallest possible no-log window: park the live
+        # log aside, promote the new one, then delete the old — the
+        # path is only absent between the two renames (vs the previous
+        # rmtree-then-rename, which left no log for the whole delete).
+        # Single-driver contract (SURVEY §7.4-4): a truly concurrent
+        # resolve() is out of scope; a crash mid-swap is repaired by
+        # the next update, and a crash BETWEEN the assign append and
+        # this rewrite heals on epoch replay because the replayed
+        # pairs re-derive the lost merges (MinHashIndex batch_id
+        # semantics + the endpoint re-contraction here).
+        import shutil
 
-            shutil.rmtree(self.remap_path)
+        tmp = f"{self.remap_path}__tmp"
+        old = f"{self.remap_path}__old"
+        remap_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)  # leftover from a crash
+        if os.path.isdir(self.remap_path):
+            os.rename(self.remap_path, old)
         os.rename(tmp, self.remap_path)
+        shutil.rmtree(old, ignore_errors=True)
         return merges
 
     def resolve(self, spark: SparkSession) -> DataFrame:

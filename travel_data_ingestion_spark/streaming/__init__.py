@@ -6,7 +6,8 @@ path kept semantically equivalent:
 
 - ``ingest_stream``: file-source ingestion with Trigger.AvailableNow +
   checkpoint = the ingestion ledger (A-07/A-08) as engine-managed state;
-  foreachBatch performs the same idempotent bronze append.
+  foreachBatch lands each epoch through the idempotent
+  per-load_id partition overwrite (replay-safe).
 - ``windows``: watermarked tumbling/sliding window aggregations — the
   streaming twins of the minute/hour batch grains (D-02/D-03) — and
   gap-based sessionization via session_window.
@@ -21,6 +22,7 @@ from travel_data_ingestion_spark.streaming.dedup import (
     deduped_stream,
 )
 from travel_data_ingestion_spark.streaming.neardup import (
+    clustered_neardup_stream,
     embedding_neardup_stream,
     neardup_stream,
 )
@@ -38,4 +40,5 @@ __all__ = [
     "deduped_doc_stream",
     "neardup_stream",
     "embedding_neardup_stream",
+    "clustered_neardup_stream",
 ]

@@ -40,7 +40,11 @@ def deduped_doc_stream(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Content-exact document dedup on md5(lower(trim(text))) — dd01's
-    normalization — emitting each distinct content exactly once."""
+    normalization — emitting each distinct content once WITHIN the
+    watermark horizon: a re-delivery arriving after the watermark has
+    passed its first arrival is re-emitted by design (bounded state is
+    the trade; pair with the batch dd01 sweep for horizon-crossing
+    dupes)."""
     keyed = stream.withColumn(
         "content_key", F.md5(F.lower(F.trim(F.col(text_col))))
     )

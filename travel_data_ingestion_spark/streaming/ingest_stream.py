@@ -4,8 +4,21 @@ Streaming job.
 ``Trigger.AvailableNow`` drains whatever files exist and stops — the
 streaming-native equivalent of one ingestion DAG run; the checkpoint
 directory replaces the filename ledger (each file is consumed exactly
-once across restarts). ``foreachBatch`` runs the same lineage-append
-bronze write as the batch path, so downstream silver logic is identical.
+once across restarts). ``foreachBatch`` lands each micro-batch through
+the same idempotent per-``load_id`` partition overwrite as the batch
+silver sink, so an epoch replayed after a crash overwrites its own
+partition instead of appending a duplicate copy — exactly-once end to
+end, not just at the source. The CSV reader carries the batch path's
+exact parsing options (header, RFC-4180 doubled-quote escapes,
+NULL/null/'' -> NULL, PERMISSIVE), so a file produces identical bronze
+rows whichever path ingested it.
+
+``load_id`` allocation: each epoch writes ``base + epoch_id`` where
+``base`` defaults to the admin ingestion ledger's MAX(load_id)+1 at
+stream start, and every epoch also appends a ledger row — so the batch
+path's next allocation sees the streamed loads and the two paths can
+never hand out colliding ids (single-driver contract, same as the
+warehouse's other ledgers).
 
 At scale this is the preferred ingestion mode: file discovery is
 incremental (no full LIST per run), and maxFilesPerTrigger bounds batch
@@ -15,13 +28,23 @@ size for predictable executor memory.
 from __future__ import annotations
 
 import os
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from travel_data_ingestion_spark.catalog import BRONZE_SCHEMAS, LINEAGE_FIELDS, Warehouse
-from travel_data_ingestion_spark.ingest import lineage_row_id
+from travel_data_ingestion_spark.catalog import (
+    ADMIN_SCHEMAS,
+    BRONZE_SCHEMAS,
+    LINEAGE_FIELDS,
+    Warehouse,
+)
+from travel_data_ingestion_spark.ingest import (
+    _csv_null_tokens,
+    _next_load_id,
+    lineage_row_id,
+)
 
 _LINEAGE_COLS = [f.name for f in LINEAGE_FIELDS]
 
@@ -33,31 +56,61 @@ def stream_ingest_csv(
     target_table: str,
     pattern: str = "*.csv",
     checkpoint_dir: str | None = None,
-    load_id: int = 1,
+    load_id: int | None = None,
 ) -> None:
     """Stream-ingest CSV files into bronze.<target_table> and wait for
-    completion (AvailableNow drains then stops)."""
+    completion (AvailableNow drains then stops). ``load_id`` overrides
+    the ledger-allocated base (epoch N writes ``load_id + N``)."""
     bronze_schema = BRONZE_SCHEMAS[target_table]
     business = [f.name for f in bronze_schema.fields if f.name not in _LINEAGE_COLS]
     read_schema = T.StructType([T.StructField(c, T.StringType()) for c in business])
 
+    base = _next_load_id(spark, wh) if load_id is None else load_id
     checkpoint = checkpoint_dir or os.path.join(wh.root, "_checkpoints", target_table)
     stream = (
         spark.readStream.schema(read_schema)
         .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("nullValue", "NULL")
+        .option("mode", "PERMISSIVE")
         .option("pathGlobFilter", pattern)
         .option("maxFilesPerTrigger", 16)
         .csv(landing_dir)
     )
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
+        s = df.sparkSession
+        eid = base + epoch_id
         out = (
-            df.withColumn("_ingestion_time", F.current_timestamp())
+            _csv_null_tokens(df)
+            .withColumn("_ingestion_time", F.current_timestamp())
             .withColumn("_source_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
-            .withColumn("load_id", F.lit(load_id + epoch_id).cast("long"))
-            .withColumn("row_id", lineage_row_id(load_id + epoch_id))
+            .withColumn("load_id", F.lit(eid).cast("long"))
+            .withColumn("row_id", lineage_row_id(eid))
         )
-        wh.append(df.sparkSession, out, "bronze", target_table, partition_by=("load_id",))
+        # dynamic partition overwrite on load_id: an epoch replayed
+        # after a crash rewrites exactly its own partition — no dupes
+        wh.write_idempotent(s, out, "bronze", target_table)
+        # ledger row so the batch path's MAX(load_id)+1 sees this load;
+        # a replayed epoch appends a duplicate row, which the append+
+        # latest-wins ledger semantics absorb (same load_id, same file)
+        log = s.createDataFrame(
+            [
+                (
+                    eid,
+                    None,  # file_id: streams have no config row
+                    f"stream:{target_table}",
+                    target_table,
+                    "SUCCESS",
+                    None,
+                    None,
+                    datetime.now(timezone.utc),
+                )
+            ],
+            ADMIN_SCHEMAS["ingestion_logs"],
+        )
+        wh.append(s, log, "admin", "ingestion_logs")
 
     q = (
         stream.writeStream.foreachBatch(write_batch)

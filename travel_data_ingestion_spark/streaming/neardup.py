@@ -11,12 +11,19 @@ instead: ``foreachBatch`` feeds each micro-batch through
 
 - computes signatures for the batch only (O(batch), never O(corpus)),
 - equi-joins the batch's band rows against the persisted bucket table,
-- appends the batch to the index and the new pairs to the pairs table.
+- appends the batch to the index and returns the new pairs.
 
-Failure semantics: ``foreachBatch`` re-runs an epoch after a crash, and
-the index's doc-ledger anti-join makes a replay a no-op (0 new docs,
-0 new pairs appended) — exactly-once for both the index and the pairs
-output without any extra bookkeeping.
+Failure semantics (exactly-once, crash-point-proof): ``foreachBatch``
+re-runs an epoch after a crash. Index appends are exactly-once by the
+doc-ledger anti-join; pairs are exactly-once because (a) the index is
+updated with ``batch_id=epoch_id``, so a REPLAYED epoch recomputes the
+same pairs it produced the first time (its own docs are excluded from
+the "seen" set — see dedup_index.MinHashIndex.update), and (b) pairs
+are written to an ``epoch_id=<N>`` partition with dynamic partition
+overwrite, so the replay overwrites its own partition instead of
+appending duplicates. A crash between the index commit and the pairs
+write therefore loses nothing; a crash after the pairs write but before
+the checkpoint commit duplicates nothing.
 
 Batch twin: queries/llm_dedup.dd03_minhash_lsh_pairs (oracle-checked);
 the pairs a stream accumulates match the one-shot batch run over the
@@ -27,9 +34,24 @@ streaming test in tests/test_streaming.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
 from travel_data_ingestion_spark.dedup_index import EmbeddingIndex, MinHashIndex
+
+
+def _write_pairs_idempotent(pairs: DataFrame, epoch_id: int, pairs_path: str) -> None:
+    """Land an epoch's pairs exactly once across replays: write into the
+    epoch's own partition with dynamic overwrite — the replayed epoch
+    (which recomputes identical pairs under ``batch_id`` semantics)
+    replaces its partition instead of appending a duplicate copy."""
+    (
+        pairs.withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(pairs_path)
+    )
 
 
 def neardup_stream(
@@ -38,14 +60,18 @@ def neardup_stream(
     """Wire a (doc_id, text, ...) stream into an incremental near-dup
     index; returns the ``DataStreamWriter`` ready to ``.start()``.
 
-    New near-dup pairs (doc_a, doc_b, jaccard) append to ``pairs_path``
-    as each micro-batch lands.
+    New near-dup pairs (doc_a, doc_b, jaccard) land under ``pairs_path``
+    partitioned by epoch as each micro-batch commits.
     """
     idx = MinHashIndex(index_path)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        pairs = idx.update(batch_df.sparkSession, batch_df.select("doc_id", "text"))
-        pairs.write.mode("append").parquet(pairs_path)
+        pairs = idx.update(
+            batch_df.sparkSession,
+            batch_df.select("doc_id", "text"),
+            batch_id=epoch_id,
+        )
+        _write_pairs_idempotent(pairs, epoch_id, pairs_path)
 
     return stream.writeStream.foreachBatch(process).outputMode("update")
 
@@ -55,12 +81,16 @@ def embedding_neardup_stream(
 ) -> DataStreamWriter:
     """Same wiring for a (vec_id, e: array<double>, ...) embedding
     stream over ``EmbeddingIndex``: new cosine near-dup pairs
-    (vec_a, vec_b, cos_sim) append to ``pairs_path`` per micro-batch."""
+    (vec_a, vec_b, cos_sim) land per epoch partition."""
     idx = EmbeddingIndex(index_path)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        pairs = idx.update(batch_df.sparkSession, batch_df.select("vec_id", "e"))
-        pairs.write.mode("append").parquet(pairs_path)
+        pairs = idx.update(
+            batch_df.sparkSession,
+            batch_df.select("vec_id", "e"),
+            batch_id=epoch_id,
+        )
+        _write_pairs_idempotent(pairs, epoch_id, pairs_path)
 
     return stream.writeStream.foreachBatch(process).outputMode("update")
 
@@ -74,9 +104,11 @@ def clustered_neardup_stream(
     the current dd06-equivalent answer at any point in the stream —
     without ever re-running connected components over the corpus.
 
-    Replay of a crashed epoch is a no-op at BOTH layers: the MinHash
-    doc-ledger yields 0 new pairs, and the cluster index's assign
-    anti-join skips already-indexed docs.
+    Replay of a crashed epoch is SELF-HEALING at both layers: the
+    MinHash update re-emits the epoch's own pairs (``batch_id``
+    semantics), the cluster index's assign anti-join skips
+    already-indexed docs, and re-contracting the replayed pairs
+    re-derives any merge the crash kept out of the remap log.
     """
     from travel_data_ingestion_spark.dedup_index import ClusterIndex
 
@@ -87,7 +119,9 @@ def clustered_neardup_stream(
         batch = batch_df.select("doc_id", "text")
         # one materialization: the pairs feed the cluster contraction
         # (driver collect) AND nothing else — cache instead of recompute
-        pairs = idx.update(batch_df.sparkSession, batch).cache()
+        pairs = idx.update(
+            batch_df.sparkSession, batch, batch_id=epoch_id
+        ).cache()
         try:
             cc.update(batch_df.sparkSession, batch.select("doc_id"), pairs)
         finally:

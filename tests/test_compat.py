@@ -75,3 +75,21 @@ def test_hr_zone_boundaries(spark):
     out = [r.z for r in df.select(_hr_zone(F.col("bpm")).alias("z")).collect()]
     # strict < boundaries: 60 -> Normal, 100 -> Elevated, 130 -> High
     assert out == ["Unknown", "Resting", "Normal", "Normal", "Elevated", "Elevated", "High"]
+
+
+def test_listagg_all_null_group_is_null(spark):
+    """string_agg parity: a group whose values are all NULL aggregates
+    to NULL, not '' (DuckDB/Snowflake semantics; array_join alone would
+    render the empty string and break oracle hashes)."""
+    from pyspark.sql import functions as F
+
+    from travel_data_ingestion_spark.compat import listagg
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("b", None)], "g string, v string"
+    )
+    got = {
+        r.g: r.agg
+        for r in df.groupBy("g").agg(listagg("v").alias("agg")).collect()
+    }
+    assert got == {"a": "x", "b": None}

@@ -231,3 +231,21 @@ def test_curriculum_rejects_bad_weights_config(spark):
     for dw in (0.0, -1.0, float("nan")):
         with pytest.raises(ValueError, match="default_weight"):
             curriculum_interleave(docs, stratum="lang", default_weight=dw)
+
+
+def test_reexport_with_fewer_shards_leaves_no_stale_dirs(spark, tmp_path):
+    """Shard export is a FULL replace: re-exporting with fewer shards
+    (post-dedup) must remove the previous export's extra shard dirs —
+    under the session's dynamic partitionOverwriteMode a plain
+    overwrite would leave them, and a loader would read stale rows."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    p = str(tmp_path / "shards")
+    write_training_shards(docs, p, n_shards=8)
+    assert len(glob.glob(os.path.join(p, "shard=*"))) == 8
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    write_training_shards(half, p, n_shards=2)
+    assert sorted(os.path.basename(d) for d in glob.glob(os.path.join(p, "shard=*"))) == [
+        "shard=0",
+        "shard=1",
+    ]
+    assert spark.read.parquet(p).count() == half.count()

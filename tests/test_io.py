@@ -35,3 +35,28 @@ def test_partitioned_write(spark, tmp_path):
 def test_jdbc_gated(spark):
     with pytest.raises(NotImplementedError):
         eio.read_jdbc(spark, "jdbc:postgresql://x/y", "t")
+
+
+def test_csv_roundtrip_preserves_quotes_and_nulls(spark, tmp_path):
+    """write_table/read_table CSV round-trip: embedded double quotes,
+    literal 'NULL' strings, and real NULLs all survive — the writer
+    must mirror the reader's quote/escape/nullValue options."""
+    from travel_data_ingestion_spark.io import read_table, write_table
+
+    df = spark.createDataFrame(
+        [
+            (1, 'he said "hi"'),
+            (2, "NULL"),   # literal string NULL... becomes NULL by contract
+            (3, None),     # real NULL
+            (4, "a,b"),    # embedded separator
+        ],
+        "id int, v string",
+    )
+    p = str(tmp_path / "rt.csv")
+    write_table(df, p, "csv")
+    got = {r.id: r.v for r in read_table(spark, p, "csv", schema="id int, v string").collect()}
+    assert got[1] == 'he said "hi"'
+    assert got[4] == "a,b"
+    # NULL_IF contract: the literal string 'NULL' and a real NULL both
+    # come back as SQL NULL (matching the reference's NULL_IF semantics)
+    assert got[2] is None and got[3] is None

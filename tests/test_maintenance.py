@@ -77,3 +77,18 @@ def test_recover_compaction_heals_mid_swap_state(spark, tmp_path):
     recover_compaction(path)
     assert not os.path.exists(backup)
     assert spark.read.parquet(path).count() == 300
+
+
+def test_zorder_rejects_sign_bit_overflow(spark):
+    """bits*len(cols) > 63 would interleave into the long sign bit and
+    invert the top half of the curve — must raise, not silently break
+    min/max skipping."""
+    import pytest
+
+    from travel_data_ingestion_spark.maintenance import zorder_value
+
+    with pytest.raises(ValueError, match="sign bit"):
+        zorder_value(["a", "b", "c", "d"], bits=16, boundaries={})
+    # 63 bits exactly is fine structurally (boundaries consulted later)
+    with pytest.raises(KeyError):  # gets past the guard, then needs cuts
+        zorder_value(["a"], bits=63, boundaries={})

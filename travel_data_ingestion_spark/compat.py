@@ -76,7 +76,9 @@ def listagg(col: Column | str, sep: str = ", ", distinct: bool = False) -> Colum
     arr = F.collect_list(c)
     if distinct:
         arr = F.array_distinct(arr)
-    return F.array_join(F.array_sort(arr), sep)
+    # all-NULL group -> NULL, matching string_agg on the oracle side
+    # (collect_list skips nulls, and array_join would render '' instead)
+    return F.when(F.size(arr) > 0, F.array_join(F.array_sort(arr), sep))
 
 
 def zeroifnull(col: Column | str) -> Column:

@@ -46,6 +46,12 @@ def _write_shards(
         sharded.repartition(n_shards, SHARD_COL)
         .sortWithinPartitions(SHARD_COL, *sort_cols)
         .write.mode("overwrite")
+        # STATIC overwrite on purpose: the session default is dynamic
+        # (for the idempotent silver sink), under which a re-export with
+        # fewer shards — or an empty shard — would leave the previous
+        # export's extra shard dirs in place and a loader would read
+        # stale rows. A shard export is a full replace of the target.
+        .option("partitionOverwriteMode", "static")
         .partitionBy(SHARD_COL)
     )
     if max_records_per_file is not None:

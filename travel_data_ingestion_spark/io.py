@@ -56,7 +56,14 @@ def write_table(
     elif fmt == "orc":
         writer.orc(path)
     elif fmt == "csv":
-        writer.options(header="true").csv(path)
+        # mirror read_table's CSV_OPTIONS: Spark's write defaults
+        # (escape='\\', nullValue='') would corrupt the module's own
+        # round-trip — embedded quotes misparse under the reader's
+        # doubled-quote escape, NULLs come back as '' and literal
+        # 'NULL' strings come back as SQL NULL. ('mode' is read-only,
+        # excluded.)
+        wopts = {k: v for k, v in CSV_OPTIONS.items() if k != "mode"}
+        writer.options(**wopts).csv(path)
     elif fmt == "json":
         writer.json(path)
     else:

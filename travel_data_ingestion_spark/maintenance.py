@@ -100,9 +100,21 @@ def zorder_value(cols, bits: int = 16, boundaries=None):
 
     ``boundaries`` is {col: sorted list of 2**bits - 1 cut points}
     (from ``approxQuantile``); required — computed by ``zorder_layout``.
+
+    ``bits * len(cols)`` must fit in 63 bits: plane 63 is the LONG sign
+    bit, and an interleaved value reaching it flips negative — rows in
+    the top half of the leading bucket range would then sort BEFORE the
+    lowest buckets and the file min/max rectangles stop pruning.
+    Raises instead of silently inverting the curve.
     """
     from pyspark.sql import functions as F
 
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder_value: bits*len(cols) = {bits * len(cols)} exceeds 63 — "
+            "the interleave would overflow into the long sign bit; "
+            "lower bits (e.g. bits=63//len(cols))"
+        )
     ranks = []
     for c in cols:
         # bucket index = count of quantile cuts <= value (rank-space)

@@ -13,9 +13,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from travel_data_ingestion_spark.queries import load_table, register
-from travel_data_ingestion_spark.queries.llm_dedup import _SHINGLES_SQL, _shingles
+from travel_data_ingestion_spark.queries.llm_dedup import (
+    _SHINGLES_SQL,
+    _TOKENIZE_SQL,
+    _shingles,
+)
 
-_TOKENIZE_SQL = "string_split_regex(trim(text), '\\s+')"
 
 
 @register(
@@ -59,7 +62,6 @@ def cu01_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "One shuffle on the stratum key.",
 )
 def cu02_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(
@@ -409,7 +411,7 @@ def cu04_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sampled AS (
       SELECT d.lang
-      FROM documents d JOIN rates r ON d.lang = r.lang
+      FROM documents d JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
       WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
             < FLOOR(r.sample_rate * 65536)
     )
@@ -417,7 +419,7 @@ def cu04_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(c.n_sampled, 0) AS n_sampled
     FROM rates r
     LEFT JOIN (SELECT lang, COUNT(*) AS n_sampled FROM sampled GROUP BY lang) c
-      ON r.lang = c.lang
+      ON r.lang IS NOT DISTINCT FROM c.lang
     """,
     survey_ops=("X-CURATE-7",),
     doc="Temperature-based mixture sampling (the multilingual-pretraining "
@@ -432,7 +434,14 @@ def cu04_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map-only on the scan.",
 )
 def cu07_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(load_table(spark, sf_dir, "documents"))
+
+
+def mixture_sample(docs: DataFrame) -> DataFrame:
+    """cu07's kernel over any (doc_id, lang) frame. All lang joins are
+    NULL-SAFE: a NULL-lang stratum is a real stratum (same proxy rule as
+    export.curriculum_interleave) — an equi-join would silently exclude
+    it from sampling while still reporting a positive sample_rate."""
     stats = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     tot = stats.agg(
         F.sum(F.sqrt("n_docs").cast("decimal(28,12)")).cast("double").alias("s"),
@@ -451,17 +460,29 @@ def cu07_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "int"
     )
     sampled = (
-        docs.join(F.broadcast(rates), "lang")
-        .filter(bucket < F.floor(F.col("sample_rate") * 65536))
-        .groupBy("lang")
+        docs.alias("d")
+        .join(
+            F.broadcast(rates).alias("r"),
+            F.col("d.lang").eqNullSafe(F.col("r.lang")),
+        )
+        .filter(bucket < F.floor(F.col("r.sample_rate") * 65536))
+        .groupBy(F.col("r.lang").alias("lang"))
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
-    return rates.join(sampled, "lang", "left").select(
-        "lang",
-        "n_docs",
-        "mix_weight",
-        "sample_rate",
-        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+    return (
+        rates.alias("r")
+        .join(
+            sampled.alias("c"),
+            F.col("r.lang").eqNullSafe(F.col("c.lang")),
+            "left",
+        )
+        .select(
+            F.col("r.lang").alias("lang"),
+            "n_docs",
+            "mix_weight",
+            "sample_rate",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
     )
 
 
@@ -818,16 +839,17 @@ def _curriculum_oracle() -> str:
     "oracle hash-compares the full ordering.",
 )
 def cu10_curriculum_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
 
     from travel_data_ingestion_spark.export import curriculum_interleave
 
     docs = load_table(spark, sf_dir, "documents")
     vts = curriculum_interleave(docs, stratum="lang", key="doc_id")
-    head = vts.orderBy("vt", "lang", "doc_id").limit(200)
+    head = vts.orderBy(
+        "vt", F.col("lang").asc_nulls_last(), "doc_id"
+    ).limit(200)
     # row_number over the already-limited head: the window sorts k=200
     # rows in one partition — bounded by k, not corpus size.
-    w = Window.orderBy("vt", "lang", "doc_id")
+    w = Window.orderBy("vt", F.col("lang").asc_nulls_last(), "doc_id")
     return head.select(
         F.row_number().over(w).cast("long").alias("train_pos"),
         "doc_id",
@@ -895,7 +917,7 @@ def _weighted_curriculum_oracle() -> str:
     "top-200 by (vt, lang, doc_id): TakeOrderedAndProject.",
 )
 def cu12_weighted_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    W = Window
 
     from travel_data_ingestion_spark.export import curriculum_interleave
 
@@ -904,8 +926,10 @@ def cu12_weighted_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     vts = curriculum_interleave(
         docs, stratum="lang", key="doc_id", weights=cfg, default_weight=_MIX_DEFAULT
     )
-    head = vts.orderBy("vt", "lang", "doc_id").limit(200)
-    w = W.orderBy("vt", "lang", "doc_id")
+    head = vts.orderBy(
+        "vt", F.col("lang").asc_nulls_last(), "doc_id"
+    ).limit(200)
+    w = W.orderBy("vt", F.col("lang").asc_nulls_last(), "doc_id")
     return head.select(
         F.row_number().over(w).cast("long").alias("train_pos"),
         "doc_id",

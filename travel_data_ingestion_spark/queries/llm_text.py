@@ -13,9 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from travel_data_ingestion_spark.queries import load_table, register
+from travel_data_ingestion_spark.queries.llm_dedup import _TOKENIZE_SQL
 
 # Deterministic whitespace tokenizer shared by all text operators.
-_TOKENIZE_SQL = "string_split_regex(trim(text), '\\s+')"
 
 
 def _tokens() -> F.Column:

@@ -77,9 +77,11 @@ ORDER BY order_date ASC
 TAX_ORACLE = """
 WITH clean_flights AS (
   SELECT CAST(date AS DATE) AS flight_date, "to" AS arrival_airport,
-    CASE WHEN length(string_split(trim(duration), ':')) = 2
+    CASE WHEN length(string_split(trim(duration), ':')) IN (2, 3)
               AND TRY_CAST(string_split(trim(duration), ':')[1] AS INT) BETWEEN 0 AND 23
               AND TRY_CAST(string_split(trim(duration), ':')[2] AS INT) BETWEEN 0 AND 59
+              AND (length(string_split(trim(duration), ':')) = 2
+                   OR TRY_CAST(string_split(trim(duration), ':')[3] AS INT) BETWEEN 0 AND 59)
          THEN TRY_CAST(string_split(trim(duration), ':')[1] AS INT)
               + TRY_CAST(string_split(trim(duration), ':')[2] AS INT) / 60.0
     END AS duration_hours

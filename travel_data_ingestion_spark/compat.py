@@ -47,19 +47,28 @@ def try_time_to_hours(col: Column | str) -> Column:
 
     The reference parses "HH:MM" duration strings this way
     (sp_travel_tax_report.sql:32-33). Spark has no TIME type, so
-    decompose the string; NULL (not error) when malformed.
+    decompose the string; NULL (not error) when malformed. Snowflake
+    TRY_TO_TIME also accepts "HH:MM:SS" — mirror that: 2 or 3 parts,
+    every part range-checked, anything else (e.g. "1:2:3:4") -> NULL.
+    The minutes-resolution result ignores seconds, as HOUR()+MINUTE()
+    does. The pinned TAX_ORACLE in tests/test_pipeline_e2e.py encodes
+    the same 2-or-3-part rule — keep the two in lockstep.
     """
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(F.trim(c), ":")
+    n = F.size(parts)
     hh = F.try_element_at(parts, F.lit(1)).cast("int")
     mm = F.try_element_at(parts, F.lit(2)).cast("int")
+    ss = F.try_element_at(parts, F.lit(3)).cast("int")
     valid = (
-        hh.isNotNull()
+        n.isin(2, 3)
+        & hh.isNotNull()
         & mm.isNotNull()
         & (hh >= 0)
         & (hh <= 23)
         & (mm >= 0)
         & (mm <= 59)
+        & ((n == 2) | (ss.isNotNull() & (ss >= 0) & (ss <= 59)))
     )
     return F.when(valid, hh + mm / F.lit(60.0))
 

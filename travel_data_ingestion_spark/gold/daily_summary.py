@@ -45,7 +45,9 @@ def daily_travel_summary_df(spark: SparkSession, wh: Warehouse, date: str) -> Da
     sleep = qualify_dedup_latest(
         wh.read(spark, "silver", "sleep_log"), ["sleep_log_entry_id"]
     ).filter(F.to_date("timestamp") == d)
-    steps = wh.read(spark, "silver", "hourly_step_count").filter(F.col("date") == d)
+    steps = qualify_dedup_latest(
+        wh.read(spark, "silver", "hourly_step_count"), ["date", "hour"]
+    ).filter(F.col("date") == d)
     timeline = qualify_dedup_latest(
         wh.read(spark, "silver", "google_timeline"),
         ["start_time", "end_time", "segment_type"],

@@ -93,8 +93,7 @@ def tr01_full_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     ),
     daily_err AS (
-      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_errors,
-             {_davg('value', 4)} AS avg_err_value
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_errors
       FROM events WHERE event_type = 'error' GROUP BY 1
     ),
     daily_signup AS (
@@ -124,8 +123,6 @@ def tr01_full_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recovery CASE. Branch order preserved exactly.",
 )
 def tr02_tax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from travel_data_ingestion_spark.compat import davg
-
     ev = load_table(spark, sf_dir, "events")
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
@@ -139,7 +136,7 @@ def tr02_tax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors = (
         ev.filter(F.col("event_type") == "error")
         .groupBy(F.to_date("ts").alias("d"))
-        .agg(F.count(F.lit(1)).alias("n_errors"), davg("value", 4).alias("avg_err_value"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
     )
     signups = (
         ev.filter(F.col("event_type") == "signup")

@@ -84,6 +84,7 @@ def run_silver(
     affected partitions.
     """
     results: dict[str, int] = {}
+    failures: dict[str, str] = {}
     for name in datasets or list(SILVER_TRANSFORMS):
         bronze_table, fn = SILVER_TRANSFORMS[name]
         if load_id is not None:
@@ -118,5 +119,13 @@ def run_silver(
             results[name] = total
         except Exception as exc:  # noqa: BLE001 - per-dataset isolation
             _log(spark, wh, trans_id, name, max(ids), "FAILURE", error=str(exc)[:2000])
-            raise
+            failures[name] = str(exc)[:500]
+    if failures:
+        # true per-dataset isolation (each reference transform is its own
+        # Airflow task): every healthy dataset was processed and logged
+        # before the run as a whole reports failure.
+        raise RuntimeError(
+            f"run_silver: {len(failures)} dataset(s) failed after processing "
+            f"{len(results)} successfully: {failures}"
+        )
     return results

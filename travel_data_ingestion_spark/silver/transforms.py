@@ -67,6 +67,12 @@ def fitbit_steps(bronze: DataFrame) -> dict[str, DataFrame]:
         .withColumn("hour", F.hour("ts").cast("long"))
         .withColumn("steps", F.col("steps").cast("long"))
     )
+    # rows whose timestamp failed to parse have date NULL: they must not
+    # spawn a 24-hour NULL-date scaffold block (NULL join keys never
+    # match, so it would surface as 24 zero-step rows under a NULL
+    # load_id — invisible to the idempotent sink's partition overwrite
+    # AND to latest-batch dedup). Drop them from BOTH aggregates.
+    df = df.filter(F.col("date").isNotNull())
     hourly = df.groupBy("date", "hour").agg(
         F.sum("steps").alias("steps"), F.max("load_id").alias("load_id")
     )

@@ -225,7 +225,16 @@ class Warehouse:
         """
         if "load_id" not in df.columns:
             raise ValueError("idempotent write requires a load_id column")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # An all-filtered batch writes NOTHING rather than creating a
+        # file-less table dir (a dir with only _SUCCESS breaks schema
+        # inference for every later reader); the sink stays idempotent —
+        # an empty batch has no partitions to overwrite.
+        if df.isEmpty():
+            return
+        # writer-level option only — mutating the SESSION conf here would
+        # silently flip every later partitioned overwrite in the session
+        # to dynamic semantics (stale-partition hazard export.py has to
+        # pin 'static' against)
         (
             df.write.mode("overwrite")
             .partitionBy("load_id")

@@ -122,8 +122,20 @@ def qualify_dedup_latest(
 
     One survivor per key, newest batch wins (sp_full_travel_costs.sql:21-24,
     sp_travel_tax_report.sql:35,57,69). Single shuffle on the key.
+
+    Default ordering appends a content-hash tie-breaker: two same-key
+    rows in the SAME batch would otherwise pick a survivor by
+    partition/task order — a run-to-run nondeterminism the oracle
+    comparisons cannot tolerate. (Snowflake's QUALIFY has the same
+    nondeterminism; the hash pick is our deterministic refinement.)
     """
-    order = list(order_by) if order_by else [F.col("load_id").desc()]
+    if order_by:
+        order = list(order_by)
+    else:
+        order = [
+            F.col("load_id").desc(),
+            F.xxhash64(F.struct(*df.columns)).asc(),
+        ]
     w = Window.partitionBy(*partition_by).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -93,13 +93,17 @@ def ingestion_ledger(spark: SparkSession, wh: Warehouse) -> DataFrame:
     return log.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
 
 
-def _successful_files(spark: SparkSession, wh: Warehouse) -> set[str]:
-    rows = (
-        ingestion_ledger(spark, wh)
-        .filter(F.col("status") == "SUCCESS")
-        .select("file_name")
-        .collect()
-    )
+def _successful_files(
+    spark: SparkSession, wh: Warehouse, target_table: str | None = None
+) -> set[str]:
+    """SUCCESS file names, scoped to one target table: exactly-once is
+    per (file, dataset) — two datasets with overlapping glob patterns
+    each ingest the file into their own bronze table (the ledger's
+    target_table column exists precisely for this)."""
+    ledger = ingestion_ledger(spark, wh).filter(F.col("status") == "SUCCESS")
+    if target_table is not None:
+        ledger = ledger.filter(F.col("target_table") == target_table)
+    rows = ledger.select("file_name").collect()
     return {r.file_name for r in rows}
 
 
@@ -161,10 +165,14 @@ def read_landing_file(spark: SparkSession, path: str, file_format: str) -> DataF
 
 
 def _csv_null_tokens(df: DataFrame) -> DataFrame:
-    """Multi-token NULL_IF ('NULL','null','') — the reader handles 'NULL'
-    and empty; normalize the remaining lowercase token."""
+    """Multi-token NULL_IF ('NULL','null','') — the reader's
+    nullValue='NULL' handles only that token (and setting it OVERRIDES
+    Spark's default ''-as-null, so a quoted empty field would otherwise
+    survive as ''); normalize the remaining two tokens here."""
     for c in df.columns:
-        df = df.withColumn(c, F.when(F.col(c) == "null", None).otherwise(F.col(c)))
+        df = df.withColumn(
+            c, F.when(F.col(c).isin("null", ""), None).otherwise(F.col(c))
+        )
     return df
 
 
@@ -205,8 +213,15 @@ def ingest_file(
         .withColumn("load_id", F.lit(load_id).cast("long"))
         .withColumn("row_id", lineage_row_id(load_id))
     )
-    count = with_lineage.count()
-    wh.append(spark, with_lineage, "bronze", table, partition_by=("load_id",))
+    # one parse per file: without the persist, count() and the append
+    # each re-read and re-parse the whole file (and could even disagree
+    # if the landing file changed between the two scans)
+    with_lineage = with_lineage.persist()
+    try:
+        count = with_lineage.count()
+        wh.append(spark, with_lineage, "bronze", table, partition_by=("load_id",))
+    finally:
+        with_lineage.unpersist()
     return count
 
 
@@ -217,7 +232,7 @@ def ingest_dataset(spark: SparkSession, wh: Warehouse, detail: FileDetail) -> li
     (ON_ERROR='SKIP_FILE', ingestion_logic.py:157-182); already-SUCCESS
     filenames are skipped (A-07 exactly-once ledger).
     """
-    done = _successful_files(spark, wh)
+    done = _successful_files(spark, wh, detail.target_table)
     load_ids: list[int] = []
     for path in list_stage_files(detail.source_path, detail.file_pattern):
         fname = os.path.basename(path)

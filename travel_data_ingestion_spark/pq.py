@@ -55,6 +55,12 @@ def train_codebooks(
     from pyspark.ml.functions import array_to_vector
 
     dim = len(df.select(col).first()[0])
+    if dim % m != 0:
+        raise ValueError(
+            f"train_codebooks: dim {dim} not divisible by m={m} — the "
+            f"trailing {dim % m} dimensions would be silently dropped "
+            "from training, encoding, and scoring; pick m dividing dim"
+        )
     dsub = dim // m
     books: list[list[list[float]]] = []
     for s in range(m):
@@ -106,6 +112,12 @@ def adc_topk(
     subspaces of the precomputed query->centroid distance table indexed
     by each vector's stored code. Map-only + TakeOrderedAndProject."""
     dsub = len(codebooks[0][0])
+    if len(query) != len(codebooks) * dsub:
+        raise ValueError(
+            f"adc_topk: query dim {len(query)} != m*dsub = "
+            f"{len(codebooks) * dsub} — a short query would silently "
+            "zip-truncate the per-subspace distance tables"
+        )
     score: Column | None = None
     for s, book in enumerate(codebooks):
         qsub = query[s * dsub : (s + 1) * dsub]

@@ -12,8 +12,10 @@ oracles as tests/test_parity.py. A query that relies on non-ANSI cast/
 parse/overflow semantics anywhere outside the try_* helpers fails here
 before it fails in a driver environment we don't control.
 
-The clone owns its SQLConf; the graph/dd08 memo caches key on
-``id(spark)`` so no plan cached under the ANSI-off session is reused.
+The clone owns its SQLConf; the graph/dd08 memo caches key on a
+per-wrapper session token (session.session_token — not ``id()``, which
+CPython recycles) so no plan cached under the ANSI-off session is
+reused.
 """
 
 from __future__ import annotations

@@ -9,6 +9,8 @@ replays are no-ops, and stored signatures are never recomputed
 
 from __future__ import annotations
 
+import shutil
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -423,3 +425,108 @@ def test_cluster_merge_survives_lost_remap_rewrite(spark, tmp_path):
         for r in cc.clusters(spark).collect()
     }
     assert got == want
+
+
+def test_legacy_index_without_batch_id_column(spark, tmp_path):
+    """An index persisted by the pre-batch_id schema reads back with NULL
+    batch_id; the update filters must treat NULL as 'some other batch'
+    (eqNullSafe), or legacy docs silently vanish from the old side (missed
+    pairs) and re-submitted legacy docs re-emit pairs (broken no-op)."""
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 300)
+    idx = MinHashIndex(str(tmp_path / "mh"))
+    first = _pairs(idx.build(spark, docs))
+    assert first  # sf0.001 slice has near-dup pairs
+
+    # strip batch_id in place: the legacy on-disk format
+    legacy = spark.read.parquet(idx.docs_path).drop("batch_id").collect()
+    shutil.rmtree(idx.docs_path)
+    spark.createDataFrame(
+        legacy, "doc_id long, n_sh int, shingles array<string>"
+    ).write.parquet(idx.docs_path)
+    n_docs = spark.read.parquet(idx.docs_path).count()
+
+    # 1) re-submitting legacy docs stays a full no-op
+    replay = idx.update(spark, docs)
+    assert replay.count() == 0
+    assert spark.read.parquet(idx.docs_path).count() == n_docs
+
+    # 2) a new near-dup of a legacy doc is still paired against it
+    seed = docs.orderBy("doc_id").limit(1).collect()[0]
+    twin = spark.createDataFrame(
+        [(10_000_000, seed.text + " tail")], "doc_id long, text string"
+    )
+    new_pairs = _pairs(idx.update(spark, twin))
+    assert any(10_000_000 in (a, b) for a, b, _ in new_pairs), (
+        "legacy docs were excluded from the old side"
+    )
+
+
+def test_legacy_embedding_index_without_batch_id_column(spark, tmp_path):
+    from travel_data_ingestion_spark.dedup_index import EmbeddingIndex
+
+    corpus = _embedding_corpus(spark)
+    idx = EmbeddingIndex(str(tmp_path / "emb"))
+    first = idx.build(spark, corpus)
+    assert first.count() > 0
+
+    legacy = spark.read.parquet(idx.vecs_path).drop("batch_id").collect()
+    shutil.rmtree(idx.vecs_path)
+    spark.createDataFrame(legacy, "vec_id long, e array<double>").write.parquet(
+        idx.vecs_path
+    )
+    n_vecs = spark.read.parquet(idx.vecs_path).count()
+
+    # no-op on resubmission of legacy vectors
+    replay = idx.update(spark, corpus)
+    assert replay.count() == 0
+    assert spark.read.parquet(idx.vecs_path).count() == n_vecs
+
+    # a near-copy of a legacy vector still pairs against it
+    seed = corpus.orderBy("vec_id").limit(1).collect()[0]
+    near = [v + 1e-4 for v in seed.e]
+    twin = spark.createDataFrame(
+        [(10_000_000, near)], "vec_id long, e array<double>"
+    )
+    new_pairs = idx.update(spark, twin).collect()
+    assert any(
+        10_000_000 in (r.vec_a, r.vec_b) for r in new_pairs
+    ), "legacy vectors were excluded from the old side"
+
+
+def test_remap_swap_keeps_parked_log_until_promoted(spark, tmp_path):
+    """Crash between the swap's two renames parks the log at __old; the
+    NEXT update must not delete that parked copy before its own new log
+    is promoted (the old pre-rename rmtree re-opened the no-log window),
+    and its rewrite must carry the parked merges forward."""
+    import os
+
+    from travel_data_ingestion_spark.dedup_index import ClusterIndex
+
+    cc = ClusterIndex(str(tmp_path / "cc"))
+    cc.update(
+        spark,
+        spark.createDataFrame([(1,), (2,)], "doc_id long"),
+        spark.createDataFrame([(1, 2)], "doc_a long, doc_b long"),
+    )
+    cc.update(
+        spark,
+        spark.createDataFrame([(3,), (4,)], "doc_id long"),
+        spark.createDataFrame([(3, 4)], "doc_a long, doc_b long"),
+    )
+    want = {(r.doc_id, r.cluster_id) for r in cc.resolve(spark).collect()}
+
+    # simulate the crash window: live parked at __old, live absent
+    os.rename(cc.remap_path, f"{cc.remap_path}__old")
+    assert not os.path.isdir(cc.remap_path)
+
+    # next update (new singleton, no pairs) runs the swap; the parked
+    # merges must survive into the promoted log
+    cc.update(
+        spark,
+        spark.createDataFrame([(5,)], "doc_id long"),
+        spark.createDataFrame([], "doc_a long, doc_b long"),
+    )
+    got = {(r.doc_id, r.cluster_id) for r in cc.resolve(spark).collect()}
+    assert got == want | {(5, 5)}
+    assert os.path.isdir(cc.remap_path)
+    assert not os.path.isdir(f"{cc.remap_path}__old")

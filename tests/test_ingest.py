@@ -107,3 +107,32 @@ def test_row_id_overflow_raises(spark):
     df = spark.range(10).withColumn("row_id", lineage_row_id(1 << 15))
     with pytest.raises(Exception, match="row_id bit-field overflow"):
         df.collect()
+
+
+def test_first_ever_empty_batch_bootstraps_readable_table(spark, tmp_path):
+    """A silver table whose FIRST batch filters to zero rows must still be
+    readable downstream (empty typed frame), and the next non-empty batch
+    must transition it to the normal load_id-partitioned layout."""
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.init()
+    schema = "a int, b string, load_id long"
+    empty = spark.createDataFrame([], schema)
+    wh.write_idempotent(spark, empty, "silver", "probe")
+
+    back = wh.read(spark, "silver", "probe")
+    assert back.count() == 0
+    assert set(back.columns) == {"a", "b", "load_id"}
+
+    # replaying the empty batch stays a no-op
+    wh.write_idempotent(spark, empty, "silver", "probe")
+    assert wh.read(spark, "silver", "probe").count() == 0
+
+    # first real batch: bootstrap cleared, partitioned layout works
+    rows = spark.createDataFrame([(1, "x", 7), (2, "y", 7)], schema)
+    wh.write_idempotent(spark, rows, "silver", "probe")
+    got = wh.read(spark, "silver", "probe")
+    assert got.count() == 2
+    assert {int(r.load_id) for r in got.select("load_id").collect()} == {7}
+    # idempotent rerun of the same load overwrites, not duplicates
+    wh.write_idempotent(spark, rows, "silver", "probe")
+    assert wh.read(spark, "silver", "probe").count() == 2

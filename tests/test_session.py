@@ -74,3 +74,20 @@ def test_env_override_wins(tmp_path, monkeypatch):
     _ensure_checkpoint_dir(s)
     restored = _ckpt_dir(s)
     assert restored is not None and "/ckpt/" not in restored + "/"
+
+
+def test_session_token_stable_and_per_wrapper(spark):
+    """Memo caches key on session_token, not id(): stable across calls
+    on one wrapper, distinct for a newSession() clone (own SQLConf), and
+    bound to the object so a recycled address can never falsely hit."""
+    from travel_data_ingestion_spark.session import session_token
+
+    t1 = session_token(spark)
+    assert t1 == session_token(spark)
+    clone = spark.newSession()
+    try:
+        t2 = session_token(clone)
+        assert t2 != t1
+        assert t2 == session_token(clone)
+    finally:
+        pass  # clone shares the context; nothing to stop

@@ -111,6 +111,57 @@ def test_stream_ingest_exactly_once(spark, tmp_path):
     assert lineage._source_file.startswith("transactions")
 
 
+def test_stream_ingest_stable_base_across_restarts(spark, tmp_path):
+    """The epoch->load_id base is pinned in the checkpoint: a restart
+    must NOT re-derive MAX(load_id)+1 (which by then includes the prior
+    run's own ledger rows), or replayed epochs would land on fresh
+    bronze partitions and duplicate every row."""
+    import csv
+    from datetime import datetime, timezone
+
+    from travel_data_ingestion_spark.catalog import ADMIN_SCHEMAS
+
+    landing = str(tmp_path / "landing")
+    generate_landing(landing)
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.init()
+    stream_ingest_csv(spark, wh, landing, "transactions", "transactions*.csv")
+    marker = os.path.join(wh.root, "_checkpoints", "transactions", "_load_id_base")
+    assert os.path.exists(marker)
+    with open(marker) as fh:
+        base = int(fh.read().strip())
+    lids1 = {
+        r.load_id
+        for r in wh.read(spark, "bronze", "transactions").select("load_id").distinct().collect()
+    }
+    assert min(lids1) == base
+
+    # simulate the crashed-run aftermath: extra ledger rows inflate MAX(load_id)
+    fake = spark.createDataFrame(
+        [(9999, None, "stream:transactions", "transactions", "SUCCESS", None,
+          None, datetime.now(timezone.utc))],
+        ADMIN_SCHEMAS["ingestion_logs"],
+    )
+    wh.append(spark, fake, "admin", "ingestion_logs")
+
+    # a new file arrives; the restarted stream must continue from the
+    # PERSISTED base (next unseen epoch id), not from MAX(load_id)+1=10000
+    with open(os.path.join(landing, "transactions_2026_03.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["country", "date", "name", "type", "amount", "comments"])
+        w.writerow(["Japan", "2026-03-01", "merchant_x", "Hotel", "42.00", "late"])
+    stream_ingest_csv(spark, wh, landing, "transactions", "transactions*.csv")
+    lids2 = {
+        r.load_id
+        for r in wh.read(spark, "bronze", "transactions").select("load_id").distinct().collect()
+    }
+    new = lids2 - lids1
+    assert new and max(new) < 9999, f"restart re-derived base: {sorted(new)}"
+    assert max(new) == max(lids1) + 1
+    with open(marker) as fh:
+        assert int(fh.read().strip()) == base
+
+
 def test_stateful_user_profile(spark, tmp_path):
     """applyInPandasWithState accumulates per-user state across batches."""
     from travel_data_ingestion_spark.streaming.stateful import user_profile_stream

@@ -225,12 +225,30 @@ class Warehouse:
         """
         if "load_id" not in df.columns:
             raise ValueError("idempotent write requires a load_id column")
-        # An all-filtered batch writes NOTHING rather than creating a
-        # file-less table dir (a dir with only _SUCCESS breaks schema
-        # inference for every later reader); the sink stays idempotent —
-        # an empty batch has no partitions to overwrite.
+        # An all-filtered batch overwrites no partitions. If the table
+        # already exists that is a pure no-op; if this is the table's
+        # FIRST-EVER batch, bootstrap it as a schema-carrying zero-row
+        # parquet write (coalesce(1), unpartitioned: exactly one footer
+        # file) so downstream readers see an empty typed table instead
+        # of FileNotFoundError. A dir with only _SUCCESS would break
+        # schema inference — the single empty part file is what makes
+        # the bootstrap readable.
         if df.isEmpty():
+            if not self.exists(schema, table):
+                df.coalesce(1).write.mode("overwrite").parquet(
+                    self.path(schema, table)
+                )
             return
+        # clear a zero-row schema bootstrap before the first real write:
+        # root-level part files (only the bootstrap creates them — this
+        # sink otherwise always writes load_id= dirs) mixed with
+        # partition dirs trip "conflicting directory structures" in
+        # partition discovery
+        p = self.path(schema, table)
+        if os.path.isdir(p):
+            for f in os.listdir(p):
+                if f.endswith(".parquet"):
+                    os.remove(os.path.join(p, f))
         # writer-level option only — mutating the SESSION conf here would
         # silently flip every later partitioned overwrite in the session
         # to dynamic semantics (stale-partition hazard export.py has to

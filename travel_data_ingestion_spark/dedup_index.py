@@ -164,8 +164,13 @@ class MinHashIndex:
         # the epoch's own docs again on a replay.
         bands_all = self._read_bands(spark)
         docs_all = self._read_docs(spark)
+        # eqNullSafe: an index written by a pre-batch_id schema reads
+        # back with NULL batch_id; NULL != bid is NULL (row dropped), so
+        # a plain != would treat every legacy doc as "this batch" — and
+        # re-submitted legacy docs would re-emit their pairs. Null-safe,
+        # NULL counts as "some other (legacy) batch", which is correct.
         new_ids = batch.join(
-            docs_all.filter(F.col("batch_id") != bid).select("doc_id"),
+            docs_all.filter(~F.col("batch_id").eqNullSafe(F.lit(bid))).select("doc_id"),
             "doc_id",
             "left_anti",
         ).select("doc_id")
@@ -315,13 +320,20 @@ class EmbeddingIndex:
         # function — so a replayed epoch reproduces its buckets); old
         # side = everything indexed under other ids, so a replayed epoch
         # cannot pair a vector with its own committed copy.
+        # eqNullSafe: legacy (pre-batch_id) vecs read back with NULL
+        # batch_id; a plain != NULLs them out of BOTH sides — old_vecs
+        # would silently exclude every legacy vector (missed pairs) and
+        # new_ids would re-admit re-submitted legacy docs. Null-safe,
+        # NULL counts as "some other (legacy) batch".
         all_vecs = self._read_vecs(spark)
         keyed_new = batch.join(
-            all_vecs.filter(F.col("batch_id") != bid).select("vec_id"),
+            all_vecs.filter(~F.col("batch_id").eqNullSafe(F.lit(bid))).select("vec_id"),
             "vec_id",
             "left_anti",
         ).withColumn("bucket", hyperplane_signature(F.col("e"), planes))
-        old_vecs = all_vecs.filter(F.col("batch_id") != bid).select("vec_id", "e")
+        old_vecs = all_vecs.filter(
+            ~F.col("batch_id").eqNullSafe(F.lit(bid))
+        ).select("vec_id", "e")
         old_buckets = self._read_buckets(spark).join(
             old_vecs.select("vec_id"), "vec_id", "left_semi"
         )
@@ -584,8 +596,16 @@ class ClusterIndex:
         tmp = f"{self.remap_path}__tmp"
         old = f"{self.remap_path}__old"
         remap_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(old, ignore_errors=True)  # leftover from a crash
+        # __old is only ever deleted while a sibling consistent log
+        # exists: when live is present (so the parked copy is a stale
+        # leftover from a crash-after-promote), or after tmp has been
+        # promoted. If live is ABSENT here (prior crash between the two
+        # renames), the parked copy is the one _read_remap fed this
+        # rewrite — deleting it pre-promotion would re-open the no-log
+        # window this swap exists to close (a second crash would lose
+        # every historical merge, unrecoverable by epoch replay).
         if os.path.isdir(self.remap_path):
+            shutil.rmtree(old, ignore_errors=True)
             os.rename(self.remap_path, old)
         os.rename(tmp, self.remap_path)
         shutil.rmtree(old, ignore_errors=True)

@@ -34,6 +34,7 @@ from travel_data_ingestion_spark.catalog import (
     Warehouse,
 )
 from travel_data_ingestion_spark.config import FileDetail
+from travel_data_ingestion_spark.io import CSV_OPTIONS
 
 _LINEAGE_COLS = [f.name for f in LINEAGE_FIELDS]
 
@@ -151,14 +152,10 @@ def read_landing_file(spark: SparkSession, path: str, file_format: str) -> DataF
     each top-level value becomes one VARIANT row).
     """
     if file_format == "csv":
-        return (
-            spark.read.option("header", True)
-            .option("quote", '"')
-            .option("escape", '"')
-            .option("nullValue", "NULL")
-            .option("mode", "PERMISSIVE")
-            .csv(path)
-        )
+        # single source of truth for CSV parsing options (io.CSV_OPTIONS):
+        # the batch path, io.read_table, and the streaming ingest must all
+        # parse a file into identical rows, or replays/re-ingests diverge
+        return spark.read.options(**CSV_OPTIONS).csv(path)
     if file_format == "json":
         return spark.read.text(path, wholetext=True).toDF("raw_data")
     raise ValueError(f"unsupported file format: {file_format}")

@@ -57,6 +57,13 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _dims_from_digest(digest: bytes) -> tuple[int, int]:
+    """Deterministic fake (width, height) from a payload md5 digest —
+    the single definition shared by the scalar stub and the batched
+    kernel, so the two can never drift."""
+    return 64 + digest[0] % 192, 64 + digest[1] % 192
+
+
 def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
@@ -69,8 +76,7 @@ def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
             "image decoding requires an image codec library (e.g. Pillow); "
             "not available in this environment"
         )
-    digest = hashlib.md5(payload).digest()
-    return 64 + digest[0] % 192, 64 + digest[1] % 192
+    return _dims_from_digest(hashlib.md5(payload).digest())
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
@@ -101,12 +107,16 @@ def extract_features(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            dims = [decode_image_stub(bytes(p), fake=True) for p in payloads]
+            # hash each payload ONCE: digest column and stub dimensions
+            # both derive from the same md5 (payloads dominate the batch,
+            # so the second full pass over the bytes was pure waste)
+            digests = [hashlib.md5(bytes(p)).digest() for p in payloads]
+            dims = [_dims_from_digest(d) for d in digests]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "digest": payloads.map(lambda p: hashlib.md5(bytes(p)).hexdigest()),
+                    "digest": [d.hex() for d in digests],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                 }

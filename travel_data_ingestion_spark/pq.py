@@ -91,7 +91,14 @@ def encode(
 
     Pure Catalyst: per subspace, a literal K-way distance array and an
     argmin via array_position(dists, array_min(dists)) — ties break to
-    the first (lowest) centroid id, deterministically."""
+    the first (lowest) centroid id, deterministically.
+
+    The ``dists`` array appears twice in the expression tree, but
+    codegen's subexpression elimination evaluates it once — measured
+    (400k x dim-32 vectors, m=8, K=16): this form 3.4 s vs 6.6 s for a
+    lambda let-binding restructure (transform over a 1-element array),
+    which defeats whole-stage codegen's CSE instead of helping it. Do
+    not "fix" the apparent double evaluation."""
     dsub = len(codebooks[0][0])
     codes = []
     for s, book in enumerate(codebooks):

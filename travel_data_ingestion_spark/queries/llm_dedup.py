@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from travel_data_ingestion_spark.queries import load_table, register
+from travel_data_ingestion_spark.session import session_token as _session_token
 
 _TOKENIZE_SQL = "string_split_regex(trim(text), '\\s+')"
 
@@ -815,7 +816,7 @@ def _dedup_clusters_oracle() -> str:
 # edge-touched node, materialized); the memo is capped and evicts
 # (unpersisting) oldest-first so a long-lived process cycling
 # SparkSessions/sf_dirs cannot accumulate dead cached DataFrames.
-_CC_LABELS_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
+_CC_LABELS_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}
 _CC_LABELS_CACHE_CAP = 8
 
 
@@ -909,10 +910,13 @@ def graph_labels(
 ) -> DataFrame:
     """Memoized propagate_min_labels over a named pair graph ('dd03',
     'mm03', ...). ``pairs_fn`` is only invoked on a memo miss."""
-    # id(spark) distinguishes newSession() clones sharing one context —
-    # each owns its SQLConf, so a cached plan must not cross sessions
-    # (the ANSI verification lane relies on this).
-    key = (spark.sparkContext.applicationId, id(spark), sf_dir, graph)
+    # _session_token distinguishes newSession() clones sharing one
+    # context — each owns its SQLConf, so a cached plan must not cross
+    # sessions (the ANSI verification lane relies on this). NOT id():
+    # CPython reuses object ids after GC, so a new session allocated at
+    # a dead session's address would get a FALSE hit on a plan bound to
+    # the dead session; the token dies with the wrapper object instead.
+    key = (spark.sparkContext.applicationId, _session_token(spark), sf_dir, graph)
     memo = _CC_LABELS_CACHE.get(key)
     if memo is not None:
         return memo
@@ -1045,7 +1049,7 @@ def dd07_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cannot accumulate dead cached DataFrames; scratch dirs are removed at
 # process exit regardless — an evicted entry's directory just sits idle
 # until then.
-_DD08_CACHE: dict[tuple[str, int, str], DataFrame] = {}
+_DD08_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _DD08_CACHE_CAP = 4
 
 
@@ -1078,7 +1082,7 @@ def dd08_incremental_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFr
 
     from travel_data_ingestion_spark.dedup_index import ClusterIndex, MinHashIndex
 
-    key = (spark.sparkContext.applicationId, id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, _session_token(spark), sf_dir)
     memo = _DD08_CACHE.get(key)
     if memo is not None:
         return memo

@@ -26,6 +26,23 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def session_token(spark: SparkSession) -> str:
+    """Stable identity for a Python SparkSession wrapper, for keying
+    driver-side memo caches. ``id(spark)`` is NOT usable for this:
+    CPython recycles addresses after GC, so a new session allocated at a
+    dead session's address would collide and the cache would hand back a
+    DataFrame bound to the dead session. The token is stored as an
+    attribute on the wrapper, so it dies with the object — a fresh
+    wrapper can only ever miss, never falsely hit."""
+    tok = getattr(spark, "_tdi_session_token", None)
+    if tok is None:
+        import uuid
+
+        tok = uuid.uuid4().hex
+        spark._tdi_session_token = tok
+    return tok
+
+
 def get_spark(
     app_name: str = "travel_data_ingestion_spark",
     master: str | None = None,

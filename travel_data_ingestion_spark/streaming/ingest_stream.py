@@ -14,11 +14,15 @@ NULL/null/'' -> NULL, PERMISSIVE), so a file produces identical bronze
 rows whichever path ingested it.
 
 ``load_id`` allocation: each epoch writes ``base + epoch_id`` where
-``base`` defaults to the admin ingestion ledger's MAX(load_id)+1 at
-stream start, and every epoch also appends a ledger row — so the batch
-path's next allocation sees the streamed loads and the two paths can
-never hand out colliding ids (single-driver contract, same as the
-warehouse's other ledgers).
+``base`` defaults to the admin ingestion ledger's MAX(load_id)+1 the
+FIRST time a stream starts against a given checkpoint, and is then
+persisted inside the checkpoint directory (``_load_id_base``) so every
+restart replays epochs onto the SAME load_ids — a replayed epoch
+overwrites its original bronze partition instead of allocating a fresh
+one. Every epoch also appends a ledger row, so the batch path's next
+allocation sees the streamed loads and the two paths can never hand
+out colliding ids (single-driver contract, same as the warehouse's
+other ledgers).
 
 At scale this is the preferred ingestion mode: file discovery is
 incremental (no full LIST per run), and maxFilesPerTrigger bounds batch
@@ -40,6 +44,7 @@ from travel_data_ingestion_spark.catalog import (
     LINEAGE_FIELDS,
     Warehouse,
 )
+from travel_data_ingestion_spark.io import CSV_OPTIONS
 from travel_data_ingestion_spark.ingest import (
     _csv_null_tokens,
     _next_load_id,
@@ -47,6 +52,57 @@ from travel_data_ingestion_spark.ingest import (
 )
 
 _LINEAGE_COLS = [f.name for f in LINEAGE_FIELDS]
+
+
+def _stable_load_id_base(
+    spark: SparkSession, wh: Warehouse, checkpoint: str, load_id: int | None
+) -> int:
+    """Return the epoch->load_id base for this checkpoint, stable across
+    restarts.
+
+    The base is allocated once (ledger MAX(load_id)+1, or the caller's
+    explicit ``load_id``) and persisted as ``<checkpoint>/_load_id_base``
+    BEFORE the stream starts; every restart reads the persisted value
+    back. Without this, a restart after a crash would recompute
+    MAX(load_id)+1 — which by then includes the crashed run's own
+    ledger rows — so a replayed epoch N would write ``base'+N`` instead
+    of ``base+N``: the partition overwrite would land on a FRESH bronze
+    partition and the first attempt's rows would survive as duplicates.
+    Pinning the mapping makes replay rewrite the original partition
+    (exactly-once end to end, as the module contract promises).
+
+    Goes through the Hadoop FileSystem API so the marker lives wherever
+    the checkpoint lives (local disk in tests, HDFS/S3 on a cluster);
+    written via tmp-file + rename, and an unreadable/partial marker is
+    treated as absent and rewritten.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(os.path.join(checkpoint, "_load_id_base"))
+    fs = marker.getFileSystem(hconf)
+    if fs.exists(marker):
+        stream = fs.open(marker)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        try:
+            return int(text.strip())
+        except ValueError:
+            pass  # partial write from a crash mid-create: reallocate below
+    base = _next_load_id(spark, wh) if load_id is None else int(load_id)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(checkpoint))
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(checkpoint, "_load_id_base.__tmp")
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(str(base).encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(marker, False)
+    fs.rename(tmp, marker)
+    return base
 
 
 def stream_ingest_csv(
@@ -60,20 +116,20 @@ def stream_ingest_csv(
 ) -> None:
     """Stream-ingest CSV files into bronze.<target_table> and wait for
     completion (AvailableNow drains then stops). ``load_id`` overrides
-    the ledger-allocated base (epoch N writes ``load_id + N``)."""
+    the ledger-allocated base (epoch N writes ``load_id + N``) on the
+    FIRST start only; restarts reuse the base persisted in the
+    checkpoint so replayed epochs keep their original load_ids."""
     bronze_schema = BRONZE_SCHEMAS[target_table]
     business = [f.name for f in bronze_schema.fields if f.name not in _LINEAGE_COLS]
     read_schema = T.StructType([T.StructField(c, T.StringType()) for c in business])
 
-    base = _next_load_id(spark, wh) if load_id is None else load_id
     checkpoint = checkpoint_dir or os.path.join(wh.root, "_checkpoints", target_table)
+    base = _stable_load_id_base(spark, wh, checkpoint, load_id)
+    # CSV parsing options come from the single shared set (io.CSV_OPTIONS)
+    # so a file produces identical bronze rows whichever path ingested it
     stream = (
         spark.readStream.schema(read_schema)
-        .option("header", True)
-        .option("quote", '"')
-        .option("escape", '"')
-        .option("nullValue", "NULL")
-        .option("mode", "PERMISSIVE")
+        .options(**CSV_OPTIONS)
         .option("pathGlobFilter", pattern)
         .option("maxFilesPerTrigger", 16)
         .csv(landing_dir)

@@ -166,3 +166,44 @@ def test_probe_filter_prunes_partitions(spark, built):
         r.vec_id for r in stored.filter(F.col("list_id").isin(probes)).collect()
     }
     assert {r.vec_id for r in result.collect()} <= probed_ids
+
+
+def test_rebuild_drops_stale_generation_codes(spark, tmp_path):
+    """build on an index that already holds codes must re-encode
+    EVERYTHING under the new books: stored codes are only meaningful
+    under the books that produced them, and update's anti-join would
+    otherwise skip the stale vec_ids forever (mixed-generation index,
+    silently wrong ADC distances)."""
+    corpus = _corpus(spark)
+    idx = PQIndex(str(tmp_path / "idx"))
+    half = corpus.filter(F.col("vec_id") % 2 == 0)
+    idx.build(spark, half)
+    n_half = spark.read.parquet(idx.codes_path).count()
+    assert n_half == half.count()
+
+    # rebuild over the FULL corpus: every vector re-encoded, count
+    # matches the corpus exactly (no stale survivors, no duplicates)
+    n = idx.build(spark, corpus)
+    stored = spark.read.parquet(idx.codes_path)
+    assert n == corpus.count()
+    assert stored.count() == corpus.count()
+    assert stored.select("vec_id").distinct().count() == corpus.count()
+
+    # stored codes all agree with a fresh one-shot encoding under the
+    # CURRENT books — the defining no-mixed-generations invariant
+    from travel_data_ingestion_spark.pq import encode
+
+    books, centers = idx.load_books(spark)
+    oneshot = encode(
+        encode(corpus, [centers], col="e", out="coarse").withColumn(
+            "list_id", F.element_at("coarse", 1)
+        ),
+        books,
+        col="e",
+        out="pq_code",
+    ).select("vec_id", F.col("list_id").alias("l2"), F.col("pq_code").alias("c2"))
+    joined = stored.join(oneshot, "vec_id")
+    mismatch = joined.filter(
+        (F.col("list_id") != F.col("l2")) | (F.col("pq_code") != F.col("c2"))
+    ).count()
+    assert mismatch == 0

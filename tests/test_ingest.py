@@ -136,3 +136,21 @@ def test_first_ever_empty_batch_bootstraps_readable_table(spark, tmp_path):
     # idempotent rerun of the same load overwrites, not duplicates
     wh.write_idempotent(spark, rows, "silver", "probe")
     assert wh.read(spark, "silver", "probe").count() == 2
+
+
+def test_write_idempotent_rejects_unpartitioned_data(spark, tmp_path):
+    """Root-level files with ROWS mean the table was written via a
+    different sink; write_idempotent must refuse loudly rather than
+    silently deleting them as if they were the empty bootstrap."""
+    import pytest
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.init()
+    schema = "a int, b string, load_id long"
+    wh.overwrite(spark, spark.createDataFrame([(1, "x", 1)], schema), "silver", "probe")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        wh.write_idempotent(
+            spark, spark.createDataFrame([(2, "y", 2)], schema), "silver", "probe"
+        )
+    # original data untouched
+    assert wh.read(spark, "silver", "probe").count() == 1

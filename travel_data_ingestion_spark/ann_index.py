@@ -106,7 +106,22 @@ class PQIndex:
 
     def build(self, spark: SparkSession, corpus: DataFrame, nlist: int = NLIST) -> int:
         """Train codebooks + coarse centroids on (a sample of) ``corpus``,
-        freeze them, and encode the corpus. Returns rows encoded."""
+        freeze them, and encode the corpus. Returns rows encoded.
+
+        Rebuild contract: ``build`` on an index that already holds codes
+        DROPS them before the new books land. Stored codes are only
+        meaningful under the books that encoded them — keeping them
+        would leave mixed-generation encodings that ``update``'s
+        anti-join can never repair (old vec_ids would be skipped, never
+        re-encoded, and ADC would rank their stale codes against the new
+        lookup tables: silently wrong distances). Drop-codes-first also
+        makes the crash windows safe: at every point the index is either
+        (old books, old codes), (old books, no codes), (no books, no
+        codes — exists() False, rebuild required), or (new books, fresh
+        codes); codes from one generation never meet books from another.
+        """
+        import shutil
+
         books = train_codebooks(corpus, col="e")
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -115,6 +130,7 @@ class PQIndex:
             corpus.select(array_to_vector("e").alias("features"))
         )
         centers = [list(map(float, c)) for c in km.clusterCenters()]
+        shutil.rmtree(self.codes_path, ignore_errors=True)
         self._write_books(spark, books, centers)
         return self.update(spark, corpus)
 

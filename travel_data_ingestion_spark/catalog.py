@@ -240,14 +240,24 @@ class Warehouse:
                 )
             return
         # clear a zero-row schema bootstrap before the first real write:
-        # root-level part files (only the bootstrap creates them — this
-        # sink otherwise always writes load_id= dirs) mixed with
-        # partition dirs trip "conflicting directory structures" in
-        # partition discovery
+        # root-level part files mixed with load_id= dirs trip
+        # "conflicting directory structures" in partition discovery.
+        # Guard: only the empty bootstrap is removed — root files
+        # holding ROWS mean the table was written unpartitioned (e.g.
+        # via overwrite()); silently deleting those would be data loss,
+        # so that mix is a loud error instead.
         p = self.path(schema, table)
         if os.path.isdir(p):
-            for f in os.listdir(p):
-                if f.endswith(".parquet"):
+            root_parts = [f for f in os.listdir(p) if f.endswith(".parquet")]
+            if root_parts:
+                if not spark.read.parquet(*[os.path.join(p, f) for f in root_parts]).isEmpty():
+                    raise ValueError(
+                        f"{schema}.{table} holds unpartitioned data rows; "
+                        "write_idempotent requires the load_id-partitioned "
+                        "layout — rewrite the table (overwrite) before "
+                        "switching sinks"
+                    )
+                for f in root_parts:
                     os.remove(os.path.join(p, f))
         # writer-level option only — mutating the SESSION conf here would
         # silently flip every later partitioned overwrite in the session

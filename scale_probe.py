@@ -47,6 +47,11 @@ PROBE_QUERIES = [
     "cu08_bloom_decontam",
     "x02_range_join",
     "mm03_phash_dedup",
+    # round-8 addition: cross-doc repeated-span detection — the probe's
+    # near-dup replicas make every interior 5-gram a cross-doc dup, so
+    # hits grow linearly with the corpus; the dup-gram membership join
+    # must stay linear (no per-gram pairwise blowup) for this to hold.
+    "t12_crossdoc_span_dedup",
 ]
 
 

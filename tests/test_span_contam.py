@@ -126,3 +126,38 @@ def test_span_helpers_lockstep_with_generated_oracle(spark, ddb, n):
         ).fetchall()
     }
     assert got == want
+
+
+def test_crossdoc_span_dedup_planted(spark, tmp_path):
+    """t12's kernel on a planted corpus: a 6-token run shared verbatim by
+    two docs becomes ONE merged span in each (two overlapping 5-gram
+    hits); unique text contributes nothing; a doc sharing with BOTH
+    others still reports per-doc spans."""
+    from travel_data_ingestion_spark.queries.llm_curation import (
+        merge_hit_spans,
+        positional_shingles,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        (1, f"{shared} unique one tail here"),
+        (2, f"lead in words {shared}"),
+        (3, "entirely different text with no overlap at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 5
+    pos_sh = positional_shingles(docs, n)
+    dupg = (
+        pos_sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("shingle")
+    )
+    spans = merge_hit_spans(pos_sh.join(dupg, "shingle").select("doc_id", "pos"), n)
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in spans.collect()
+    }
+    # doc 1: shared run at tokens [0,5] -> hits at pos 0 and 1 -> one span
+    # doc 2: shared run at tokens [3,8] -> hits at pos 3 and 4 -> one span
+    assert got == {(1, 0, 5, 6), (2, 3, 8, 6)}

@@ -221,21 +221,16 @@ def cu11_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_hit_spans(_benchmark_hits(spark, sf_dir), n=3)
 
 
-def _benchmark_hits(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    """Positions ``(doc_id, pos)`` of every training-doc n-gram that
-    appears in the held-out benchmark shingle set (doc_id%50==0)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    eligible = docs.filter(F.size(toks) >= n)
-    bench_sh = (
-        eligible.filter(F.col("doc_id") % 50 == 0)
-        .select(F.explode(_shingles(n)).alias("shingle"))
-        .distinct()
-    )
+def positional_shingles(eligible: DataFrame, n: int) -> DataFrame:
+    """``(doc_id, pos, shingle)`` — every n-gram start position per doc.
 
-    # Positional shingles: (pos, shingle) per 3-gram start. The token
-    # array is let-bound once via the single-element-array transform —
-    # same O(tokens^2) trap as _shingles (no CSE across lambdas).
+    The token array is let-bound once via the single-element-array
+    transform — same O(tokens^2) trap as _shingles (no CSE across
+    lambdas). Shared by cu11/cu13's benchmark-hit pipeline and t12's
+    cross-document span dedup so the positional-gram semantics (0-based
+    start, space-joined gram) cannot drift between them."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+
     def pos_grams(t: F.Column) -> F.Column:
         idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
         gram = F.transform(
@@ -252,10 +247,24 @@ def _benchmark_hits(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
         )
 
     pos_sh = F.element_at(F.transform(F.array(toks), pos_grams), 1)
+    return eligible.select("doc_id", F.explode(pos_sh).alias("ps")).select(
+        "doc_id", F.col("ps.pos").alias("pos"), F.col("ps.shingle").alias("shingle")
+    )
+
+
+def _benchmark_hits(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Positions ``(doc_id, pos)`` of every training-doc n-gram that
+    appears in the held-out benchmark shingle set (doc_id%50==0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    eligible = docs.filter(F.size(toks) >= n)
+    bench_sh = (
+        eligible.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(_shingles(n)).alias("shingle"))
+        .distinct()
+    )
     return (
-        eligible.filter(F.col("doc_id") % 50 != 0)
-        .select("doc_id", F.explode(pos_sh).alias("ps"))
-        .select("doc_id", F.col("ps.pos").alias("pos"), F.col("ps.shingle").alias("shingle"))
+        positional_shingles(eligible.filter(F.col("doc_id") % 50 != 0), n)
         .join(F.broadcast(bench_sh), "shingle")
         .select("doc_id", "pos")
     )

@@ -599,3 +599,124 @@ def t11_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(dsum("nll", 12) / F.count(F.lit(1)), 6).alias("avg_nll"),
     )
+
+
+_CROSSDOC_SPAN_N = 5
+
+_CROSSDOC_SPAN_ORACLE = f"""
+    WITH eligible AS (
+      SELECT doc_id, {_TOKENIZE_SQL} AS t
+      FROM documents
+      WHERE len({_TOKENIZE_SQL}) >= {_CROSSDOC_SPAN_N}
+    ),
+    pos_sh AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+      FROM eligible, UNNEST(range(1, greatest(len(t) - {_CROSSDOC_SPAN_N - 2}, 1))) AS r(i)
+    ),
+    dupg AS (
+      SELECT g FROM pos_sh GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT p.doc_id, p.pos FROM pos_sh p JOIN dupg USING (g)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + {_CROSSDOC_SPAN_N - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM hits
+    ),
+    num AS (
+      SELECT doc_id, pos,
+             CAST(SUM(is_new) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS span_idx
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, span_idx,
+             MAX(pos) + {_CROSSDOC_SPAN_N - 1} - MIN(pos) + 1 AS span_tokens
+      FROM num GROUP BY doc_id, span_idx
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(span_tokens) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.n_dup_spans AS BIGINT) AS n_dup_spans,
+           CAST(p.dup_tokens AS BIGINT) AS dup_tokens,
+           CAST(len(e.t) AS BIGINT) AS n_tokens,
+           ROUND(CAST(p.dup_tokens AS DOUBLE) / len(e.t), 6) AS dup_ratio
+    FROM per_doc p JOIN eligible e USING (doc_id)
+"""
+
+
+@register(
+    "t12_crossdoc_span_dedup",
+    _CROSSDOC_SPAN_ORACLE,
+    survey_ops=("X-TEXT-12",),
+    doc="Cross-document repeated-span detection — the exact-substring "
+    "dedup family (Lee et al. 2022, 'Deduplicating Training Data Makes "
+    "Language Models Better'), reduced to token n-grams: every 5-token "
+    "window whose exact text occurs in >= 2 DISTINCT documents is a "
+    "hit; per document, hit start positions merge into maximal "
+    "contiguous token spans (gaps-and-islands, each hit covers "
+    "[pos, pos+4] — the same island machinery as cu11, via "
+    "llm_curation.merge_hit_spans), and the output reports span count, "
+    "duplicated-token count and ratio per affected document. "
+    "Distinguished from t09 (repetition WITHIN a doc) and t10 "
+    "(whole-line boilerplate): this finds arbitrary-position exact "
+    "overlap ACROSS documents — what a pipeline excises before "
+    "training (cu13's surgical rewrite applies unchanged to these "
+    "spans). At 100 TB: the duplicated-gram table comes from one "
+    "groupBy on the gram key (count-distinct expands to a two-level "
+    "aggregate with map-side partials); membership is an equi-join "
+    "against the DISTINCT dup-gram list, so per-key "
+    "fan-out equals that gram's occurrence count — no pairwise blowup "
+    "(contrast a naive positional self-join, which squares per-gram); "
+    "the island merge windows over (doc_id), bounded by hits per doc. "
+    "Two passes over the positional grams (frequency, then membership) "
+    "— at scale the grams frame would be written once and read twice, "
+    "locally Catalyst recomputes the cheap projection. Folded into "
+    "su07.",
+)
+def t12_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.queries.llm_curation import (
+        merge_hit_spans,
+        positional_shingles,
+    )
+
+    n = _CROSSDOC_SPAN_N
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    eligible = docs.filter(F.size(toks) >= n).select(
+        "doc_id", "text", F.size(toks).alias("n_tokens")
+    )
+    pos_sh = positional_shingles(eligible, n)
+    dupg = (
+        pos_sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("shingle")
+    )
+    hits = pos_sh.join(dupg, "shingle").select("doc_id", "pos")
+    per_doc = (
+        merge_hit_spans(hits, n)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum("span_tokens").alias("dup_tokens"),
+        )
+    )
+    return per_doc.join(eligible.select("doc_id", "n_tokens"), "doc_id").select(
+        "doc_id",
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6
+        ).alias("dup_ratio"),
+    )

@@ -140,10 +140,12 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "t06_tfidf_keywords",
             "t10_boilerplate_coverage",
             "t11_unigram_logprob",
+            "t12_crossdoc_span_dedup",
         ],
         "Corpus-level text suite: vocabulary statistics, TF-IDF "
         "keyword extraction, cross-document boilerplate coverage, "
-        "unigram-LM quality scoring.",
+        "unigram-LM quality scoring, cross-document repeated-span "
+        "detection (exact-substring dedup family).",
     ),
 }
 

@@ -163,7 +163,12 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "becomes a plain COUNT — no expand/two-phase distinct. Decimal "
     "addition is exact and associative, so the sum-of-per-order-sums "
     "equals the flat sum bit-for-bit (oracle unchanged). Measured at "
-    "sf0.1: 1.04 s vs 1.56 s for the flat join. At 100 TB the only "
+    "sf0.1 (checksummed, 10 interleaved reps): min 1.49/median 1.56 s "
+    "vs the flat join's min 1.35/median 1.86 s — a local wash with "
+    "tighter variance; the win is structural at scale, where the flat "
+    "plan pays a SECOND data-scaled shuffle for the distinct "
+    "(re-aggregating the joined rows by (group, orderkey)) and carries "
+    "~4x more rows into the custkey join. At 100 TB the only "
     "data-scaled shuffle remains lineitem's orderkey agg feeding the "
     "orders join; region/nation stay broadcast, customer demotes to "
     "shuffle via AQE when it outgrows the threshold.",

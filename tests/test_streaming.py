@@ -512,3 +512,22 @@ def test_stream_ingest_matches_batch_parsing_and_load_ids(spark, tmp_path):
     # in this warehouse) allocate ABOVE everything the ledger knew
     stream_only = stream_loads - batch_loads
     assert stream_only and min(stream_only) > max(batch_loads)
+
+
+def test_stream_ingest_partial_marker_recovers(spark, tmp_path):
+    """A crash mid-create can leave an empty/garbage _load_id_base; the
+    next start must treat it as absent (reallocate + rewrite), not crash
+    — and no epochs ran under a partial marker, so reallocation is safe."""
+    landing = str(tmp_path / "landing")
+    generate_landing(landing)
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.init()
+    ckpt = os.path.join(wh.root, "_checkpoints", "transactions")
+    os.makedirs(ckpt, exist_ok=True)
+    marker = os.path.join(ckpt, "_load_id_base")
+    with open(marker, "w") as fh:
+        fh.write("")  # crash between create and close: empty marker
+    stream_ingest_csv(spark, wh, landing, "transactions", "transactions*.csv")
+    assert wh.read(spark, "bronze", "transactions").count() > 0
+    with open(marker) as fh:
+        assert int(fh.read().strip()) >= 1  # rewritten with a real base

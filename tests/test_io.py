@@ -60,3 +60,43 @@ def test_csv_roundtrip_preserves_quotes_and_nulls(spark, tmp_path):
     # NULL_IF contract: the literal string 'NULL' and a real NULL both
     # come back as SQL NULL (matching the reference's NULL_IF semantics)
     assert got[2] is None and got[3] is None
+
+
+def test_text_and_binary_sources(spark, tmp_path):
+    """Core line-text and binaryFile sources: the binary source is the
+    multimodal ingest path — raw files arrive as opaque payload bytes +
+    typed metadata, feeding llm/multimodal.extract_features directly."""
+    from pyspark.sql import functions as F
+
+    from travel_data_ingestion_spark.io import read_table
+    from travel_data_ingestion_spark.llm.multimodal import extract_features
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two")
+    (d / "b.bin").write_bytes(b"\x00\x01payload")
+
+    lines = read_table(spark, str(d / "a.txt"), "text")
+    assert {r.value for r in lines.collect()} == {"line one", "line two"}
+
+    bins = read_table(spark, str(d), "binary")
+    rows = {r.path.rsplit("/", 1)[-1]: (r.length, bytes(r.content)) for r in bins.collect()}
+    assert rows["b.bin"] == (9, b"\x00\x01payload")
+    assert rows["a.txt"][0] == 17
+
+    # binary source rows flow into the multimodal feature kernel as-is
+    media = bins.select(
+        F.monotonically_increasing_id().alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    feats = {r.n_bytes for r in extract_features(media).collect()}
+    assert feats == {9, 17}
+
+
+def test_avro_gate_raises_without_module(spark, tmp_path):
+    import pytest
+
+    from travel_data_ingestion_spark.io import read_table
+
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        read_table(spark, str(tmp_path), "avro")

@@ -38,6 +38,29 @@ def read_table(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFra
         return reader.json(path)
     if fmt == "json_whole_doc":
         return spark.read.text(path, wholetext=True).toDF("raw_data")
+    if fmt == "text":
+        # one row per line ('value' column) — log/plain-corpus ingestion
+        return spark.read.text(path)
+    if fmt == "binary":
+        # binaryFile source: (path, modificationTime, length, content) —
+        # the multimodal ingest path: raw media files land as opaque
+        # binary payloads + typed metadata, exactly the media-table
+        # shape llm/multimodal.py operates on. Spark never decodes the
+        # bytes; pathGlobFilter/recursiveFileLookup options apply. At
+        # 100 TB each file is one row read in full — pair with
+        # maxPartitionBytes sizing so a partition's payloads fit memory.
+        return spark.read.format("binaryFile").load(path)
+    if fmt == "avro":
+        # external spark-avro module; not bundled in this environment —
+        # same gate pattern as read_jdbc (works unchanged once the jar
+        # is on the classpath)
+        try:
+            return spark.read.format("avro").load(path)
+        except Exception as exc:  # AnalysisException: failed to find data source
+            raise NotImplementedError(
+                "avro needs the spark-avro module on the classpath "
+                "(org.apache.spark:spark-avro); not bundled here"
+            ) from exc
     raise ValueError(f"unsupported format: {fmt}")
 
 

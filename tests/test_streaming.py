@@ -531,3 +531,37 @@ def test_stream_ingest_partial_marker_recovers(spark, tmp_path):
     assert wh.read(spark, "bronze", "transactions").count() > 0
     with open(marker) as fh:
         assert int(fh.read().strip()) >= 1  # rewritten with a real base
+
+
+def test_stream_ingest_media_exactly_once(spark, tmp_path):
+    """binaryFile streaming ingest: raw files become MEDIA_SCHEMA rows
+    exactly once across restarts, and feed the multimodal feature kernel
+    unchanged."""
+    from travel_data_ingestion_spark.llm.multimodal import extract_features
+    from travel_data_ingestion_spark.streaming import stream_ingest_media
+
+    landing = tmp_path / "media_landing"
+    landing.mkdir()
+    (landing / "a.img").write_bytes(b"\x01\x02payload-a")
+    (landing / "b.img").write_bytes(b"\x03payload-b")
+    out = str(tmp_path / "media_table")
+    ckpt = str(tmp_path / "media_ckpt")
+
+    stream_ingest_media(spark, str(landing), out, ckpt, pattern="*.img")
+    media = spark.read.parquet(out)
+    assert media.count() == 2
+    assert {f.name for f in media.schema.fields} == {
+        "media_id", "media_type", "payload", "meta"
+    }
+    # rerun: checkpoint skips already-seen files
+    stream_ingest_media(spark, str(landing), out, ckpt, pattern="*.img")
+    assert spark.read.parquet(out).count() == 2
+    # late file arrives exactly once
+    (landing / "c.img").write_bytes(b"\x04c")
+    stream_ingest_media(spark, str(landing), out, ckpt, pattern="*.img")
+    media = spark.read.parquet(out)
+    assert media.count() == 3
+    assert media.select("media_id").distinct().count() == 3
+    # payload bytes land intact and drive the feature kernel
+    n_bytes = {r.n_bytes for r in extract_features(media).collect()}
+    assert n_bytes == {11, 10, 2}

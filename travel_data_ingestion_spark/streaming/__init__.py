@@ -26,7 +26,10 @@ from travel_data_ingestion_spark.streaming.neardup import (
     embedding_neardup_stream,
     neardup_stream,
 )
-from travel_data_ingestion_spark.streaming.ingest_stream import stream_ingest_csv
+from travel_data_ingestion_spark.streaming.ingest_stream import (
+    stream_ingest_csv,
+    stream_ingest_media,
+)
 from travel_data_ingestion_spark.streaming.windows import (
     sessionized_counts,
     windowed_event_stats,

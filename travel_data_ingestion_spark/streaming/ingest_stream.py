@@ -175,3 +175,63 @@ def stream_ingest_csv(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_ingest_media(
+    spark: SparkSession,
+    landing_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    pattern: str = "*",
+    media_type: str = "image",
+) -> None:
+    """Stream raw media files into a media table (AvailableNow drains
+    then stops) — the streaming twin of the batch binaryFile source
+    (io.read_table fmt='binary') feeding llm/multimodal.
+
+    Each file becomes one MEDIA_SCHEMA-shaped row: opaque payload bytes
+    plus typed metadata (source path, byte length, mime placeholder);
+    media_id is the xxhash64 of the file path, so re-ingesting a file
+    under the same path is the same id (downstream per-id dedup is a
+    no-op) while distinct paths can't collide in practice (64-bit).
+    The parquet streaming sink + checkpoint gives exactly-once per file
+    across restarts — the same contract as stream_ingest_csv, with no
+    load_id machinery needed because the sink is append-only and the
+    file-source checkpoint is the ledger. At 100 TB: file discovery is
+    incremental; payload bytes go straight from source to parquet
+    without leaving the JVM; maxFilesPerTrigger bounds per-epoch memory.
+    """
+    # streaming sources require an explicit schema; binaryFile's is fixed
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", pattern)
+        .option("maxFilesPerTrigger", 16)
+        .load(landing_dir)
+    )
+    media = stream.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.col("path").alias("source"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+    q = (
+        media.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -138,6 +138,39 @@ def test_first_ever_empty_batch_bootstraps_readable_table(spark, tmp_path):
     assert wh.read(spark, "silver", "probe").count() == 2
 
 
+def test_bootstrap_crash_window_recovers(spark, tmp_path):
+    """Crash between parking the zero-row bootstrap and the partitioned
+    overwrite's commit: the dir holds only the dot-prefixed parked file,
+    which readers must restore (empty typed frame, not an inference
+    error); the next successful real write removes the parked copy."""
+    from travel_data_ingestion_spark.catalog import _BOOTSTRAP_PREFIX
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.init()
+    schema = "a int, b string, load_id long"
+    wh.write_idempotent(spark, spark.createDataFrame([], schema), "silver", "probe")
+    p = wh.path("silver", "probe")
+    parts = [f for f in os.listdir(p) if f.endswith(".parquet") and not f.startswith(".")]
+    assert len(parts) == 1
+    # simulate the crash state: bootstrap parked, overwrite never committed
+    os.replace(os.path.join(p, parts[0]), os.path.join(p, _BOOTSTRAP_PREFIX + parts[0]))
+    back = wh.read(spark, "silver", "probe")  # heals: restores the footer
+    assert back.count() == 0 and set(back.columns) == {"a", "b", "load_id"}
+    assert os.path.exists(os.path.join(p, parts[0]))  # visible again
+    # a crashed write retried from the healed state completes normally
+    rows = spark.createDataFrame([(1, "x", 7)], schema)
+    wh.write_idempotent(spark, rows, "silver", "probe")
+    assert wh.read(spark, "silver", "probe").count() == 1
+    assert not any(f.startswith(_BOOTSTRAP_PREFIX) for f in os.listdir(p))
+    # stale parked leftover NEXT TO committed data (crash after commit,
+    # before cleanup) is swept, not restored into a layout conflict
+    fake = os.path.join(p, _BOOTSTRAP_PREFIX + "part-stale.parquet")
+    with open(fake, "wb") as fh:
+        fh.write(b"stale")
+    assert wh.read(spark, "silver", "probe").count() == 1
+    assert not os.path.exists(fake)
+
+
 def test_write_idempotent_rejects_unpartitioned_data(spark, tmp_path):
     """Root-level files with ROWS mean the table was written via a
     different sink; write_idempotent must refuse loudly rather than

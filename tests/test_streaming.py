@@ -111,55 +111,123 @@ def test_stream_ingest_exactly_once(spark, tmp_path):
     assert lineage._source_file.startswith("transactions")
 
 
-def test_stream_ingest_stable_base_across_restarts(spark, tmp_path):
-    """The epoch->load_id base is pinned in the checkpoint: a restart
-    must NOT re-derive MAX(load_id)+1 (which by then includes the prior
-    run's own ledger rows), or replayed epochs would land on fresh
-    bronze partitions and duplicate every row."""
+def test_stream_ingest_epoch_map_survives_batch_interleave(spark, tmp_path):
+    """Per-epoch load_id map: replayed epochs keep their recorded ids,
+    and a NEW epoch after an interleaved batch ingest allocates ABOVE
+    the batch's load_id — the batch's bronze partition must survive the
+    restarted stream (the round-8 single-base scheme overwrote it)."""
     import csv
     from datetime import datetime, timezone
 
     from travel_data_ingestion_spark.catalog import ADMIN_SCHEMAS
+    from travel_data_ingestion_spark.ingest import lineage_row_id
 
     landing = str(tmp_path / "landing")
     generate_landing(landing)
     wh = Warehouse(str(tmp_path / "wh"))
     wh.init()
     stream_ingest_csv(spark, wh, landing, "transactions", "transactions*.csv")
-    marker = os.path.join(wh.root, "_checkpoints", "transactions", "_load_id_base")
-    assert os.path.exists(marker)
-    with open(marker) as fh:
-        base = int(fh.read().strip())
+    map_dir = os.path.join(wh.root, "_checkpoints", "transactions", "_load_id_map")
+    assert os.path.isdir(map_dir)
+    markers = {
+        int(name.split("-", 1)[1]): int(open(os.path.join(map_dir, name)).read())
+        for name in os.listdir(map_dir)
+        if name.startswith("epoch-")
+    }
     lids1 = {
         r.load_id
         for r in wh.read(spark, "bronze", "transactions").select("load_id").distinct().collect()
     }
-    assert min(lids1) == base
+    assert lids1 == set(markers.values())
 
-    # simulate the crashed-run aftermath: extra ledger rows inflate MAX(load_id)
-    fake = spark.createDataFrame(
-        [(9999, None, "stream:transactions", "transactions", "SUCCESS", None,
+    # an interleaved BATCH ingest takes the ledger's next id and writes
+    # its own bronze partition under it
+    batch_lid = max(lids1) + 1
+    batch_rows = spark.createDataFrame(
+        [("Narnia", "2026-02-01", "batch_merchant", "Hotel", "9.99", "batch row")],
+        "country string, date string, name string, type string, amount string, comments string",
+    )
+    batch_rows = (
+        batch_rows.withColumn("_ingestion_time", F.current_timestamp())
+        .withColumn("_source_file", F.lit("batch_file.csv"))
+        .withColumn("load_id", F.lit(batch_lid).cast("long"))
+        .withColumn("row_id", lineage_row_id(batch_lid))
+    )
+    wh.write_idempotent(spark, batch_rows, "bronze", "transactions")
+    log = spark.createDataFrame(
+        [(batch_lid, None, "batch_file.csv", "transactions", "SUCCESS", 1,
           None, datetime.now(timezone.utc))],
         ADMIN_SCHEMAS["ingestion_logs"],
     )
-    wh.append(spark, fake, "admin", "ingestion_logs")
+    wh.append(spark, log, "admin", "ingestion_logs")
 
-    # a new file arrives; the restarted stream must continue from the
-    # PERSISTED base (next unseen epoch id), not from MAX(load_id)+1=10000
+    # a new file arrives; the restarted stream's NEW epoch must allocate
+    # above the batch id, never reuse it
     with open(os.path.join(landing, "transactions_2026_03.csv"), "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["country", "date", "name", "type", "amount", "comments"])
         w.writerow(["Japan", "2026-03-01", "merchant_x", "Hotel", "42.00", "late"])
     stream_ingest_csv(spark, wh, landing, "transactions", "transactions*.csv")
-    lids2 = {
-        r.load_id
-        for r in wh.read(spark, "bronze", "transactions").select("load_id").distinct().collect()
+    bronze = wh.read(spark, "bronze", "transactions")
+    # the batch partition survived intact
+    batch_seen = bronze.filter(F.col("load_id") == batch_lid).collect()
+    assert len(batch_seen) == 1 and batch_seen[0].country == "Narnia"
+    new = {
+        r.load_id for r in bronze.select("load_id").distinct().collect()
+    } - lids1 - {batch_lid}
+    assert new and min(new) > batch_lid, f"stream reused/undercut batch id: {sorted(new)}"
+    # original epochs' markers unchanged
+    markers2 = {
+        int(name.split("-", 1)[1]): int(open(os.path.join(map_dir, name)).read())
+        for name in os.listdir(map_dir)
+        if name.startswith("epoch-")
     }
-    new = lids2 - lids1
-    assert new and max(new) < 9999, f"restart re-derived base: {sorted(new)}"
-    assert max(new) == max(lids1) + 1
-    with open(marker) as fh:
-        assert int(fh.read().strip()) == base
+    for e, lid in markers.items():
+        assert markers2[e] == lid
+
+
+def test_epoch_load_id_legacy_base_migration(spark, tmp_path):
+    """Legacy single-base checkpoints migrate per epoch: base+epoch that
+    matches a committed stream ledger row is a replay (keeps its id);
+    an unseen epoch goes through fresh ledger allocation instead of
+    blindly continuing base+epoch into ids a batch may own."""
+    from datetime import datetime, timezone
+
+    from travel_data_ingestion_spark.catalog import ADMIN_SCHEMAS
+    from travel_data_ingestion_spark.streaming.ingest_stream import _epoch_load_id
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.init()
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    with open(os.path.join(ckpt, "_load_id_base"), "w") as fh:
+        fh.write("5")
+    # epochs 0..1 committed under the legacy scheme (ids 5, 6); then a
+    # batch load took 7
+    rows = [
+        (5, None, "stream:transactions", "transactions", "SUCCESS", None, None,
+         datetime.now(timezone.utc)),
+        (6, None, "stream:transactions", "transactions", "SUCCESS", None, None,
+         datetime.now(timezone.utc)),
+        (7, None, "some_batch.csv", "transactions", "SUCCESS", 10, None,
+         datetime.now(timezone.utc)),
+    ]
+    wh.append(
+        spark,
+        spark.createDataFrame(rows, ADMIN_SCHEMAS["ingestion_logs"]),
+        "admin",
+        "ingestion_logs",
+    )
+    # replayed committed epochs keep their legacy ids
+    assert _epoch_load_id(spark, wh, ckpt, 1, "transactions") == 6
+    # a NEW epoch (legacy candidate would be 5+2=7 — the batch's id!)
+    # allocates fresh above the ledger instead
+    lid = _epoch_load_id(spark, wh, ckpt, 2, "transactions")
+    assert lid == 8
+    # and the allocation is now pinned + ledger-reserved: a second call
+    # replays the marker, and the reservation advanced the ledger max
+    assert _epoch_load_id(spark, wh, ckpt, 2, "transactions") == 8
+    assert _epoch_load_id(spark, wh, ckpt, 3, "transactions") == 9
 
 
 def test_stateful_user_profile(spark, tmp_path):
@@ -515,22 +583,23 @@ def test_stream_ingest_matches_batch_parsing_and_load_ids(spark, tmp_path):
 
 
 def test_stream_ingest_partial_marker_recovers(spark, tmp_path):
-    """A crash mid-create can leave an empty/garbage _load_id_base; the
+    """A crash mid-create can leave an empty/garbage epoch marker; the
     next start must treat it as absent (reallocate + rewrite), not crash
-    — and no epochs ran under a partial marker, so reallocation is safe."""
+    — the epoch never wrote data under a partial marker, so
+    reallocation is safe."""
     landing = str(tmp_path / "landing")
     generate_landing(landing)
     wh = Warehouse(str(tmp_path / "wh"))
     wh.init()
-    ckpt = os.path.join(wh.root, "_checkpoints", "transactions")
-    os.makedirs(ckpt, exist_ok=True)
-    marker = os.path.join(ckpt, "_load_id_base")
+    map_dir = os.path.join(wh.root, "_checkpoints", "transactions", "_load_id_map")
+    os.makedirs(map_dir, exist_ok=True)
+    marker = os.path.join(map_dir, "epoch-0")
     with open(marker, "w") as fh:
         fh.write("")  # crash between create and close: empty marker
     stream_ingest_csv(spark, wh, landing, "transactions", "transactions*.csv")
     assert wh.read(spark, "bronze", "transactions").count() > 0
     with open(marker) as fh:
-        assert int(fh.read().strip()) >= 1  # rewritten with a real base
+        assert int(fh.read().strip()) >= 1  # rewritten with a real id
 
 
 def test_stream_ingest_media_exactly_once(spark, tmp_path):
@@ -565,3 +634,46 @@ def test_stream_ingest_media_exactly_once(spark, tmp_path):
     # payload bytes land intact and drive the feature kernel
     n_bytes = {r.n_bytes for r in extract_features(media).collect()}
     assert n_bytes == {11, 10, 2}
+    # a file whose CONTENT changed at the same path is NOT re-emitted by
+    # the same checkpoint (FileStreamSource keys seen-files by path) —
+    # but a re-ingest under a FRESH checkpoint yields a NEW media_id
+    # (mtime folded into the id), so per-id dedup keeps both versions
+    # instead of silently discarding the new one
+    import time
+
+    old_c_id = {r.media_id for r in media.filter(
+        F.col("meta.source").endswith("c.img")).collect()}
+    time.sleep(1.1)  # ensure a distinct ms-resolution modificationTime
+    (landing / "c.img").write_bytes(b"\x05c-v2!")
+    stream_ingest_media(spark, str(landing), out, ckpt, pattern="*.img")
+    assert spark.read.parquet(out).count() == 3  # same checkpoint: no re-emit
+    out2 = str(tmp_path / "media_table2")
+    stream_ingest_media(spark, str(landing), out2, str(tmp_path / "ckpt2"),
+                        pattern="*.img")
+    new_c_id = {r.media_id for r in spark.read.parquet(out2).filter(
+        F.col("meta.source").endswith("c.img")).collect()}
+    assert new_c_id and new_c_id.isdisjoint(old_c_id)
+
+
+def test_stream_ingest_media_mime_from_extension(spark, tmp_path):
+    """Streamed media rows carry an extension-derived mime (parity with
+    typed batch metadata) so downstream format filters work; unknown
+    extensions stay application/octet-stream."""
+    from travel_data_ingestion_spark.streaming import stream_ingest_media
+
+    landing = tmp_path / "mime_landing"
+    landing.mkdir()
+    (landing / "photo.PNG").write_bytes(b"fakepng")
+    (landing / "clip.mp4").write_bytes(b"fakemp4")
+    (landing / "blob.xyz").write_bytes(b"opaque")
+    out = str(tmp_path / "mime_table")
+    stream_ingest_media(spark, str(landing), out, str(tmp_path / "mime_ckpt"))
+    got = {
+        os.path.basename(r.source): r.mime
+        for r in spark.read.parquet(out).select("meta.source", "meta.mime").collect()
+    }
+    assert got == {
+        "photo.PNG": "image/png",
+        "clip.mp4": "video/mp4",
+        "blob.xyz": "application/octet-stream",
+    }

@@ -156,6 +156,11 @@ ADMIN_SCHEMAS: dict[str, T.StructType] = {
 SCHEMAS = ("admin", "bronze", "silver", "gold")
 
 
+# parked zero-row bootstrap part files (dot-prefixed = ignored by Spark
+# readers and partition discovery) — see write_idempotent
+_BOOTSTRAP_PREFIX = ".bootstrap__"
+
+
 @dataclass
 class Warehouse:
     """Path-based medallion warehouse rooted at ``root``."""
@@ -181,9 +186,43 @@ class Warehouse:
             return ADMIN_SCHEMAS.get(table)
         return None
 
+    def _heal_parked_bootstrap(self, p: str) -> None:
+        """Recover the zero-row bootstrap crash window: write_idempotent
+        parks the bootstrap part file under a dot-prefixed name before
+        its first partitioned overwrite, so a crash between the park and
+        the commit leaves the dir with ONLY hidden files — unreadable.
+        Restoring the parked file (atomic rename) puts a readable footer
+        back; conversely, a parked file next to committed visible data
+        (crash after commit, before cleanup) is stale and removed.
+        Single-driver contract: reads never race a live writer here,
+        same as the warehouse's ledgers."""
+        if not os.path.isdir(p):
+            return
+        parked = [
+            f
+            for f in os.listdir(p)
+            if f.startswith(_BOOTSTRAP_PREFIX) and f.endswith(".parquet")
+        ]
+        if not parked:
+            return
+        visible = any(
+            f.endswith(".parquet") and not f.startswith((".", "_"))
+            for sub, dirs, files in os.walk(p)
+            if not os.path.basename(sub).startswith(".")
+            for f in files
+        )
+        for f in parked:
+            if visible:
+                os.remove(os.path.join(p, f))  # stale post-commit leftover
+            else:
+                os.replace(
+                    os.path.join(p, f), os.path.join(p, f[len(_BOOTSTRAP_PREFIX):])
+                )
+
     def read(self, spark: SparkSession, schema: str, table: str) -> DataFrame:
         """DESC TABLE + scan analog: empty typed frame when absent."""
         if self.exists(schema, table):
+            self._heal_parked_bootstrap(self.path(schema, table))
             return spark.read.parquet(self.path(schema, table))
         st = self.registered_schema(schema, table)
         if st is None:
@@ -242,13 +281,24 @@ class Warehouse:
         # clear a zero-row schema bootstrap before the first real write:
         # root-level part files mixed with load_id= dirs trip
         # "conflicting directory structures" in partition discovery.
-        # Guard: only the empty bootstrap is removed — root files
+        # The bootstrap is PARKED under a dot-prefixed (reader-ignored)
+        # name rather than deleted, and removed only after the
+        # partitioned overwrite commits — a crash in between leaves a
+        # recoverable footer file (_heal_parked_bootstrap restores it on
+        # the next read) instead of a dir with only _SUCCESS.
+        # Guard: only the empty bootstrap is parked — root files
         # holding ROWS mean the table was written unpartitioned (e.g.
-        # via overwrite()); silently deleting those would be data loss,
+        # via overwrite()); silently hiding those would be data loss,
         # so that mix is a loud error instead.
         p = self.path(schema, table)
+        parked: list[str] = []
         if os.path.isdir(p):
-            root_parts = [f for f in os.listdir(p) if f.endswith(".parquet")]
+            self._heal_parked_bootstrap(p)  # resume from a prior crash
+            root_parts = [
+                f
+                for f in os.listdir(p)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
             if root_parts:
                 if not spark.read.parquet(*[os.path.join(p, f) for f in root_parts]).isEmpty():
                     raise ValueError(
@@ -258,7 +308,9 @@ class Warehouse:
                         "switching sinks"
                     )
                 for f in root_parts:
-                    os.remove(os.path.join(p, f))
+                    dst = os.path.join(p, _BOOTSTRAP_PREFIX + f)
+                    os.replace(os.path.join(p, f), dst)
+                    parked.append(dst)
         # writer-level option only — mutating the SESSION conf here would
         # silently flip every later partitioned overwrite in the session
         # to dynamic semantics (stale-partition hazard export.py has to
@@ -269,6 +321,8 @@ class Warehouse:
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.path(schema, table))
         )
+        for dst in parked:
+            os.remove(dst)
 
     def init(self) -> None:
         """Reset/DDL bootstrap analog (reference reset_database_dag.py:13-41)."""

@@ -57,6 +57,43 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+# extension -> mime for media landing files; anything unknown stays the
+# opaque default so downstream format filters can still route it
+MIME_BY_EXT = {
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "png": "image/png",
+    "gif": "image/gif",
+    "bmp": "image/bmp",
+    "ppm": "image/x-portable-pixmap",
+    "pgm": "image/x-portable-graymap",
+    "webp": "image/webp",
+    "wav": "audio/wav",
+    "mp3": "audio/mpeg",
+    "flac": "audio/flac",
+    "mp4": "video/mp4",
+    "webm": "video/webm",
+    "mkv": "video/x-matroska",
+}
+
+
+def mime_from_path(path_col):
+    """Column expression: mime type derived from a file path's extension
+    (lowercased), ``application/octet-stream`` when unknown — JVM-side
+    (a literal map lookup), so the streaming ingest path stays free of
+    Python."""
+    ext = F.lower(F.regexp_extract(path_col, r"\.([A-Za-z0-9]+)$", 1))
+    pairs: list = []
+    for k, v in MIME_BY_EXT.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    # try_element_at: a missing key is NULL under ANSI too (element_at
+    # would raise there — NOTES determinism rule 6)
+    return F.coalesce(
+        F.try_element_at(F.create_map(*pairs), ext),
+        F.lit("application/octet-stream"),
+    )
+
+
 def _dims_from_digest(digest: bytes) -> tuple[int, int]:
     """Deterministic fake (width, height) from a payload md5 digest —
     the single definition shared by the scalar stub and the batched

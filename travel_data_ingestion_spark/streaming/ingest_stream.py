@@ -13,16 +13,18 @@ exact parsing options (header, RFC-4180 doubled-quote escapes,
 NULL/null/'' -> NULL, PERMISSIVE), so a file produces identical bronze
 rows whichever path ingested it.
 
-``load_id`` allocation: each epoch writes ``base + epoch_id`` where
-``base`` defaults to the admin ingestion ledger's MAX(load_id)+1 the
-FIRST time a stream starts against a given checkpoint, and is then
-persisted inside the checkpoint directory (``_load_id_base``) so every
-restart replays epochs onto the SAME load_ids — a replayed epoch
-overwrites its original bronze partition instead of allocating a fresh
-one. Every epoch also appends a ledger row, so the batch path's next
-allocation sees the streamed loads and the two paths can never hand
-out colliding ids (single-driver contract, same as the warehouse's
-other ledgers).
+``load_id`` allocation: the checkpoint carries a per-epoch map
+(``_load_id_map/epoch-<n>`` marker files). A REPLAYED epoch reads its
+recorded load_id back and rewrites exactly its original bronze
+partition; a NEW epoch allocates the ledger's MAX(load_id)+1, appends
+a RUNNING reservation row to the ledger, and only then records the
+marker — so the id is visible to any interleaved batch allocation
+before the stream ever writes data under it, and the two paths can
+never hand out colliding ids even across restarts with batch ingests
+in between (the round-8 single-base scheme failed exactly there: a
+batch load between stream runs took base+k+1, and the restarted
+stream's next NEW epoch overwrote it). Single-driver contract, same
+as the warehouse's other ledgers.
 
 At scale this is the preferred ingestion mode: file discovery is
 incremental (no full LIST per run), and maxFilesPerTrigger bounds batch
@@ -54,55 +56,138 @@ from travel_data_ingestion_spark.ingest import (
 _LINEAGE_COLS = [f.name for f in LINEAGE_FIELDS]
 
 
-def _stable_load_id_base(
-    spark: SparkSession, wh: Warehouse, checkpoint: str, load_id: int | None
+def _read_int_marker(jvm, fs, marker) -> int | None:
+    """Read an integer marker file; an absent or unreadable/partial
+    marker (crash mid-create) is treated as absent."""
+    if not fs.exists(marker):
+        return None
+    stream = fs.open(marker)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    try:
+        return int(text.strip())
+    except ValueError:
+        return None
+
+
+def _write_int_marker(jvm, fs, marker, value: int) -> None:
+    """Persist an integer marker via tmp-file + rename, with the
+    delete/rename return values CHECKED: a silently-failed rename (false
+    on concurrent creation, or non-atomic object-store semantics) would
+    leave the run proceeding on an unpersisted id — the next restart
+    would reallocate and re-introduce the replay-duplication bug this
+    marker exists to prevent, so failure must be loud."""
+    parent = marker.getParent()
+    fs.mkdirs(parent)
+    tmp = jvm.org.apache.hadoop.fs.Path(parent, marker.getName() + ".__tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(str(int(value)).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(marker) and not fs.delete(marker, False):
+        raise IOError(f"could not replace marker {marker}")
+    if not fs.rename(tmp, marker):
+        raise IOError(
+            f"rename {tmp} -> {marker} failed (concurrent writer, or the "
+            "store lacks atomic rename); marker not persisted"
+        )
+
+
+def _epoch_load_id(
+    spark: SparkSession,
+    wh: Warehouse,
+    checkpoint: str,
+    epoch_id: int,
+    target_table: str,
+    floor: int | None = None,
 ) -> int:
-    """Return the epoch->load_id base for this checkpoint, stable across
-    restarts.
+    """Return the load_id for this (checkpoint, epoch), exactly-once and
+    collision-free against interleaved batch ingests.
 
-    The base is allocated once (ledger MAX(load_id)+1, or the caller's
-    explicit ``load_id``) and persisted as ``<checkpoint>/_load_id_base``
-    BEFORE the stream starts; every restart reads the persisted value
-    back. Without this, a restart after a crash would recompute
-    MAX(load_id)+1 — which by then includes the crashed run's own
-    ledger rows — so a replayed epoch N would write ``base'+N`` instead
-    of ``base+N``: the partition overwrite would land on a FRESH bronze
-    partition and the first attempt's rows would survive as duplicates.
-    Pinning the mapping makes replay rewrite the original partition
-    (exactly-once end to end, as the module contract promises).
+    A per-epoch marker (``<checkpoint>/_load_id_map/epoch-<n>``) records
+    each epoch's id the first time it runs; a REPLAYED epoch reads it
+    back and rewrites its original bronze partition. A NEW epoch
+    allocates the ledger's MAX(load_id)+1 (or the caller's ``floor`` if
+    higher), appends a RUNNING reservation row to the ledger, and THEN
+    writes the marker: the reservation makes the id visible to any
+    batch allocation before this epoch writes data under it, so a batch
+    ingest interleaved between stream runs can never take an id a later
+    stream epoch will claim (the failure mode of the single persisted
+    base: ledger max = base+k after run 1, batch takes base+k+1, and a
+    restarted stream's NEW epoch k+1 silently overwrote that batch's
+    bronze partition). A crash between the reservation and the marker
+    only leaks one id (the replay allocates afresh, above it).
 
-    Goes through the Hadoop FileSystem API so the marker lives wherever
-    the checkpoint lives (local disk in tests, HDFS/S3 on a cluster);
-    written via tmp-file + rename, and an unreadable/partial marker is
-    treated as absent and rewritten.
+    Legacy checkpoints from the single-base scheme migrate in place: if
+    ``_load_id_base`` exists and ``base + epoch_id`` matches a streamed
+    ledger row for this table, the epoch is a replay of a committed
+    epoch and keeps its original id (recorded into the map); otherwise
+    the epoch is new and goes through fresh allocation.
+
+    Goes through the Hadoop FileSystem API so markers live wherever the
+    checkpoint lives (local disk in tests, HDFS/S3 on a cluster).
     """
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    marker = jvm.org.apache.hadoop.fs.Path(os.path.join(checkpoint, "_load_id_base"))
-    fs = marker.getFileSystem(hconf)
-    if fs.exists(marker):
-        stream = fs.open(marker)
-        try:
-            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-        finally:
-            stream.close()
-        try:
-            return int(text.strip())
-        except ValueError:
-            pass  # partial write from a crash mid-create: reallocate below
-    base = _next_load_id(spark, wh) if load_id is None else int(load_id)
-    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(checkpoint))
-    tmp = jvm.org.apache.hadoop.fs.Path(
-        os.path.join(checkpoint, "_load_id_base.__tmp")
+    marker = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(checkpoint, "_load_id_map", f"epoch-{int(epoch_id)}")
     )
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(str(base).encode("utf-8")))
-    finally:
-        out.close()
-    fs.delete(marker, False)
-    fs.rename(tmp, marker)
-    return base
+    fs = marker.getFileSystem(hconf)
+    recorded = _read_int_marker(jvm, fs, marker)
+    if recorded is not None:
+        return recorded
+    # legacy single-base checkpoint: a committed epoch left a
+    # stream:<table> ledger row at base+epoch — that epoch keeps its id
+    legacy = jvm.org.apache.hadoop.fs.Path(os.path.join(checkpoint, "_load_id_base"))
+    base = _read_int_marker(jvm, fs, legacy)
+    if base is not None:
+        candidate = base + int(epoch_id)
+        # an id already claimed by ANOTHER epoch's marker (a post-migration
+        # allocation also appends stream:<table> ledger rows) is not this
+        # epoch's legacy commit
+        map_dir = marker.getParent()
+        claimed = set()
+        if fs.exists(map_dir):
+            for st in fs.listStatus(map_dir):
+                v = _read_int_marker(jvm, fs, st.getPath())
+                if v is not None:
+                    claimed.add(v)
+        committed = candidate not in claimed and (
+            wh.read(spark, "admin", "ingestion_logs")
+            .filter(
+                (F.col("load_id") == candidate)
+                & (F.col("file_name") == f"stream:{target_table}")
+            )
+            .limit(1)
+            .count()
+        )
+        if committed:
+            _write_int_marker(jvm, fs, marker, candidate)
+            return candidate
+    lid = _next_load_id(spark, wh)
+    if floor is not None:
+        lid = max(lid, int(floor))
+    log = spark.createDataFrame(
+        [
+            (
+                lid,
+                None,
+                f"stream:{target_table}",
+                target_table,
+                "RUNNING",  # reservation; collapsed by the SUCCESS row's recency
+                None,
+                None,
+                datetime.now(timezone.utc),
+            )
+        ],
+        ADMIN_SCHEMAS["ingestion_logs"],
+    )
+    wh.append(spark, log, "admin", "ingestion_logs")
+    _write_int_marker(jvm, fs, marker, lid)
+    return lid
 
 
 def stream_ingest_csv(
@@ -115,16 +200,15 @@ def stream_ingest_csv(
     load_id: int | None = None,
 ) -> None:
     """Stream-ingest CSV files into bronze.<target_table> and wait for
-    completion (AvailableNow drains then stops). ``load_id`` overrides
-    the ledger-allocated base (epoch N writes ``load_id + N``) on the
-    FIRST start only; restarts reuse the base persisted in the
-    checkpoint so replayed epochs keep their original load_ids."""
+    completion (AvailableNow drains then stops). ``load_id`` is an
+    optional allocation FLOOR for newly-allocated epochs; replayed
+    epochs always reuse the id recorded in the checkpoint's per-epoch
+    map so they rewrite their original bronze partitions."""
     bronze_schema = BRONZE_SCHEMAS[target_table]
     business = [f.name for f in bronze_schema.fields if f.name not in _LINEAGE_COLS]
     read_schema = T.StructType([T.StructField(c, T.StringType()) for c in business])
 
     checkpoint = checkpoint_dir or os.path.join(wh.root, "_checkpoints", target_table)
-    base = _stable_load_id_base(spark, wh, checkpoint, load_id)
     # CSV parsing options come from the single shared set (io.CSV_OPTIONS)
     # so a file produces identical bronze rows whichever path ingested it
     stream = (
@@ -137,7 +221,7 @@ def stream_ingest_csv(
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
         s = df.sparkSession
-        eid = base + epoch_id
+        eid = _epoch_load_id(s, wh, checkpoint, epoch_id, target_table, floor=load_id)
         out = (
             _csv_null_tokens(df)
             .withColumn("_ingestion_time", F.current_timestamp())
@@ -190,10 +274,19 @@ def stream_ingest_media(
     (io.read_table fmt='binary') feeding llm/multimodal.
 
     Each file becomes one MEDIA_SCHEMA-shaped row: opaque payload bytes
-    plus typed metadata (source path, byte length, mime placeholder);
-    media_id is the xxhash64 of the file path, so re-ingesting a file
-    under the same path is the same id (downstream per-id dedup is a
-    no-op) while distinct paths can't collide in practice (64-bit).
+    plus typed metadata (source path, byte length, mime derived from the
+    file extension so downstream format filters work on streamed media
+    exactly as on batch-ingested media); media_id is the xxhash64 of
+    (path, modificationTime) — re-processing an UNCHANGED file is the
+    same id (downstream per-id dedup is a no-op), while a file whose
+    content changed at the same path gets a NEW id, so per-id dedup
+    keeps both versions instead of silently discarding the new one.
+    (Within ONE checkpoint a modified path is never re-emitted at all —
+    FileStreamSource keys seen-files by path — so the changed-content
+    case arises on re-ingest under a fresh checkpoint or across
+    parallel ingest runs over a mutable landing area.) Note the id
+    space differs from the batch twin media_from_documents (raw
+    doc_id); the two sources must not share one media table.
     The parquet streaming sink + checkpoint gives exactly-once per file
     across restarts — the same contract as stream_ingest_csv, with no
     load_id machinery needed because the sink is append-only and the
@@ -217,14 +310,19 @@ def stream_ingest_media(
         .option("maxFilesPerTrigger", 16)
         .load(landing_dir)
     )
+    from travel_data_ingestion_spark.llm.multimodal import mime_from_path
+
     media = stream.select(
-        F.xxhash64(F.col("path")).alias("media_id"),
+        # content signal folded into the id: a changed file at the same
+        # path (new mtime) is a NEW media row, not silently dropped by
+        # downstream per-id dedup
+        F.xxhash64(F.col("path"), F.col("modificationTime")).alias("media_id"),
         F.lit(media_type).alias("media_type"),
         F.col("content").alias("payload"),
         F.struct(
             F.col("path").alias("source"),
             F.col("length").cast("long").alias("n_bytes"),
-            F.lit("application/octet-stream").alias("mime"),
+            mime_from_path(F.col("path")).alias("mime"),
         ).alias("meta"),
     )
     q = (

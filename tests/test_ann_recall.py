@@ -19,12 +19,24 @@ def _exact_top10(spark):
 
 
 def test_ivf_recall_and_scores(spark):
+    from travel_data_ingestion_spark.queries.llm_similarity import ivf_topk
+
     exact = _exact_top10(spark)
-    ivf = {r.vec_id: r.cos_sim for r in SPECS["sim05_ivf_ann"].fn(spark, SF_DIR).collect()}
+    ivf = {r.vec_id: r.cos_sim for r in ivf_topk(spark, SF_DIR).collect()}
     overlap = set(exact) & set(ivf)
     assert len(overlap) >= 3  # measured 6/10 at sf0.001, 4/10 at sf0.01
     for vid in overlap:
         assert ivf[vid] == exact[vid]  # identical exact scoring on candidates
+
+
+def test_sim05_witness_row(spark):
+    """The registered sim05 emits the exact top-10 plus TRUE witnesses —
+    the same contract the kernel test above checks, but in-plan."""
+    rows = SPECS["sim05_ivf_ann"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    exact = _exact_top10(spark)
+    assert {r.vec_id for r in rows} == set(exact)
+    assert all(r.ivf_recall_ok and r.ivf_scores_exact_ok for r in rows)
 
 
 def test_lsh_candidates_score_exactly(spark):

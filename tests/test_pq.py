@@ -103,16 +103,20 @@ def test_encode_and_adc_are_map_only(spark, emb, books):
 
 
 def test_sim07_ivf_pq_registry_query(spark):
-    """End-to-end IVF-PQ registry entry: deterministic across runs, 10
-    rows, and decent overlap with exact L2 top-10 over the full corpus
-    (IVF pruning + PQ lossiness each cost recall; floor catches
-    regressions, not absolutes)."""
+    """End-to-end IVF-PQ: the kernel is deterministic across runs with
+    decent overlap against exact L2 top-10 (IVF pruning + PQ lossiness
+    each cost recall; floor catches regressions, not absolutes), and
+    the registered row carries the same contract as TRUE witnesses."""
     from travel_data_ingestion_spark.queries import all_queries
+    from travel_data_ingestion_spark.queries.llm_similarity import ivf_pq_topk
 
-    fn = all_queries()["sim07_ivf_pq"].fn
-    r1 = [(r.vec_id, r.adc_dist) for r in fn(spark, SF_DIR).collect()]
-    r2 = [(r.vec_id, r.adc_dist) for r in fn(spark, SF_DIR).collect()]
+    r1 = [(r.vec_id, r.adc_dist) for r in ivf_pq_topk(spark, SF_DIR).collect()]
+    r2 = [(r.vec_id, r.adc_dist) for r in ivf_pq_topk(spark, SF_DIR).collect()]
     assert r1 == r2 and len(r1) == 10
+
+    wit = all_queries()["sim07_ivf_pq"].fn(spark, SF_DIR).collect()
+    assert len(wit) == 10
+    assert all(r.pq_recall_ok and r.codes_exactly_once for r in wit)
 
     emb = load_table(spark, SF_DIR, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")

@@ -12,11 +12,11 @@ DRIVER_GRADED_CAP = 50
 
 # Queries whose semantics are not ANSI-SQL-expressible get the driver's
 # weaker rows-only check; every other query MUST carry a DuckDB oracle.
-EXPECTED_NO_ORACLE = {
-    "d16_approx_aggs",  # engine-specific sketches (HLL / t-digest)
-    "sim05_ivf_ann",  # learned k-means centroids are engine-specific
-    "sim07_ivf_pq",  # learned centroids + PQ codebooks, engine-specific
-}
+# Since round 9 the set is EMPTY: the former members (d16 sketches,
+# sim05/sim07 learned-model ANN) are oracle-graded via bounded witnesses
+# — exact SQL-expressible analytics plus in-plan error/recall-contract
+# booleans the oracle asserts as literal TRUE.
+EXPECTED_NO_ORACLE: set[str] = set()
 
 
 def test_registry_fits_driver_grading_window():

@@ -187,25 +187,54 @@ def d15_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d16_approx_aggs",
-    None,  # sketch internals are engine-specific -> rows-only check;
-    # tests/test_approx.py bounds the error against exact values
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+           COUNT(*) AS n,
+           TRUE AS users_within_bounds,
+           TRUE AS p50_within_bounds
+    FROM events
+    GROUP BY event_type
+    """,
     survey_ops=("X-PCT-2",),
     doc="Approximate aggregates — the operators that actually run at "
     "100 TB: approx_count_distinct (HyperLogLog++, rsd=0.02) and "
-    "percentile_approx (t-digest-style, accuracy=10000). Fixed accuracy "
-    "parameters keep results deterministic per engine. Rows-only by "
-    "necessity (sketch internals are engine-specific), but the error is "
-    "PINNED by tests/test_approx.py against exact countDistinct/"
-    "percentile: bound <5% distinct-count error / <5.0 median abs error; "
-    "measured at sf0.001 = 0.00% distinct error, 0.205 median abs error "
-    "on a ~0..100 value range.",
+    "percentile_approx (t-digest-style, accuracy=10000), with fixed "
+    "accuracy parameters for per-engine determinism. Oracle-graded via "
+    "BOUNDED WITNESSES: Spark computes both the sketch estimate and the "
+    "exact value in one pass and emits the exact analytics plus "
+    "in-plan error-contract booleans (|approx-exact| <= 5% of exact "
+    "distinct count; <= 5.0 absolute on the ~0..100-range median — the "
+    "same bounds tests/test_approx.py pins); DuckDB computes the same "
+    "exact values with literal TRUE flags. The hash therefore pins the "
+    "exact analytics AND the sketch error contract without pretending "
+    "the two engines share an HLL/t-digest implementation.",
 )
 def d16_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("exact_p50"),
         F.count(F.lit(1)).alias("n"),
+    )
+    # multiplication form (no division): exact_users == 0 -> approx must
+    # be 0 too; an all-NULL value group makes both medians NULL -> true
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "exact_p50",
+        "n",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("users_within_bounds"),
+        F.coalesce(
+            F.abs(F.col("approx_p50") - F.col("exact_p50")) <= F.lit(5.0),
+            F.col("approx_p50").isNull() & F.col("exact_p50").isNull(),
+        ).alias("p50_within_bounds"),
     )
 
 

@@ -271,16 +271,16 @@ def test_media_phash_pairs_compose_with_cluster_index(spark, tmp_path):
     clusters keyed by their minimum media id."""
     from travel_data_ingestion_spark.dedup_index import ClusterIndex
     from travel_data_ingestion_spark.queries.llm_multimodal import (
-        _PLANTED_MEDIA,
         _PLANTED_MEDIA_BASE_ID as B,
         mm03_phash_dedup,
+        planted_ppm_media,
     )
 
     pairs = mm03_phash_dedup(spark, SF_DIR).select(
         F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
     )
     docs = spark.createDataFrame(
-        [(i,) for i, _t in _PLANTED_MEDIA], "doc_id long"
+        [(i,) for i, _p in planted_ppm_media()], "doc_id long"
     )
     # corpus docs are duplicate-free (verified in llm_multimodal fixture
     # note), so every pair endpoint is a planted media row

@@ -5,12 +5,16 @@ with a typed metadata struct alongside; decode / feature-extraction /
 resize / frame-sampling run as Arrow-batched ``mapInPandas`` operators so
 Python touches whole columnar batches, never rows.
 
-The actual codec step is STUBBED (no image/audio libraries in this
-environment): ``decode_image_stub`` raises NotImplementedError unless
-``fake=True``, in which case it produces deterministic pseudo-features
-(byte length, md5 digest, fake width/height derived from the digest).
-The Spark-side plumbing — schema, batch shape, partitioning, UDF
-signature — is real and tested (tests/test_multimodal.py).
+Uncompressed media decode REALLY decodes: binary PPM (P6) payloads are
+parsed (decode_ppm) for true dimensions and pixels, and the perceptual
+hash is a real DCT pHash over those pixels (phash_bytes) — ~30 lines of
+numpy, no codec library needed. Compressed formats (JPEG/PNG/...) still
+need a codec not present in this environment: those payloads fall back
+to the documented md5-derived stub (decode_image_stub with fake=True
+for dimensions, md5-prefix signatures), which keeps every downstream
+operator testable on opaque bytes. The Spark-side plumbing — schema,
+batch shape, partitioning, UDF signature — is identical on both paths
+(tests/test_multimodal.py).
 
 At 100 TB: binary payloads dominate size, so the operators (a) never
 shuffle payload bytes (feature extraction is map-only; metadata-only
@@ -101,17 +105,104 @@ def _dims_from_digest(digest: bytes) -> tuple[int, int]:
     return 64 + digest[0] % 192, 64 + digest[1] % 192
 
 
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Parse a binary PPM (P6, maxval 255, single-newline whitespace as
+    render_ppm_payload emits): returns (width, height, pixel_bytes) or
+    None for anything that isn't a well-formed P6 — callers fall back to
+    the opaque-bytes stub path. ~30 lines of real decoding, no codec
+    library needed; this is the environment's honest replacement for
+    Pillow on uncompressed media."""
+    if not payload.startswith(b"P6\n"):
+        return None
+    try:
+        nl_dims = payload.index(b"\n", 3)
+        parts = payload[3:nl_dims].split()
+        if len(parts) != 2:
+            return None
+        w, h = int(parts[0]), int(parts[1])
+        nl_max = payload.index(b"\n", nl_dims + 1)
+        if payload[nl_dims + 1 : nl_max].strip() != b"255":
+            return None
+        px = payload[nl_max + 1 :]
+        if w <= 0 or h <= 0 or len(px) < w * h * 3:
+            return None
+        return w, h, px[: w * h * 3]
+    except (ValueError, IndexError):
+        return None
+
+
+def _dct_matrix(n: int):
+    """Orthonormal-free DCT-II basis (scaling irrelevant: pHash only
+    compares coefficients to their median)."""
+    import numpy as np
+
+    k = np.arange(n).reshape(-1, 1)
+    x = np.arange(n).reshape(1, -1)
+    return np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+
+
+_DCT32 = None
+
+
+def phash_bytes(payload: bytes) -> int:
+    """64-bit perceptual hash of a media payload, as a SIGNED int64.
+
+    Decodable P6 PPM -> the classic DCT pHash: grayscale, nearest
+    resample to 32x32, 2-D DCT-II, top-left 8x8 block, each coefficient
+    thresholded against the median of the 63 non-DC coefficients.
+    Near-identical images (small pixel perturbations, re-renders) land
+    within a few bits; the hamming<=3 pair blocking downstream does the
+    rest. Anything that is not a well-formed PPM keeps the documented
+    md5-derived STUB signature (only identical payloads collide).
+
+    Pure function of the bytes (numpy only, no Spark) so the DuckDB
+    oracle generators can call it on planted literal payloads — the
+    same pattern as the md5-seeded LSH hyperplane literals."""
+    import numpy as np
+
+    dec = decode_ppm(payload)
+    if dec is None:
+        v = int(hashlib.md5(payload).hexdigest()[:16], 16)
+        return v - (1 << 64) if v >= (1 << 63) else v
+    w, h, px = dec
+    gray = (
+        np.frombuffer(px, dtype=np.uint8)
+        .reshape(h, w, 3)
+        .astype(np.float64)
+        .mean(axis=2)
+    )
+    yi = (np.arange(32) * h) // 32
+    xi = (np.arange(32) * w) // 32
+    g = gray[np.ix_(yi, xi)]
+    global _DCT32
+    if _DCT32 is None:
+        _DCT32 = _dct_matrix(32)
+    c = _DCT32 @ g @ _DCT32.T
+    block = c[:8, :8].ravel()
+    med = float(np.median(block[1:]))
+    v = 0
+    for i, b in enumerate(block > med):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    STUB: real decoding needs an image library not present in this
-    container. With ``fake=True`` the dimensions derive deterministically
-    from the payload digest, keeping every downstream operator testable.
-    """
+    P6 PPM payloads decode for REAL (decode_ppm). For compressed formats
+    a codec library is required and absent in this container: with
+    ``fake=True`` the dimensions derive deterministically from the
+    payload digest, keeping every downstream operator testable; with
+    ``fake=False`` the gap is loud."""
+    dec = decode_ppm(payload)
+    if dec is not None:
+        return dec[0], dec[1]
     if not fake:
         raise NotImplementedError(
-            "image decoding requires an image codec library (e.g. Pillow); "
-            "not available in this environment"
+            "decoding compressed images requires a codec library (e.g. "
+            "Pillow); not available in this environment (PPM decodes "
+            "natively via decode_ppm)"
         )
     return _dims_from_digest(hashlib.md5(payload).digest())
 
@@ -132,6 +223,39 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def ppm_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Render the documents corpus into REAL (tiny) binary PPM images:
+    one P6 payload per doc, dimensions derived from doc_id
+    (w = 8 + doc_id % 24, h = 8 + doc_id div 7 % 24) and pixel bytes =
+    the ASCII text cycled to w*h*3 bytes. Entirely JVM-side string/
+    binary expressions — no Python in the render — and exactly
+    reproducible in SQL (header + cycled text + md5), which is what
+    makes mm01's real header-parse and byte-count oracle-gradable.
+    Downstream decode (decode_ppm / phash_bytes) parses these bytes for
+    real; it never sees the formula."""
+    w = (F.lit(8) + F.col("doc_id") % 24).cast("int")
+    h = (F.lit(8) + F.expr("doc_id div 7") % 24).cast("int")
+    docs = docs.withColumn("__w", w).withColumn("__h", h)
+    n_px = (F.col("__w") * F.col("__h") * 3).cast("int")
+    unit = F.length("text") + 1  # ASCII corpus: chars == bytes
+    reps = (F.floor(n_px / unit) + 1).cast("int")
+    pixels = F.substring(
+        F.repeat(F.concat(F.col("text"), F.lit(".")), reps), F.lit(1), n_px
+    )
+    header = F.format_string("P6\n%d %d\n255\n", F.col("__w"), F.col("__h"))
+    payload = F.encode(F.concat(header, pixels), "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.lit("image/x-portable-pixmap").alias("mime"),
+        ).alias("meta"),
+    )
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
@@ -144,11 +268,17 @@ def extract_features(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            # hash each payload ONCE: digest column and stub dimensions
-            # both derive from the same md5 (payloads dominate the batch,
-            # so the second full pass over the bytes was pure waste)
+            # hash each payload ONCE: the digest column and the OPAQUE
+            # fallback's stub dimensions derive from the same md5
+            # (payloads dominate the batch, so a second full pass over
+            # the bytes would be pure waste)
             digests = [hashlib.md5(bytes(p)).digest() for p in payloads]
-            dims = [_dims_from_digest(d) for d in digests]
+            dims = []
+            for p, d in zip(payloads, digests):
+                dec = decode_ppm(bytes(p))
+                # real header parse for decodable media; digest-derived
+                # stub only for genuinely opaque bytes
+                dims.append((dec[0], dec[1]) if dec else _dims_from_digest(d))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -165,27 +295,24 @@ def extract_features(media: DataFrame) -> DataFrame:
 def phash_signatures(media: DataFrame) -> DataFrame:
     """Perceptual-hash signatures over the binary column, Arrow-batched.
 
-    STUB HASH: a real dHash/pHash (decode -> downscale -> gradient bits)
-    needs an image codec; this environment derives the 64-bit signature
-    from the payload's md5 (first 16 hex digits, two's-complement), so
-    only IDENTICAL payloads land at hamming 0 and distinct payloads are
-    ~32 bits apart. The pipeline shape is the real one: payload bytes
-    cross to Python once per batch, a long signature returns, and the
-    pair generation downstream (queries.llm_dedup.hamming_pairs) never
-    touches bytes again. A real perceptual hash slots into ``ph`` and
-    the hamming<=3 blocking starts matching near-identical images."""
+    Decodable P6 PPM payloads get a REAL DCT pHash (phash_bytes:
+    grayscale -> 32x32 resample -> 2-D DCT-II -> 8x8 block median
+    threshold), so near-identical images — not just byte-identical
+    copies — land within a small hamming distance. Opaque payloads keep
+    the documented md5-derived stub (identical bytes only). The
+    pipeline shape: payload bytes cross to Python once per batch, a
+    long signature returns, and the pair generation downstream
+    (queries.llm_dedup.hamming_pairs) never touches bytes again."""
     cols = media.select("media_id", "payload")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def ph(p) -> int:
-            v = int(hashlib.md5(bytes(p)).hexdigest()[:16], 16)
-            return v - (1 << 64) if v >= (1 << 63) else v
-
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "phash": pdf["payload"].map(ph).astype("int64"),
+                    "phash": pdf["payload"]
+                    .map(lambda p: phash_bytes(bytes(p)))
+                    .astype("int64"),
                 }
             )
 

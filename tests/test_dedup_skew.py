@@ -101,3 +101,48 @@ def test_signature_level_blocking_matches_doc_level_semantics(spark, tmp_path):
             if d <= 3:
                 expected.add((a, b, d))
     assert got == expected
+
+
+def test_hot_block_second_level_is_lossless(spark):
+    """Multi-index second-level blocking (hot buckets join on an extra
+    12-bit sub-chunk of the remaining 48 bits) must return EXACTLY the
+    first-level pair set. Adversarial fixture: many signatures share one
+    16-bit chunk value (a popular block) while pairs differ 0-4 bits
+    elsewhere — straddling the hamming<=3 boundary."""
+    import itertools
+
+    from travel_data_ingestion_spark.queries.llm_dedup import hamming_pairs
+
+    # base signatures all share chunk 0 == 0xBEEF (one hot bucket);
+    # high bits vary so sub-chunks spread
+    rows = []
+    rid = 0
+    for base in range(40):
+        sig = 0xBEEF | (base * 0x1357_9B00_0000) & ~0xFFFF
+        for flips in ([], [16], [16, 33], [16, 33, 50], [16, 33, 50, 63]):
+            s = sig
+            for b in flips:
+                s ^= 1 << b
+            s_signed = s - (1 << 64) if s >= (1 << 63) else s
+            rows.append((rid, s_signed))
+            rid += 1
+    sigs = spark.createDataFrame(rows, "rid long, sig long")
+
+    def pairs(threshold):
+        return {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_pairs(
+                sigs, "rid", "sig", hot_block_threshold=threshold
+            ).collect()
+        }
+
+    all_cold = pairs(10**9)  # pure first-level
+    all_hot = pairs(0)  # every bucket takes the second level
+    assert all_cold == all_hot and all_cold
+    # brute-force ground truth
+    expected = set()
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        d = bin((sa ^ sb) & (2**64 - 1)).count("1")
+        if d <= 3:
+            expected.add((min(ia, ib), max(ia, ib), d))
+    assert all_cold == expected

@@ -555,7 +555,11 @@ def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hamming_pairs(
-    sigs: DataFrame, id_col: str, sig_col: str, max_hamming: int = 3
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+    hot_block_threshold: int = 256,
 ) -> DataFrame:
     """All pairs of rows whose 64-bit signatures are within
     ``max_hamming`` (<= 3), as (id_a, id_b, hamming) with id_a < id_b.
@@ -574,6 +578,21 @@ def hamming_pairs(
     Pigeonhole blocking: 4 disjoint 16-bit chunks; hamming<=3 implies
     >=1 equal chunk, so the candidate equi-join on (chunk_id, chunk_val)
     is lossless. Shared by dd04 (SimHash) and mm03 (perceptual hash).
+
+    SECOND-LEVEL BLOCKING for popular chunk buckets (multi-index
+    hashing, Norouzi et al.): a (chunk_id, chunk_val) bucket holding k
+    distinct signatures generates k^2 first-level candidates — the one
+    quadratic pocket left in this family (near-dup-heavy corpora pile
+    distinct signatures onto popular chunk values). Buckets above
+    ``hot_block_threshold`` members instead join on an ADDITIONAL
+    12-bit sub-chunk of the REMAINING 48 bits: a pair sharing chunk c
+    has <= max_hamming(<=3) diffs across those 48 bits, so of 4
+    disjoint 12-bit sub-chunks at least one is equal — lossless, and
+    both members of any candidate pair sit in the same (chunk_id,
+    chunk_val) bucket so they always take the same branch. Cost: hot
+    buckets shrink from k^2 to sum over sub-buckets of k_i^2 (up to
+    4096-way split), for one extra groupBy over distinct-signature
+    chunk rows.
     """
     if max_hamming > 3:
         # A real error, not an assert: under `python -O` an assert would
@@ -600,20 +619,70 @@ def hamming_pairs(
             )
         ).alias("ch"),
     ).select("sig", "ch.chunk_id", "ch.chunk_val")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
-    sig_pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            # signed-long order is an arbitrary-but-canonical pair
-            # orientation; strict < also drops the self-match, so the
-            # hamming-0 class is exclusively the same-signature branch.
-            & (F.col("a.sig") < F.col("b.sig")),
+    # bucket population drives the branch; the groupBy shuffles on the
+    # same (chunk_id, chunk_val) key the candidate join uses
+    counts = chunks.groupBy("chunk_id", "chunk_val").agg(
+        F.count(F.lit(1)).alias("__bucket_n")
+    )
+    chunks = chunks.join(counts, ["chunk_id", "chunk_val"])
+    cold = chunks.filter(F.col("__bucket_n") <= hot_block_threshold)
+    hot = chunks.filter(F.col("__bucket_n") > hot_block_threshold)
+    # the 48 bits OUTSIDE chunk c, packed low, as a CASE over chunk_id
+    rem48 = None
+    for c in range(4):
+        others = [o for o in range(4) if o != c]
+        packed = None
+        for pos, o in enumerate(others):
+            piece = F.shiftleft(
+                F.shiftrightunsigned("sig", 16 * o).bitwiseAND(F.lit(0xFFFF)),
+                16 * pos,
+            )
+            packed = piece if packed is None else packed.bitwiseOR(piece)
+        rem48 = (
+            F.when(F.col("chunk_id") == c, packed)
+            if rem48 is None
+            else rem48.when(F.col("chunk_id") == c, packed)
         )
-        .select(F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
-        .distinct()  # a signature pair may collide in several chunks
+    hot_sub = hot.withColumn("__rem48", rem48).select(
+        "sig",
+        "chunk_id",
+        "chunk_val",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub_id"),
+                        F.shiftrightunsigned("__rem48", 12 * j)
+                        .bitwiseAND(F.lit(0xFFF))
+                        .alias("sub_val"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("sc"),
+    ).select("sig", "chunk_id", "chunk_val", "sc.sub_id", "sc.sub_val")
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+
+    def _candidates(blocked: DataFrame, keys: list[str]) -> DataFrame:
+        a, b = blocked.alias("a"), blocked.alias("b")
+        cond = None
+        for k in keys:
+            eq = F.col(f"a.{k}") == F.col(f"b.{k}")
+            cond = eq if cond is None else cond & eq
+        # signed-long order is an arbitrary-but-canonical pair
+        # orientation; strict < also drops the self-match, so the
+        # hamming-0 class is exclusively the same-signature branch.
+        return a.join(b, cond & (F.col("a.sig") < F.col("b.sig"))).select(
+            F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b")
+        )
+
+    sig_pairs = (
+        _candidates(cold.select("sig", "chunk_id", "chunk_val"),
+                    ["chunk_id", "chunk_val"])
+        .unionByName(
+            _candidates(hot_sub, ["chunk_id", "chunk_val", "sub_id", "sub_val"])
+        )
+        .distinct()  # a signature pair may collide in several (sub-)chunks
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
     )

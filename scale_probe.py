@@ -108,23 +108,64 @@ def main() -> None:
             out = out.unionByName(rep)
         out.write.mode("overwrite").parquet(f"{OUT}/{table}.parquet")
 
-    def run_set(sf_dir: str) -> dict[str, float]:
+    def _gc_millis() -> int:
+        """Cumulative stop-the-world GC time of this JVM — driver ==
+        executors in local mode, so a per-rep delta attributes run-time
+        variance to GC churn vs real work."""
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return sum(b.getCollectionTime() for b in beans)
+
+    def _plan_fingerprint(df) -> str:
+        """md5 of the EXECUTED (AQE-final) physical plan with volatile
+        tokens (expression ids, plan ids, paths, stats) normalized — a
+        stable fingerprint means rep-to-rep time spread is environment
+        churn, not plan drift."""
+        import hashlib
+        import re
+
+        s = df._jdf.queryExecution().executedPlan().toString()
+        s = re.sub(r"#\d+[A-Z]*", "#x", s)
+        s = re.sub(r"\[plan_id=\d+\]|\[id=#?\w+\]", "", s)
+        s = re.sub(r"(file|hdfs|s3a?):[^\s,\]\)]+", "<path>", s)
+        s = re.sub(r"Statistics\([^)]*\)", "", s)
+        # session-global counters: higher-order-function lambda variable
+        # names (x_4 vs x_8) and cached-RDD/subquery ids
+        s = re.sub(r"\blambda ([A-Za-z]+)_\d+", r"lambda \1", s)
+        s = re.sub(r"\b(CachedRDD|Subquery|ReusedExchange)\s*#?\d*", r"\1", s)
+        # width-truncated expression dumps cut at shifting offsets once
+        # ids of different digit counts are involved — collapse any
+        # token the renderer elided
+        s = re.sub(r"\S*\.\.\.", "<trunc>", s)
+        return hashlib.md5(s.encode()).hexdigest()[:16]
+
+    def run_set(sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
         for name in PROBE_QUERIES:  # warm codegen
             specs[name].fn(spark, sf_dir).count()
-        t = {}
+        t, detail = {}, {}
         for name in PROBE_QUERIES:
             # min-of-3 damps single-JVM GC/broadcast noise (observed
-            # 3-10x outlier runs at >=8x data in one shared session)
-            best = float("inf")
+            # 3-10x outlier runs at >=8x data in one shared session);
+            # all reps + GC deltas + plan fingerprints are recorded so
+            # an outlier is attributable (stable fingerprint + high
+            # gc_ms = churn; fingerprint drift = plan regression)
+            reps, gcs, fps = [], [], []
             for _ in range(3):
+                df = specs[name].fn(spark, sf_dir)
+                g0 = _gc_millis()
                 t0 = time.perf_counter()
-                specs[name].fn(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
-            t[name] = round(best, 4)
-        return t
+                df.count()
+                reps.append(round(time.perf_counter() - t0, 4))
+                gcs.append(_gc_millis() - g0)
+                fps.append(_plan_fingerprint(df))
+            t[name] = min(reps)
+            detail[name] = {"reps_sec": reps, "gc_ms": gcs, "plan_fp": fps}
+        return t, detail
 
-    base_t = run_set(BASE)
-    scaled_t = run_set(OUT)
+    base_t, base_d = run_set(BASE)
+    scaled_t, scaled_d = run_set(OUT)
     ratios = {
         name: round(scaled_t[name] / base_t[name], 2) for name in PROBE_QUERIES
     }
@@ -136,7 +177,11 @@ def main() -> None:
                 "base_sec": base_t,
                 "scaled_sec": scaled_t,
                 "ratio_vs_linear_budget": ratios,
-                "note": "ratio <= multiplier means sublinear-or-linear scaling",
+                "base_detail": base_d,
+                "scaled_detail": scaled_d,
+                "note": "ratio <= multiplier means sublinear-or-linear "
+                "scaling; per-rep gc_ms + stable plan_fp separate "
+                "churn from plan drift",
             }
         )
     )

@@ -677,3 +677,68 @@ def test_stream_ingest_media_mime_from_extension(spark, tmp_path):
         "clip.mp4": "video/mp4",
         "blob.xyz": "application/octet-stream",
     }
+
+
+def test_mixed_csv_and_media_streams_share_warehouse(spark, tmp_path):
+    """Two concurrent ingestion modes over ONE warehouse — CSV rows into
+    bronze (ledger-allocated load_ids) and media files into a media
+    table — each with its own checkpoint: restarts are no-ops on both,
+    a late file on either side lands exactly once, and the CSV side's
+    ledger/load_id bookkeeping is untouched by the media stream."""
+    from travel_data_ingestion_spark.streaming import stream_ingest_media
+
+    landing_csv = str(tmp_path / "landing_csv")
+    generate_landing(landing_csv)
+    landing_media = tmp_path / "landing_media"
+    landing_media.mkdir()
+    (landing_media / "a.png").write_bytes(b"img-a")
+    (landing_media / "b.ppm").write_bytes(b"P6\n1 1\n255\nxyz")
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.init()
+    media_out = os.path.join(wh.root, "silver", "media")
+    media_ckpt = os.path.join(wh.root, "_checkpoints", "media")
+
+    stream_ingest_csv(spark, wh, landing_csv, "transactions", "transactions*.csv")
+    stream_ingest_media(spark, str(landing_media), media_out, media_ckpt)
+    n_csv = wh.read(spark, "bronze", "transactions").count()
+    lids = {
+        r.load_id
+        for r in wh.read(spark, "bronze", "transactions").select("load_id").distinct().collect()
+    }
+    assert n_csv > 0 and spark.read.parquet(media_out).count() == 2
+
+    # restart both: no duplicates either side
+    stream_ingest_csv(spark, wh, landing_csv, "transactions", "transactions*.csv")
+    stream_ingest_media(spark, str(landing_media), media_out, media_ckpt)
+    assert wh.read(spark, "bronze", "transactions").count() == n_csv
+    assert spark.read.parquet(media_out).count() == 2
+
+    # late arrivals on both sides land exactly once, and the CSV side's
+    # new load_id allocates above everything prior (media stream never
+    # touches the ledger)
+    import csv
+
+    with open(os.path.join(landing_csv, "transactions_2027_01.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["country", "date", "name", "type", "amount", "comments"])
+        w.writerow(["Japan", "2027-01-01", "m_late", "Hotel", "5.00", "x"])
+    (landing_media / "c.mp4").write_bytes(b"vid-c")
+    stream_ingest_media(spark, str(landing_media), media_out, media_ckpt)
+    stream_ingest_csv(spark, wh, landing_csv, "transactions", "transactions*.csv")
+    assert wh.read(spark, "bronze", "transactions").count() == n_csv + 1
+    media = spark.read.parquet(media_out)
+    assert media.count() == 3
+    # metadata parity: typed mime on every streamed row
+    mimes = {os.path.basename(r.source): r.mime
+             for r in media.select("meta.source", "meta.mime").collect()}
+    assert mimes == {
+        "a.png": "image/png",
+        "b.ppm": "image/x-portable-pixmap",
+        "c.mp4": "video/mp4",
+    }
+    new_lids = {
+        r.load_id
+        for r in wh.read(spark, "bronze", "transactions").select("load_id").distinct().collect()
+    } - lids
+    assert new_lids and min(new_lids) > max(lids)

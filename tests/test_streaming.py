@@ -104,9 +104,12 @@ def test_stream_ingest_exactly_once(spark, tmp_path):
     stream_ingest_csv(spark, wh, landing, "transactions", "transactions*.csv")
     n1 = wh.read(spark, "bronze", "transactions").count()
     assert n1 > 0
-    # re-run: checkpoint skips all already-seen files
+    n_ledger = wh.read(spark, "admin", "ingestion_logs").count()
+    # re-run: checkpoint skips all already-seen files, and a file-less
+    # restart neither allocates a load_id nor appends ledger rows
     stream_ingest_csv(spark, wh, landing, "transactions", "transactions*.csv")
     assert wh.read(spark, "bronze", "transactions").count() == n1
+    assert wh.read(spark, "admin", "ingestion_logs").count() == n_ledger
     lineage = wh.read(spark, "bronze", "transactions").select("_source_file").first()
     assert lineage._source_file.startswith("transactions")
 

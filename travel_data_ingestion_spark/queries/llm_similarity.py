@@ -446,7 +446,7 @@ def sim05_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
-    exact10 = (
+    scored = (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .select(
@@ -454,25 +454,30 @@ def sim05_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.round(cosine(F.col("e"), F.col("qe")), 4).alias("cos_sim"),
         )
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(10)
     )
+    exact10 = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
     ivf10 = ivf_topk(spark, sf_dir).select(
         "vec_id", F.col("cos_sim").alias("ivf_cos")
     )
-    # one tiny witness row (10x10 join): recall vs the exact top-10 and
-    # score-exactness of the overlapping candidates, both in-plan
-    witness = (
+    # tiny in-plan witnesses: recall vs the exact top-10 (10x10 join),
+    # and score-exactness of EVERY IVF candidate against the full
+    # exact-cosine frame (10 rows joined to the scored scan)
+    recall = (
         exact10.join(ivf10, "vec_id", "left")
+        .agg((F.count("ivf_cos") >= F.lit(3)).alias("ivf_recall_ok"))
+    )
+    scores_ok = (
+        ivf10.join(scored.select("vec_id", "cos_sim"), "vec_id", "left")
         .agg(
-            (F.count("ivf_cos") >= F.lit(3)).alias("ivf_recall_ok"),
             F.coalesce(
-                F.bool_and(F.col("ivf_cos") == F.col("cos_sim")), F.lit(True)
-            ).alias("ivf_scores_exact_ok"),
+                F.bool_and(F.col("ivf_cos") == F.col("cos_sim")), F.lit(False)
+            ).alias("ivf_scores_exact_ok")
         )
     )
-    return exact10.crossJoin(F.broadcast(witness)).orderBy(
-        F.desc("cos_sim"), F.asc("vec_id")
+    return (
+        exact10.crossJoin(F.broadcast(recall))
+        .crossJoin(F.broadcast(scores_ok))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     )
 
 

@@ -221,6 +221,10 @@ def stream_ingest_csv(
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
         s = df.sparkSession
+        if df.isEmpty():
+            # a file-less epoch lands nothing: allocating would leak one
+            # reserved load_id + ledger rows per empty restart
+            return
         eid = _epoch_load_id(s, wh, checkpoint, epoch_id, target_table, floor=load_id)
         out = (
             _csv_null_tokens(df)

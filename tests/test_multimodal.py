@@ -1,4 +1,4 @@
-"""Multimodal binary-column plumbing tests (stubbed decode)."""
+"""Multimodal binary-column plumbing tests (real PPM/WAV decode paths + opaque stub fallback)."""
 
 from __future__ import annotations
 
@@ -111,3 +111,66 @@ def test_metadata_projection_skips_payload(spark):
     meta_only = media.select("media_id", "meta.n_bytes")
     plan = meta_only._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in plan
+
+
+def _wav_bytes(rate, n_ch, bits, samples):
+    """Minimal RIFF/PCM writer for fixtures (little-endian)."""
+    import struct
+
+    if bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    ba = n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * ba, ba, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_decode_and_audio_features(spark):
+    """Real RIFF/PCM parse: sample rate, channels, duration and RMS come
+    from the decoded samples; non-WAV payloads keep NULL typed fields."""
+    import math
+
+    from travel_data_ingestion_spark.llm.multimodal import (
+        decode_wav,
+        extract_audio_features,
+    )
+
+    # 16-bit mono: a full-scale square wave -> RMS ~1.0
+    sq = [32767, -32768] * 100
+    wav16 = _wav_bytes(8000, 1, 16, sq)
+    dec = decode_wav(wav16)
+    assert dec is not None and dec[0] == 8000 and dec[1] == 1 and dec[2] == 16
+    # 8-bit stereo silence -> RMS 0
+    wav8 = _wav_bytes(4000, 2, 8, [0] * 80)
+    media = spark.createDataFrame(
+        [(1, bytearray(wav16)), (2, bytearray(wav8)), (3, bytearray(b"mp3junk"))],
+        "media_id long, payload binary",
+    )
+    feats = {r.media_id: r for r in extract_audio_features(media).collect()}
+    f1 = feats[1]
+    assert f1.sample_rate == 8000 and f1.n_channels == 1
+    assert f1.n_samples == 200 and f1.duration_s == 0.025
+    assert math.isclose(f1.rms, 1.0, rel_tol=1e-4)
+    f2 = feats[2]
+    assert (f2.sample_rate, f2.n_channels, f2.n_samples) == (4000, 2, 40)
+    assert f2.duration_s == 0.01 and f2.rms == 0.0
+    f3 = feats[3]
+    assert f3.sample_rate is None and f3.rms is None and f3.n_bytes == 7
+
+
+def test_decode_wav_rejects_non_pcm():
+    import struct
+
+    from travel_data_ingestion_spark.llm.multimodal import decode_wav
+
+    # format tag 3 (IEEE float) is a codec-path format here
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert decode_wav(payload) is None
+    assert decode_wav(b"RIFFxxxx") is None
+    assert decode_wav(b"") is None

@@ -6,12 +6,15 @@ resize / frame-sampling run as Arrow-batched ``mapInPandas`` operators so
 Python touches whole columnar batches, never rows.
 
 Uncompressed media decode REALLY decodes: binary PPM (P6) payloads are
-parsed (decode_ppm) for true dimensions and pixels, and the perceptual
-hash is a real DCT pHash over those pixels (phash_bytes) — ~30 lines of
-numpy, no codec library needed. Compressed formats (JPEG/PNG/...) still
-need a codec not present in this environment: those payloads fall back
-to the documented md5-derived stub (decode_image_stub with fake=True
-for dimensions, md5-prefix signatures), which keeps every downstream
+parsed (decode_ppm) for true dimensions and pixels, the perceptual
+hash is a real DCT pHash over those pixels (phash_bytes) — ~30 lines
+of numpy, no codec library needed — and RIFF/PCM WAV audio parses for
+real too (decode_wav -> extract_audio_features: sample rate, channels,
+duration, RMS over decoded samples). Compressed formats
+(JPEG/PNG/mp3/flac/...) still need a codec not present in this
+environment: those payloads fall back to the documented md5-derived
+stub (decode_image_stub with fake=True for dimensions, md5-prefix
+signatures) or NULL typed audio fields, which keeps every downstream
 operator testable on opaque bytes. The Spark-side plumbing — schema,
 batch shape, partitioning, UDF signature — is identical on both paths
 (tests/test_multimodal.py).
@@ -317,6 +320,100 @@ def phash_signatures(media: DataFrame) -> DataFrame:
             )
 
     return cols.mapInPandas(batches, schema="media_id long, phash long")
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """Parse an uncompressed RIFF/WAVE payload (PCM, format tag 1):
+    returns (sample_rate, n_channels, bits_per_sample, data_bytes) or
+    None for anything else — the audio twin of decode_ppm, same honest
+    scope: uncompressed containers decode for real, codec formats
+    (mp3/flac/...) fall back to the opaque path."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            tag, n_ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if tag != 1:  # PCM only
+                return None
+            fmt = (rate, n_ch, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or fmt[2] not in (8, 16):
+        return None
+    return fmt[0], fmt[1], fmt[2], data
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction: REAL RIFF/PCM parse
+    (decode_wav) for sample rate / channel count / duration and an RMS
+    energy over the decoded samples; non-WAV payloads yield NULL typed
+    fields (digest/byte count still computed) so mixed media tables
+    keep one schema. Same 100 TB shape as extract_features: map-only,
+    payload bytes cross to Python once, only small feature rows
+    return."""
+    import numpy as np
+
+    cols = media.select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "n_bytes": [], "digest": [], "sample_rate": [],
+                "n_channels": [], "n_samples": [], "duration_s": [], "rms": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                out["media_id"].append(mid)
+                out["n_bytes"].append(len(b))
+                out["digest"].append(hashlib.md5(b).hexdigest())
+                dec = decode_wav(b)
+                if dec is None:
+                    for k in ("sample_rate", "n_channels", "n_samples",
+                              "duration_s", "rms"):
+                        out[k].append(None)
+                    continue
+                rate, n_ch, bits, data = dec
+                if bits == 16:
+                    x = np.frombuffer(
+                        data[: len(data) - len(data) % 2], dtype="<i2"
+                    ).astype(np.float64) / 32768.0
+                else:
+                    x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                         - 128.0) / 128.0
+                n_samples = len(x) // n_ch if n_ch else 0
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(n_ch)
+                out["n_samples"].append(n_samples)
+                out["duration_s"].append(
+                    round(n_samples / rate, 6) if rate else None
+                )
+                out["rms"].append(
+                    round(float(np.sqrt((x ** 2).mean())), 6) if len(x) else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

@@ -125,7 +125,12 @@ def _epoch_load_id(
     ``_load_id_base`` exists and ``base + epoch_id`` matches a streamed
     ledger row for this table, the epoch is a replay of a committed
     epoch and keeps its original id (recorded into the map); otherwise
-    the epoch is new and goes through fresh allocation.
+    the epoch is new and goes through fresh allocation. Caveat: the
+    legacy check matches ledger rows by ``stream:<table>``, so TWO
+    legacy checkpoints streaming into the SAME table could
+    cross-attribute a committed epoch during migration — if that
+    (rare) layout exists, drain each legacy stream to completion
+    before adding new files rather than migrating them concurrently.
 
     Goes through the Hadoop FileSystem API so markers live wherever the
     checkpoint lives (local disk in tests, HDFS/S3 on a cluster).

@@ -475,6 +475,67 @@ def t08_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_CHUNK_W = 64  # tokens per training chunk
+_CHUNK_S = 48  # stride (overlap = W - S = 16 tokens)
+
+
+@register(
+    "t13_doc_chunking",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENIZE_SQL} AS toks FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             UNNEST(range(0, len(toks), {_CHUNK_S})) AS start
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(start // {_CHUNK_S} AS BIGINT) AS chunk_id,
+             CAST(start AS BIGINT) AS start_token,
+             toks[start + 1 : start + {_CHUNK_W}] AS ctoks
+      FROM starts
+    )
+    SELECT doc_id, chunk_id, start_token,
+           CAST(len(ctoks) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(ctoks, ' ')) AS chunk_md5
+    FROM chunks
+    """,
+    survey_ops=("X-TEXT-13",),
+    doc="Document chunking for training: each doc's whitespace tokens "
+    f"split into fixed {_CHUNK_W}-token windows at stride {_CHUNK_S} "
+    f"(overlap {_CHUNK_W - _CHUNK_S}) — the standard context-length "
+    "preprocessing step between cleaning and packing (t08 packs "
+    "whole docs; this cuts long docs first). Chunk starts come from "
+    "sequence()/range() and token windows from slice(), so both "
+    "engines produce identical chunk token lists; the md5 of the "
+    "re-joined chunk text pins the exact chunk CONTENT cross-engine, "
+    "not just its shape. Rule: starts at 0, S, 2S, ... while < "
+    "n_tokens; the final window truncates at the doc end. Map-only "
+    "(explode + slice, no shuffle, no UDF) — at 100 TB this is a "
+    "single scan-side pass like the rest of su06. Folded into su06.",
+)
+def t13_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    starts = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_CHUNK_S))
+        ).alias("start"),
+    )
+    ctoks = F.slice("toks", F.col("start") + 1, _CHUNK_W)
+    return starts.select(
+        "doc_id",
+        F.floor(F.col("start") / _CHUNK_S).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start_token"),
+        F.size(ctoks).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", ctoks)).alias("chunk_md5"),
+    )
+
+
 _BOILER_DF = 3  # a shingle in >= 3 docs is corpus boilerplate
 
 

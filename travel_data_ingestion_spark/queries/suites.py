@@ -129,10 +129,12 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "t03_langid",
             "t04_fingerprint",
             "t07_bpe_regex_tokens",
+            "t13_doc_chunking",
         ],
         "Per-document text-analysis suite: token counts, quality "
-        "scoring, language-ID, fingerprinting, BPE-regex tokenization — "
-        "all map-only Catalyst expressions.",
+        "scoring, language-ID, fingerprinting, BPE-regex tokenization, "
+        "fixed-window token chunking with overlap — all map-only "
+        "Catalyst expressions.",
     ),
     "su07_text_corpus_suite": (
         [

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pytest
 
@@ -174,3 +175,51 @@ def test_decode_wav_rejects_non_pcm():
     assert decode_wav(payload) is None
     assert decode_wav(b"RIFFxxxx") is None
     assert decode_wav(b"") is None
+
+
+def test_mixed_modality_binary_ingest_e2e(spark, tmp_path):
+    """End-to-end media landing: raw PPM + WAV + opaque files through the
+    binaryFile source, routed by extension-derived mime — image rows get
+    real header dims + pixel pHash, audio rows get real PCM features,
+    opaque rows fall back to the documented stubs. One schema, no codec
+    library anywhere."""
+    import numpy as np
+
+    from travel_data_ingestion_spark.io import read_table
+    from travel_data_ingestion_spark.llm.multimodal import (
+        extract_audio_features,
+        extract_features,
+        mime_from_path,
+        phash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    land = tmp_path / "media_land"
+    land.mkdir()
+    img = np.random.RandomState(3).randint(0, 256, (12, 10, 3)).astype("uint8")
+    (land / "shot.ppm").write_bytes(b"P6\n10 12\n255\n" + img.tobytes())
+    (land / "clip.wav").write_bytes(_wav_bytes(16000, 1, 16, [1000, -1000] * 50))
+    (land / "blob.bin").write_bytes(b"opaque-payload")
+
+    raw = read_table(spark, str(land), fmt="binary")
+    media = raw.select(
+        F.xxhash64("path", "modificationTime").alias("media_id"),
+        F.col("content").alias("payload"),
+        mime_from_path(F.col("path")).alias("mime"),
+        F.col("path").alias("source"),
+    )
+    by_mime = {os.path.basename(r.source): r.mime for r in media.collect()}
+    assert by_mime == {
+        "shot.ppm": "image/x-portable-pixmap",
+        "clip.wav": "audio/wav",
+        "blob.bin": "application/octet-stream",
+    }
+    images = media.filter(F.col("mime").startswith("image/"))
+    audio = media.filter(F.col("mime").startswith("audio/"))
+    feats = extract_features(images).collect()
+    assert len(feats) == 1 and (feats[0].width, feats[0].height) == (10, 12)
+    sigs = phash_signatures(images).collect()
+    assert len(sigs) == 1 and sigs[0].phash is not None
+    af = extract_audio_features(audio).collect()
+    assert len(af) == 1 and af[0].sample_rate == 16000 and af[0].n_samples == 100
+    assert af[0].duration_s == 0.00625

@@ -118,23 +118,34 @@ def main() -> None:
         )
         return sum(b.getCollectionTime() for b in beans)
 
-    def _plan_fingerprint(df) -> str:
-        """md5 of the EXECUTED (AQE-final) physical plan with volatile
-        tokens (expression ids, plan ids, paths, stats) normalized — a
-        stable fingerprint means rep-to-rep time spread is environment
-        churn, not plan drift."""
+    def _plan_fingerprint(jqe) -> str:
+        """md5 of a physical-plan dump with volatile tokens (expression
+        ids, codegen/query-stage ids, plan ids, paths, stats)
+        normalized. Two uses downstream: the PRE-execution dump
+        (initial adaptive plan — deterministic, so rep-to-rep drift
+        here always means a real plan change) and the POST-execution
+        dump (AQE-final plan — shows runtime re-planning across scales,
+        but can legitimately differ between reps of the same data when
+        exchange-reuse depends on stage completion order)."""
         import hashlib
         import re
 
-        s = df._jdf.queryExecution().executedPlan().toString()
+        s = jqe.executedPlan().toString()
         s = re.sub(r"#\d+[A-Z]*", "#x", s)
+        s = re.sub(r"\*\(\d+\)", "*", s)  # whole-stage-codegen ids
         s = re.sub(r"\[plan_id=\d+\]|\[id=#?\w+\]", "", s)
         s = re.sub(r"(file|hdfs|s3a?):[^\s,\]\)]+", "<path>", s)
         s = re.sub(r"Statistics\([^)]*\)", "", s)
         # session-global counters: higher-order-function lambda variable
-        # names (x_4 vs x_8) and cached-RDD/subquery ids
+        # names (x_4 vs x_8), cached-RDD/subquery ids, query-stage ids
         s = re.sub(r"\blambda ([A-Za-z]+)_\d+", r"lambda \1", s)
         s = re.sub(r"\b(CachedRDD|Subquery|ReusedExchange)\s*#?\d*", r"\1", s)
+        s = re.sub(
+            r"\b(ResultQueryStage|ShuffleQueryStage|BroadcastQueryStage"
+            r"|TableCacheQueryStage)\s+\d+",
+            r"\1",
+            s,
+        )
         # width-truncated expression dumps cut at shifting offsets once
         # ids of different digit counts are involved — collapse any
         # token the renderer elided
@@ -142,8 +153,17 @@ def main() -> None:
         return hashlib.md5(s.encode()).hexdigest()[:16]
 
     def run_set(sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
+        def _materialize(df):
+            """Run the df's OWN QueryExecution to completion (all
+            columns — no count()-side Catalyst pruning distorting the
+            probe, and the AdaptiveSparkPlan inside it finalizes so the
+            fingerprint sees AQE's runtime decisions)."""
+            jqe = df._jdf.queryExecution()
+            jqe.toRdd().count()
+            return jqe
+
         for name in PROBE_QUERIES:  # warm codegen
-            specs[name].fn(spark, sf_dir).count()
+            _materialize(specs[name].fn(spark, sf_dir))
         t, detail = {}, {}
         for name in PROBE_QUERIES:
             # min-of-3 damps single-JVM GC/broadcast noise (observed
@@ -151,17 +171,29 @@ def main() -> None:
             # all reps + GC deltas + plan fingerprints are recorded so
             # an outlier is attributable (stable fingerprint + high
             # gc_ms = churn; fingerprint drift = plan regression)
-            reps, gcs, fps = [], [], []
+            reps, gcs, fps, aqe_fps = [], [], [], []
             for _ in range(3):
                 df = specs[name].fn(spark, sf_dir)
+                jqe = df._jdf.queryExecution()
+                # initial-plan fp BEFORE execution: deterministic, so
+                # any rep-to-rep drift here is a real plan change
+                fps.append(_plan_fingerprint(jqe))
                 g0 = _gc_millis()
                 t0 = time.perf_counter()
-                df.count()
+                _materialize(df)
                 reps.append(round(time.perf_counter() - t0, 4))
                 gcs.append(_gc_millis() - g0)
-                fps.append(_plan_fingerprint(df))
+                # AQE-final fp AFTER execution: runtime re-planning is
+                # visible; same-data rep variance can be cosmetic
+                # (exchange-reuse depends on stage completion order)
+                aqe_fps.append(_plan_fingerprint(jqe))
             t[name] = min(reps)
-            detail[name] = {"reps_sec": reps, "gc_ms": gcs, "plan_fp": fps}
+            detail[name] = {
+                "reps_sec": reps,
+                "gc_ms": gcs,
+                "plan_fp": fps,
+                "aqe_fp": aqe_fps,
+            }
         return t, detail
 
     base_t, base_d = run_set(BASE)

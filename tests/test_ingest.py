@@ -171,6 +171,36 @@ def test_bootstrap_crash_window_recovers(spark, tmp_path):
     assert not os.path.exists(fake)
 
 
+def test_bootstrap_heal_ignores_staging_dirs(spark, tmp_path):
+    """Crash DURING the partitioned overwrite: the dir holds the parked
+    bootstrap plus staged part files under .spark-staging-*/_temporary.
+    Staged files are NOT committed data — the heal must restore the
+    parked footer, never count the staging tree as 'visible' and delete
+    the only recovery file."""
+    from travel_data_ingestion_spark.catalog import _BOOTSTRAP_PREFIX
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.init()
+    schema = "a int, b string, load_id long"
+    wh.write_idempotent(spark, spark.createDataFrame([], schema), "silver", "probe")
+    p = wh.path("silver", "probe")
+    parts = [f for f in os.listdir(p) if f.endswith(".parquet") and not f.startswith(".")]
+    parked = _BOOTSTRAP_PREFIX + parts[0]
+    os.replace(os.path.join(p, parts[0]), os.path.join(p, parked))
+    # in-flight overwrite state: staged (uncommitted) part files
+    for staging in (".spark-staging-abc123/load_id=7",
+                    "_temporary/0/task_1/load_id=7"):
+        d = os.path.join(p, staging)
+        os.makedirs(d)
+        with open(os.path.join(d, "part-00000.snappy.parquet"), "wb") as fh:
+            fh.write(b"staged-not-committed")
+    back = wh.read(spark, "silver", "probe")
+    assert back.count() == 0 and set(back.columns) == {"a", "b", "load_id"}
+    # parked bootstrap was RESTORED (visible again), not deleted
+    assert os.path.exists(os.path.join(p, parts[0]))
+    assert not os.path.exists(os.path.join(p, parked))
+
+
 def test_write_idempotent_rejects_unpartitioned_data(spark, tmp_path):
     """Root-level files with ROWS mean the table was written via a
     different sink; write_idempotent must refuse loudly rather than

@@ -640,22 +640,26 @@ def test_stream_ingest_media_exactly_once(spark, tmp_path):
     # a file whose CONTENT changed at the same path is NOT re-emitted by
     # the same checkpoint (FileStreamSource keys seen-files by path) —
     # but a re-ingest under a FRESH checkpoint yields a NEW media_id
-    # (mtime folded into the id), so per-id dedup keeps both versions
-    # instead of silently discarding the new one
-    import time
-
-    old_c_id = {r.media_id for r in media.filter(
-        F.col("meta.source").endswith("c.img")).collect()}
-    time.sleep(1.1)  # ensure a distinct ms-resolution modificationTime
-    (landing / "c.img").write_bytes(b"\x05c-v2!")
+    # (content folded into the id), so per-id dedup keeps both versions
+    # instead of silently discarding the new one; a touched-but-
+    # identical file keeps its id (no mtime in the hash)
+    by_file = {
+        os.path.basename(r.source): r.media_id
+        for r in media.select("meta.source", "media_id").collect()
+    }
+    (landing / "c.img").write_bytes(b"\x05c-v2!")  # changed content
+    (landing / "a.img").write_bytes(b"\x01\x02payload-a")  # identical rewrite
     stream_ingest_media(spark, str(landing), out, ckpt, pattern="*.img")
     assert spark.read.parquet(out).count() == 3  # same checkpoint: no re-emit
     out2 = str(tmp_path / "media_table2")
     stream_ingest_media(spark, str(landing), out2, str(tmp_path / "ckpt2"),
                         pattern="*.img")
-    new_c_id = {r.media_id for r in spark.read.parquet(out2).filter(
-        F.col("meta.source").endswith("c.img")).collect()}
-    assert new_c_id and new_c_id.isdisjoint(old_c_id)
+    by_file2 = {
+        os.path.basename(r.source): r.media_id
+        for r in spark.read.parquet(out2).select("meta.source", "media_id").collect()
+    }
+    assert by_file2["c.img"] != by_file["c.img"]  # changed bytes -> new id
+    assert by_file2["a.img"] == by_file["a.img"]  # same bytes -> same id
 
 
 def test_stream_ingest_media_mime_from_extension(spark, tmp_path):

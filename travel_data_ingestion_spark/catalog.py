@@ -205,12 +205,20 @@ class Warehouse:
         ]
         if not parked:
             return
-        visible = any(
-            f.endswith(".parquet") and not f.startswith((".", "_"))
-            for sub, dirs, files in os.walk(p)
-            if not os.path.basename(sub).startswith(".")
-            for f in files
-        )
+        # visible == COMMITTED data only: prune descent into hidden and
+        # staging trees ('.spark-staging-*', '_temporary') — a crash
+        # DURING the partitioned overwrite leaves staged part files
+        # there, and counting them would delete the parked bootstrap
+        # (the recovery footer) instead of restoring it
+        visible = False
+        for sub, dirs, files in os.walk(p):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            if any(
+                f.endswith(".parquet") and not f.startswith((".", "_"))
+                for f in files
+            ):
+                visible = True
+                break
         for f in parked:
             if visible:
                 os.remove(os.path.join(p, f))  # stale post-commit leftover

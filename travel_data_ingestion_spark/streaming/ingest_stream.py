@@ -286,16 +286,19 @@ def stream_ingest_media(
     plus typed metadata (source path, byte length, mime derived from the
     file extension so downstream format filters work on streamed media
     exactly as on batch-ingested media); media_id is the xxhash64 of
-    (path, modificationTime) — re-processing an UNCHANGED file is the
-    same id (downstream per-id dedup is a no-op), while a file whose
-    content changed at the same path gets a NEW id, so per-id dedup
-    keeps both versions instead of silently discarding the new one.
-    (Within ONE checkpoint a modified path is never re-emitted at all —
-    FileStreamSource keys seen-files by path — so the changed-content
-    case arises on re-ingest under a fresh checkpoint or across
-    parallel ingest runs over a mutable landing area.) Note the id
-    space differs from the batch twin media_from_documents (raw
-    doc_id); the two sources must not share one media table.
+    (path, content) — re-processing an UNCHANGED (or touched-but-
+    identical) file is the same id (downstream per-id dedup is a
+    no-op), while a file whose content changed at the same path gets a
+    NEW id, so per-id dedup keeps both versions instead of silently
+    discarding the new one. Content, not mtime: mtime resolution is
+    store-dependent (second-granularity object stores, mtime-preserving
+    copy tools) and can miss a rewrite entirely. (Within ONE checkpoint
+    a modified path is never re-emitted at all — FileStreamSource keys
+    seen-files by path — so the changed-content case arises on
+    re-ingest under a fresh checkpoint or across parallel ingest runs
+    over a mutable landing area.) Note the id space differs from the
+    batch twin media_from_documents (raw doc_id); the two sources must
+    not share one media table.
     The parquet streaming sink + checkpoint gives exactly-once per file
     across restarts — the same contract as stream_ingest_csv, with no
     load_id machinery needed because the sink is append-only and the
@@ -322,10 +325,12 @@ def stream_ingest_media(
     from travel_data_ingestion_spark.llm.multimodal import mime_from_path
 
     media = stream.select(
-        # content signal folded into the id: a changed file at the same
-        # path (new mtime) is a NEW media row, not silently dropped by
-        # downstream per-id dedup
-        F.xxhash64(F.col("path"), F.col("modificationTime")).alias("media_id"),
+        # the CONTENT itself is folded into the id (not mtime, whose
+        # store-dependent resolution can miss a rewrite): a changed
+        # file at the same path is a NEW media row, an untouched or
+        # touched-but-identical file keeps its id — per-id dedup then
+        # does exactly the right thing in both directions
+        F.xxhash64(F.col("path"), F.col("content")).alias("media_id"),
         F.lit(media_type).alias("media_type"),
         F.col("content").alias("payload"),
         F.struct(

@@ -159,7 +159,11 @@ def _spark_render(col: str, dtype: str) -> F.Column:
     elif dtype in ("tinyint", "smallint", "int", "bigint", "boolean"):
         base = c.cast("string")
     elif dtype in ("float", "double") or dtype.startswith("decimal"):
-        base = (F.round(c.cast("double"), 6) + F.lit(0.0)).cast("decimal(38,6)").cast("string")
+        # try_cast, not cast: the oracle side uses TRY_CAST, and a plain
+        # cast would RAISE (instead of rendering the NULL sentinel) on
+        # NaN/overflow under the strict-ANSI verification lane. Identical
+        # to cast in non-ANSI mode (both yield NULL).
+        base = (F.round(c.cast("double"), 6) + F.lit(0.0)).try_cast("decimal(38,6)").cast("string")
     elif dtype == "date":
         base = c.cast("string")
     elif dtype.startswith("timestamp"):

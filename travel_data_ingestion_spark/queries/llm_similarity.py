@@ -151,18 +151,7 @@ def sim02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
 
-    def plane(p: int) -> Column:
-        return F.array(*[F.lit(c) for c in planes[p]])
-
-    def signature(e: Column) -> Column:
-        sig = None
-        for p in range(n_planes):
-            bit = F.when(dot(e, plane(p)) >= 0, F.lit(1)).otherwise(F.lit(0))
-            term = F.shiftleft(bit.cast("long"), p)
-            sig = term if sig is None else sig + term
-        return sig
-
-    keyed = emb.withColumn("bucket", signature(F.col("e")))
+    keyed = emb.withColumn("bucket", hyperplane_signature(F.col("e"), planes))
     # multi-probe: the query's bucket + every 1-bit flip of it
     probes = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]

@@ -252,7 +252,20 @@ def dd02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_pairs_exact(sh: DataFrame) -> DataFrame:
     """Exact Jaccard >= _JACCARD_T pairs over (doc_id, shingles) sets."""
-    cand = _prefix_candidates(sh)
+    return _verify_jaccard(_prefix_candidates(sh), sh)
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs over
+    the COMPACT shingle arrays: two equi-joins re-attach each side's
+    array, array_intersect counts the overlap. Shared by dd02 (prefix
+    candidates) and dd03 (LSH band candidates). This shape beats an
+    exploded (doc_id, shingle)-row join + per-pair groupBy on both
+    counts that matter: the same shingle bytes move in ~n_sh-times fewer
+    rows, and the count shuffle disappears (measured at 8x sf0.1 on
+    dd03: 4.4 s -> 3.4 s min-of-3, with rep variance collapsing from
+    4.4-11.3 s to 3.4-3.7 s — the exploded join was the GC-churn
+    source the scale probe kept flagging)."""
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     verified = (
@@ -430,7 +443,6 @@ def minhash_band_rows(sh: DataFrame, n_perm: int = 32, n_bands: int = 8) -> Data
 def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_docs(docs)
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
     bands = minhash_band_rows(sh)
     ba, bb = bands.alias("a"), bands.alias("b")
     candidates = (
@@ -443,28 +455,13 @@ def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
         )
         .distinct()
     )
-    # exact-Jaccard verification of the candidate pairs only
-    exa = ex.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    exb = ex.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
-    verified = (
-        candidates.join(exa, "doc_a")
-        .join(exb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
-    )
-    return (
-        verified.filter(jac >= 0.35)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    # exact-Jaccard verification of the candidate pairs only, over the
+    # compact shingle arrays (see _verify_jaccard for the measured win
+    # vs the old exploded-row join + per-pair groupBy)
+    return _verify_jaccard(candidates, sh).orderBy("doc_a", "doc_b")
 
 
 # dd04 oracle: 64 per-bit majority votes, bits drawn from the md5 hex

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from travel_data_ingestion_spark.export import (
     curriculum_interleave,
     shard_id,
+    token_budget_sample,
     write_curriculum_shards,
     write_training_shards,
 )
@@ -126,6 +127,96 @@ def test_curriculum_keeps_null_stratum_rows(spark):
     # the NULL stratum got a real weight: its rows carry finite vt
     null_vts = [r.vt for r in out if r.lang is None]
     assert len(null_vts) == 3 and all(v > 0 for v in null_vts)
+
+
+def _naive_token_budget(docs_toks, budget_map, default_budget):
+    """Reference form: naive per-stratum running-sum window + budget."""
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = F.lit(default_budget)
+    for lang, b in budget_map.items():
+        budget = F.when(F.col("lang").eqNullSafe(lang), F.lit(b)).otherwise(budget)
+    return (
+        docs_toks.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .filter(F.col("cum_before") < budget)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.col("cum_before") + F.col("n_tokens")).cast("long").alias("cum_tokens"),
+        )
+    )
+
+
+def test_token_budget_salted_equals_window(spark):
+    """The 256-bucket two-phase prefix sum (the 100 TB path) must equal
+    the naive per-stratum running-sum window exactly — including a
+    planted NULL stratum (equi-joins drop NULL keys; the kernel must
+    route it through the NULL-normalized proxy) and a stratum whose
+    budget exceeds its total token mass (take-all)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    planted = spark.createDataFrame(
+        [(20_000_001, None, 40), (20_000_002, None, 40), (20_000_003, None, 25)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    mixed = toks.unionByName(planted)
+    cfg_rows = [("en", 3000), ("zh", 1500), (None, 60)]
+    cfg = spark.createDataFrame(cfg_rows, "lang string, budget long")
+    got = sorted(
+        map(tuple, token_budget_sample(mixed, budgets=cfg, default_budget=2000).collect())
+    )
+    expected = sorted(
+        map(
+            tuple,
+            _naive_token_budget(
+                mixed, {lang: b for lang, b in cfg_rows}, 2000
+            ).collect(),
+        )
+    )
+    assert got == expected
+    # NULL stratum: budget 60 over docs of 40/40/25 tokens in hash order
+    # — exactly two docs selected (the second crosses the boundary), so
+    # both the NULL routing and the boundary inclusion are exercised
+    null_rows = [t for t in got if t[1] is None]
+    assert len(null_rows) == 2
+    # a stratum whose budget exceeds its token mass takes every doc:
+    # the default 2000 exceeds nothing here, so instead check totals —
+    # every selected stratum stops at-or-just-past its budget
+    by_lang: dict = {}
+    for doc_id, lang, n_tokens, cum in got:
+        by_lang.setdefault(lang, []).append(cum)
+    budgets = {lang: b for lang, b in cfg_rows}
+    for lang, cums in by_lang.items():
+        b = budgets.get(lang, 2000)
+        assert max(cums) >= b or len(cums) == mixed.filter(
+            F.col("lang").eqNullSafe(lang)
+        ).count(), (lang, max(cums), b)
+
+
+def test_token_budget_rejects_bad_config(spark):
+    toks = spark.createDataFrame(
+        [(1, "en", 10)], "doc_id long, lang string, n_tokens long"
+    )
+    dup = spark.createDataFrame(
+        [("en", 100), ("en", 200)], "lang string, budget long"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        token_budget_sample(toks, budgets=dup)
+    neg = spark.createDataFrame([("en", 0)], "lang string, budget long")
+    with pytest.raises(ValueError, match="non-positive"):
+        token_budget_sample(toks, budgets=neg)
+    with pytest.raises(ValueError, match="default_budget"):
+        token_budget_sample(toks, default_budget=0)
 
 
 def test_curriculum_stride_property(spark):

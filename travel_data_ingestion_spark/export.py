@@ -197,6 +197,113 @@ def curriculum_interleave(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budgets: DataFrame | None = None,
+    default_budget: int = 2000,
+    stratum: str = "lang",
+    key: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Token-budget mixture selection: per stratum, take documents in
+    deterministic md5-hash order until the stratum's TOKEN budget fills
+    — the realistic pretraining-mix primitive (mix recipes are stated
+    in tokens per source/language, not document counts; cu07/cu02
+    sample by document count). A document is selected iff the stratum's
+    token mass BEFORE it is still under budget, so the document that
+    crosses the boundary is included ("fill until reached") and the
+    selection is a deterministic pure function of (key, tokens, budget)
+    — reproducible across runs, engines, and cluster sizes.
+
+    ``budgets`` is an optional config table ``(stratum, budget)`` —
+    the cu12 shape: strata absent from the config fall back to
+    ``default_budget``, config rows for absent strata are ignored,
+    and the config is validated eagerly (duplicate stratum rows or
+    null/non-positive budgets raise). Returns the selected rows as
+    (key, stratum, token_col, cum_tokens) where cum_tokens is the
+    stratum's running token total through this document in hash order.
+
+    SCALE: the naive form is a running SUM window partitioned by
+    stratum — a dominant stratum would drag its whole token mass
+    through ONE window partition at 100 TB. Like
+    ``curriculum_interleave``'s rank, the prefix sum is computed in two
+    phases over 256 salt buckets derived from the md5 ordering key
+    (bucket = first hex byte, so bucket order refines full-key order):
+    per-bucket token sums roll up to broadcast cumulative bucket
+    offsets, and the within-(stratum, bucket) running sum plus the
+    bucket offset equals the exact global within-stratum prefix sum,
+    with per-partition work bounded by n_s / 256. Integer token counts
+    sum exactly, so the two-phase decomposition is bit-identical to the
+    naive window (pinned by tests/test_export.py::
+    test_token_budget_salted_equals_window).
+    """
+    if not default_budget > 0:
+        raise ValueError(f"default_budget must be > 0, got {default_budget}")
+    hkey = F.md5(F.col(key).cast("string"))
+    skey = F.coalesce(F.col(stratum).cast("string"), F.lit(NULL_STRATUM))
+    base = (
+        df.select(stratum, key, token_col)
+        .withColumn("skey", skey)
+        .withColumn("hkey", hkey)
+        .withColumn("bkt", F.substring("hkey", 1, 2))
+    )
+    btok = base.groupBy("skey", "bkt").agg(
+        F.sum(token_col).cast("long").alias("tok_b")
+    )
+    woff = (
+        Window.partitionBy("skey")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btok.select(
+        "skey", "bkt", F.coalesce(F.sum("tok_b").over(woff), F.lit(0)).alias("tok_off")
+    )
+    win = (
+        Window.partitionBy("skey", "bkt")
+        .orderBy("hkey", key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.col("tok_off") + F.coalesce(
+        F.sum(token_col).over(win), F.lit(0)
+    )
+    ranked = base.join(F.broadcast(offsets), ["skey", "bkt"]).withColumn(
+        "cum_before", cum_before.cast("long")
+    )
+    if budgets is None:
+        budgeted = ranked.withColumn("budget", F.lit(int(default_budget)))
+    else:
+        bcfg = budgets.select(
+            F.coalesce(F.col(stratum).cast("string"), F.lit(NULL_STRATUM)).alias(
+                "skey"
+            ),
+            F.col("budget").cast("long").alias("b_cfg"),
+        )
+        bad = (
+            bcfg.groupBy("skey")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("b_cfg").alias("b_min"))
+            .filter(
+                (F.col("n") > 1) | F.col("b_min").isNull() | (F.col("b_min") <= 0)
+            )
+            .limit(20)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                "token_budget_sample: invalid budgets config (duplicate "
+                "stratum rows or non-positive/null budget): "
+                + ", ".join(f"{r.skey!r} (rows={r.n}, min={r.b_min})" for r in bad)
+            )
+        budgeted = ranked.join(F.broadcast(bcfg), "skey", "left").withColumn(
+            "budget", F.coalesce("b_cfg", F.lit(int(default_budget)))
+        )
+    return budgeted.filter(F.col("cum_before") < F.col("budget")).select(
+        key,
+        stratum,
+        token_col,
+        (F.col("cum_before") + F.col(token_col)).cast("long").alias("cum_tokens"),
+    )
+
+
 def write_curriculum_shards(
     vts: DataFrame,
     path: str,

@@ -948,6 +948,77 @@ def cu12_weighted_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token budgets for cu14: mix recipes are stated in tokens per
+# language/source; strata missing from the config take the default.
+# Values sized so every stratum's budget BITES at the graded SFs
+# (smallest stratum token mass ~3.5k at sf0.01) — the boundary doc is
+# exercised in every stratum every round.
+_TOKBUDGET_CFG: list[tuple[str, int]] = [("en", 3000), ("zh", 1500)]
+_TOKBUDGET_DEFAULT = 2000
+
+
+def _token_budget_oracle() -> str:
+    cfg = ", ".join(f"('{lang}', {b})" for lang, b in _TOKBUDGET_CFG)
+    return f"""
+    WITH cfg(lang, budget) AS (VALUES {cfg}),
+    t AS (
+      SELECT doc_id, lang, len({_TOKENIZE_SQL}) AS n_tokens FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    ),
+    b AS (
+      SELECT r.doc_id, r.lang, r.n_tokens, r.cum_before,
+             COALESCE(c.budget, {_TOKBUDGET_DEFAULT}) AS budget
+      FROM ranked r LEFT JOIN cfg c ON r.lang IS NOT DISTINCT FROM c.lang
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+    FROM b WHERE cum_before < budget
+    """
+
+
+@register(
+    "cu14_token_budget_mix",
+    _token_budget_oracle(),
+    survey_ops=("X-CURATE-14",),
+    doc="Token-budget mixture selection (export.token_budget_sample): "
+    "per language, documents are taken in deterministic md5-hash order "
+    "until the stratum's TOKEN budget fills — the unit real mix recipes "
+    "are stated in (tokens per source), where cu07/cu02 sample by "
+    "document count. Budgets come from a config table with a default "
+    "(the cu12 production shape; eager validation raises on duplicate/"
+    "non-positive rows); the document crossing the budget boundary is "
+    "included, so the selection is a pure function of (key, tokens, "
+    "budget). The per-stratum running token sum is computed scale-"
+    "safely via 256 md5-prefix salt buckets + broadcast cumulative "
+    "bucket offsets — exact integer arithmetic, bit-identical to the "
+    "naive per-stratum window (pinned in tests/test_export.py), with "
+    "per-partition work bounded by n_s/256 instead of one dominant-"
+    "stratum window partition. The DuckDB oracle runs the naive window "
+    "form, so every graded round re-proves the salted decomposition.",
+)
+def cu14_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.export import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    cfg = spark.createDataFrame(_TOKBUDGET_CFG, "lang string, budget long")
+    return token_budget_sample(
+        toks, budgets=cfg, default_budget=_TOKBUDGET_DEFAULT
+    )
+
+
 # PII patterns chosen for identical semantics under Java regex (Spark)
 # and RE2 (DuckDB): character classes, bounded repetition, no lookaround.
 _EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

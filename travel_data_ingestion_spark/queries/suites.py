@@ -116,11 +116,13 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "cu11_span_contamination",
             "cu12_weighted_curriculum",
             "cu13_span_excision",
+            "cu14_token_budget_mix",
         ],
         "Corpus-curation suite: deterministic hash sampling, stratified "
         "quotas, benchmark decontamination, per-source stats, PII "
         "redaction, span-level contamination reporting and excision, "
-        "config-weighted curriculum export.",
+        "config-weighted curriculum export, token-budget mixture "
+        "selection.",
     ),
     "su06_text_doc_suite": (
         [

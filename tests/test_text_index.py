@@ -174,6 +174,60 @@ def test_lookup_values_and_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "bkt" in plan
 
 
+def test_docfreq_stream_accumulates_and_restarts_exactly_once(spark, tmp_path):
+    """docfreq_stream: micro-batches accumulate into the persisted DF
+    table; a restart on the same checkpoint ingests only NEW files, and
+    the final table equals the one-shot DF over everything delivered."""
+    from pyspark.sql import types as T
+
+    from travel_data_ingestion_spark.streaming import docfreq_stream
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, name))
+
+    write_file("b1", [(1, "alpha beta gamma delta"), (2, "alpha beta gamma zeta")])
+    write_file("b2", [(3, "alpha beta gamma eta"), (4, "one two")])  # doc 4 unindexable
+
+    index_path = str(tmp_path / "dfi")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = docfreq_stream(stream, index_path).option(
+            "checkpointLocation", ckpt
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+        return q
+
+    q = run_stream()
+    assert len(q.recentProgress) >= 2  # really micro-batched
+    idx = DocFreqIndex(index_path)
+    all_docs = spark.read.schema(schema).parquet(os.path.join(src, "*"))
+    assert _as_map(idx.df(spark)) == _as_map(_oneshot_df(all_docs))
+
+    # restart on the same checkpoint: old files are NOT re-delivered, a
+    # new file is counted once; ledger stays duplicate-free
+    write_file("b3", [(5, "alpha beta gamma theta")])
+    run_stream()
+    all_docs = spark.read.schema(schema).parquet(os.path.join(src, "*"))
+    assert _as_map(idx.df(spark)) == _as_map(_oneshot_df(all_docs))
+    ledger = idx._read_ledger(spark)
+    assert ledger.count() == ledger.select("doc_id").distinct().count() == 5
+
+
 def test_invalid_inputs(spark, tmp_path):
     idx = DocFreqIndex(str(tmp_path / "dfi"), n_buckets=4)
     with pytest.raises(ValueError, match="batch_id"):

@@ -23,6 +23,7 @@ from travel_data_ingestion_spark.streaming.dedup import (
 )
 from travel_data_ingestion_spark.streaming.neardup import (
     clustered_neardup_stream,
+    docfreq_stream,
     embedding_neardup_stream,
     neardup_stream,
 )
@@ -44,4 +45,5 @@ __all__ = [
     "neardup_stream",
     "embedding_neardup_stream",
     "clustered_neardup_stream",
+    "docfreq_stream",
 ]

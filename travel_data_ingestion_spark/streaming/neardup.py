@@ -95,6 +95,33 @@ def embedding_neardup_stream(
     return stream.writeStream.foreachBatch(process).outputMode("update")
 
 
+def docfreq_stream(stream: DataFrame, index_path: str) -> DataStreamWriter:
+    """Continuous corpus document-frequency maintenance: each
+    micro-batch counts its fresh docs into ``text_index.DocFreqIndex``,
+    so ``DocFreqIndex.df()`` serves the current corpus-wide shingle DF
+    (the table behind TF-IDF / boilerplate / decontamination) at any
+    point in the stream without re-counting the corpus.
+
+    Exactly-once across crash replays: the index commits each epoch's
+    increments as a fully-replaced ``batch_id=<epoch>`` partition
+    BEFORE ledgering the docs, so a replayed epoch either no-ops (docs
+    ledgered) or rewrites its own partition bit-identically (crash
+    between the two writes) — see text_index's crash-window analysis.
+    """
+    from travel_data_ingestion_spark.text_index import DocFreqIndex
+
+    idx = DocFreqIndex(index_path)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        idx.update(
+            batch_df.sparkSession,
+            batch_df.select("doc_id", "text"),
+            batch_id=epoch_id,
+        )
+
+    return stream.writeStream.foreachBatch(process).outputMode("update")
+
+
 def clustered_neardup_stream(
     stream: DataFrame, index_path: str, cluster_path: str
 ) -> DataStreamWriter:

@@ -194,10 +194,15 @@ def test_mixed_modality_binary_ingest_e2e(spark, tmp_path):
     )
     from pyspark.sql import functions as F
 
+    from travel_data_ingestion_spark.llm.multimodal import encode_png
+
     land = tmp_path / "media_land"
     land.mkdir()
     img = np.random.RandomState(3).randint(0, 256, (12, 10, 3)).astype("uint8")
     (land / "shot.ppm").write_bytes(b"P6\n10 12\n255\n" + img.tobytes())
+    # the SAME pixels re-encoded as a real compressed PNG: decodes to
+    # identical dims and pHash-pairs with its PPM twin at hamming 0
+    (land / "shot.png").write_bytes(encode_png(10, 12, img.tobytes()))
     (land / "clip.wav").write_bytes(_wav_bytes(16000, 1, 16, [1000, -1000] * 50))
     (land / "blob.bin").write_bytes(b"opaque-payload")
 
@@ -211,15 +216,17 @@ def test_mixed_modality_binary_ingest_e2e(spark, tmp_path):
     by_mime = {os.path.basename(r.source): r.mime for r in media.collect()}
     assert by_mime == {
         "shot.ppm": "image/x-portable-pixmap",
+        "shot.png": "image/png",
         "clip.wav": "audio/wav",
         "blob.bin": "application/octet-stream",
     }
     images = media.filter(F.col("mime").startswith("image/"))
     audio = media.filter(F.col("mime").startswith("audio/"))
     feats = extract_features(images).collect()
-    assert len(feats) == 1 and (feats[0].width, feats[0].height) == (10, 12)
-    sigs = phash_signatures(images).collect()
-    assert len(sigs) == 1 and sigs[0].phash is not None
+    assert len(feats) == 2
+    assert {(f.width, f.height) for f in feats} == {(10, 12)}  # both REAL parses
+    sigs = [r.phash for r in phash_signatures(images).collect()]
+    assert len(sigs) == 2 and sigs[0] == sigs[1]  # format-invariant pHash
     af = extract_audio_features(audio).collect()
     assert len(af) == 1 and af[0].sample_rate == 16000 and af[0].n_samples == 100
     assert af[0].duration_s == 0.00625

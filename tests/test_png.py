@@ -255,6 +255,41 @@ def test_png_roundtrip_property(w, h, ftype, color, seed):
     assert dec == (w, h, _expected_rgb(color, raw, w, h))
 
 
+def test_png_decode_bombs_are_bounded(monkeypatch):
+    """Untrusted-payload hardening: a deflate bomb inflates only to the
+    bytes the header needs, and a dims bomb (huge IHDR) returns None
+    before allocating anything."""
+    import travel_data_ingestion_spark.llm.multimodal as mm
+
+    # deflate bomb: 64 MB of zeros compressed into a ~64 KB IDAT behind
+    # an honest 4x4 header — decodes from the first scanline bytes, the
+    # rest never materializes (incremental inflate stops at `needed`)
+    scan = b"\x00" * (4 * 13)  # 4 scanlines of filter-0 zeros... padded
+    bomb_scan = scan + b"\x00" * (64 << 20)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bomb = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bomb_scan))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(bomb) == (4, 4, b"\x00" * 48)
+    # dims bomb: 30000x30000 RGB wants ~2.7 GB -> over the cap -> None
+    huge = struct.pack(">IIBBBBB", 30000, 30000, 8, 2, 0, 0, 0)
+    assert (
+        decode_png(
+            PNG_SIGNATURE
+            + _chunk(b"IHDR", huge)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + _chunk(b"IEND", b"")
+        )
+        is None
+    )
+    # the cap itself is honored (shrunk, a legitimate image trips it)
+    monkeypatch.setattr(mm, "MAX_DECODE_BYTES", 10)
+    assert decode_png(encode_png(4, 4, bytes(48))) is None
+
+
 def test_decode_png_adversarial_bytes_never_raise():
     """Totality on hostile input (the decode-ppm/wav property-test
     contract): every mutation either decodes or returns None."""

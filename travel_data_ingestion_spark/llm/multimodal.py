@@ -143,6 +143,16 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel for the 8-bit truecolor/gray family
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# Decode-size ceiling for untrusted payloads (crawl data IS untrusted):
+# a crafted header (PNG u32 dims, GIF u16 dims x unbounded frame count)
+# or a deflate bomb must not be able to allocate executor memory far
+# beyond the payload's size. 256 MB of decoded pixels per payload is
+# far above any legitimate thumbnail/photo and small next to executor
+# heap; decoders return None (-> opaque stub path) beyond it, and PNG
+# inflates INCREMENTALLY so a zlib bomb stops at the cap instead of
+# materializing first.
+MAX_DECODE_BYTES = 1 << 28
+
 
 def decode_png(payload: bytes) -> tuple[int, int, bytes] | None:
     """Parse an 8-bit non-interlaced PNG (gray / RGB / gray+alpha /
@@ -191,10 +201,16 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes] | None:
             pos += 12 + size  # length + type + crc
         if w is None or not w or not h or not idat:
             return None
-        raw = zlib.decompress(b"".join(idat))
         ch = _PNG_CHANNELS[color]
         stride = w * ch
-        if len(raw) < h * (1 + stride):
+        needed = h * (1 + stride)
+        if needed > MAX_DECODE_BYTES:
+            return None
+        # incremental inflate capped at exactly the bytes the image
+        # needs: a deflate bomb never materializes past the cap
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), needed)
+        if len(raw) < needed:
             return None
         out = np.zeros((h, stride), dtype=np.uint8)
         prev = np.zeros(stride, dtype=np.int32)
@@ -337,7 +353,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[bytes]] | None:
         return None
     try:
         w, h, flags, bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
-        if w == 0 or h == 0:
+        if w == 0 or h == 0 or w * h * 3 > MAX_DECODE_BYTES:
             return None
         pos = 13
         gct = None
@@ -348,6 +364,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[bytes]] | None:
         bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
         canvas = np.tile(bg_rgb.astype(np.uint8), (h, w, 1))
         frames: list[bytes] = []
+        decoded_bytes = 0  # cumulative cap: frame COUNT is attacker-chosen
         transparent, disposal = None, 0
         while pos < len(payload):
             block = payload[pos]
@@ -408,6 +425,9 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[bytes]] | None:
                     region[mask] = rgb[mask]
                 else:
                     region[:] = rgb
+                decoded_bytes += w * h * 3
+                if decoded_bytes > MAX_DECODE_BYTES:
+                    return None
                 frames.append(canvas.tobytes())
                 if disposal == 2:  # restore region to background
                     canvas[top : top + ih, left : left + iw] = bg_rgb

@@ -177,6 +177,77 @@ def test_decode_wav_rejects_non_pcm():
     assert decode_wav(b"") is None
 
 
+def _env_wav(seed: int, gain: float = 1.0, noise: float = 0.0) -> bytes:
+    """Deterministic test clip: a tone whose amplitude envelope varies
+    strongly across the hash's 65 segments (adjacent-energy comparisons
+    are then robust to light noise, unlike white noise where adjacent
+    energies tie)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = 6500
+    t = np.arange(n)
+    p1, p2 = 700 + 137 * seed, 211 + 53 * seed  # seed shapes the envelope
+    env = 3000 + 2500 * np.sin(2 * np.pi * t / p1) + 1500 * np.sin(2 * np.pi * t / p2)
+    x = env * np.sin(2 * np.pi * t / 29) * gain
+    if noise:
+        x = x + rng.normal(0, noise, n)
+    return _wav_bytes(8000, 1, 16, np.clip(x, -32768, 32767).astype(int).tolist())
+
+
+def test_audio_phash_gain_invariant_and_noise_robust():
+    """Re-leveled copies hash identically (energy comparisons are
+    monotone under gain); lightly noised copies land within a few bits;
+    different audio is far — the audio twin of the image pHash
+    contract."""
+    from travel_data_ingestion_spark.llm.multimodal import audio_phash_bytes
+
+    base = audio_phash_bytes(_env_wav(1))
+    half = audio_phash_bytes(_env_wav(1, gain=0.5))
+    noisy = audio_phash_bytes(_env_wav(1, noise=60.0))
+    other = audio_phash_bytes(_env_wav(2))
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(base, half) == 0
+    assert 0 <= ham(base, noisy) <= 3
+    assert ham(base, other) > 10
+    # undecodable / too-short payloads keep the md5 stub contract
+    assert audio_phash_bytes(b"mp3junk") == audio_phash_bytes(b"mp3junk")
+    short = _wav_bytes(8000, 1, 16, [100, -100] * 10)
+    assert audio_phash_bytes(short) == audio_phash_bytes(short)
+
+
+def test_audio_neardup_pairs_via_standard_hamming_blocking(spark):
+    """audio_phash_signatures composes with the SAME hamming_pairs
+    machinery the image/text paths use: planted re-leveled + noised
+    copies pair, distinct clips don't — audio near-dup with zero new
+    pair machinery."""
+    from travel_data_ingestion_spark.llm.multimodal import (
+        audio_phash_signatures,
+    )
+    from travel_data_ingestion_spark.queries.llm_dedup import hamming_pairs
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_env_wav(1))),
+            (2, bytearray(_env_wav(1, gain=0.7))),
+            (3, bytearray(_env_wav(1, noise=60.0))),
+            (4, bytearray(_env_wav(9))),
+            (5, bytearray(b"not audio at all")),
+        ],
+        "media_id long, payload binary",
+    )
+    sigs = audio_phash_signatures(media)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in hamming_pairs(sigs, "media_id", "phash").collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
 def test_mixed_modality_binary_ingest_e2e(spark, tmp_path):
     """End-to-end media landing: raw PPM + WAV + opaque files through the
     binaryFile source, routed by extension-derived mime — image rows get

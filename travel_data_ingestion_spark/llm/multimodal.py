@@ -828,6 +828,75 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return cols.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
 
 
+def audio_phash_bytes(payload: bytes) -> int:
+    """64-bit perceptual hash of an AUDIO payload, as a SIGNED int64 —
+    the audio twin of phash_bytes, feeding the same hamming_pairs
+    blocking so near-duplicate detection extends to audio with zero
+    new pair machinery.
+
+    Decodable RIFF/PCM WAV: channels mix to mono, the waveform splits
+    into 65 equal segments, and bit i says whether segment i+1 carries
+    more energy than segment i (64 adjacent-energy comparisons). The
+    signature is invariant to global gain (comparisons are monotone
+    under scaling) and stable under light noise — re-encoded or
+    re-leveled copies land within a few bits, the classic
+    crawl-audio-dedup case a byte digest can never catch. Undecodable
+    payloads keep the documented md5-derived stub (identical bytes
+    only), exactly like the image path.
+
+    Pure function of the bytes (numpy only, no Spark) so planted
+    literal payloads can anchor oracles and tests."""
+    import numpy as np
+
+    dec = decode_wav(payload)
+    if dec is None or not dec[3]:
+        v = int(hashlib.md5(payload).hexdigest()[:16], 16)
+        return v - (1 << 64) if v >= (1 << 63) else v
+    rate, n_ch, bits, data = dec
+    if bits == 16:
+        x = np.frombuffer(
+            data[: len(data) - len(data) % 2], dtype="<i2"
+        ).astype(np.float64)
+    else:
+        x = np.frombuffer(data, np.uint8).astype(np.float64) - 128.0
+    n_frames = len(x) // max(n_ch, 1)
+    if n_frames < 66:  # too short for 65 segments: hash the exact bytes
+        v = int(hashlib.md5(payload).hexdigest()[:16], 16)
+        return v - (1 << 64) if v >= (1 << 63) else v
+    mono = x[: n_frames * n_ch].reshape(n_frames, n_ch).mean(axis=1)
+    bounds = (np.arange(66) * n_frames) // 65
+    energy = np.array(
+        [float((mono[bounds[i] : bounds[i + 1]] ** 2).sum()) for i in range(65)]
+    )
+    v = 0
+    for i in range(64):
+        if energy[i + 1] > energy[i]:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_phash_signatures(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio perceptual-hash signatures — the audio
+    mirror of phash_signatures: payload bytes cross to Python once per
+    batch, a long returns, and hamming_pairs/ClusterIndex downstream
+    never touch bytes. Compose sample-for-sample with the image path:
+    one signature table per modality, one pair generator."""
+    cols = media.select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["payload"]
+                    .map(lambda p: audio_phash_bytes(bytes(p)))
+                    .astype("int64"),
+                }
+            )
+
+    return cols.mapInPandas(batches, schema="media_id long, phash long")
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -1,11 +1,14 @@
 """Pure-stdlib PNG decode/encode + the image resize operator.
 
-decode_png inflates and unfilters 8-bit non-interlaced PNGs with
+decode_png covers every legal PNG (color types 0/2/3/4/6, depths
+1/2/4/8/16 where the spec allows, non-interlaced and Adam7) with
 nothing but zlib + numpy; these tests cross-check it against an
-INDEPENDENT forward-filter implementation (all five scanline filters),
-pin the honest rejection set (16-bit / palette / interlaced /
-malformed), prove pHash format-invariance (PPM vs PNG of the same
-pixels), and exercise resize_images end-to-end through Spark.
+INDEPENDENT forward filter/packer implementation (all five scanline
+filters, sub-byte bit packing, 16-bit samples, Adam7 pass extraction),
+pin the rejection of genuinely-malformed streams, prove pHash
+format-invariance (PPM vs PNG of the same pixels, interlaced vs not),
+decode real-world files from other encoders, and exercise
+resize_images end-to-end through Spark.
 """
 
 from __future__ import annotations
@@ -135,9 +138,10 @@ def test_codec_path_formats_honestly_rejected():
     good = _png(w, h, 2, rgb)
     assert decode_png(good) == (w, h, rgb)
     assert decode_png(b"\x89PNG\r\n\x1a\njunk") is None
-    assert decode_png(_png(w, h, 2, rgb, depth=16)[:200]) is None  # 16-bit
-    assert decode_png(_png(w, h, 2, rgb, interlace=1)) is None  # Adam7
-    assert decode_png(_png(w, h, 3, rgb[: w * h])) is None  # palette
+    # a 16-bit IHDR over 8-bit-sized data: needed bytes absent -> None
+    assert decode_png(_png(w, h, 2, rgb, depth=16)[:200]) is None
+    # a palette IHDR with no PLTE chunk: malformed -> None
+    assert decode_png(_png(w, h, 3, rgb[: w * h])) is None
     assert decode_png(good[:40]) is None  # truncated mid-IDAT
     # corrupted deflate stream inside an intact chunk structure
     scan = _filter_scanlines(rgb, h, w * 3, 3, 0)
@@ -305,3 +309,188 @@ def test_decode_png_adversarial_bytes_never_raise():
         assert r is None or len(r[2]) == r[0] * r[1] * 3
     for n in (0, 1, 8, 20, 50):
         assert decode_png(bytes(rng.randint(0, 256, n).astype("uint8"))) is None
+
+def _pack_rows(samples: np.ndarray, depth: int):
+    """Independent forward packer (RFC 2083 image layout): (h, w, ch)
+    integer samples -> packed scanline bytes + stride. MSB-first bit
+    packing for sub-byte depths, big-endian for 16-bit, each row padded
+    to a whole byte — written from the spec, not from the decoder."""
+    h, w, ch = samples.shape
+    rows = []
+    for y in range(h):
+        flat = samples[y].reshape(-1)
+        if depth == 8:
+            rows.append(flat.astype(np.uint8).tobytes())
+        elif depth == 16:
+            rows.append(flat.astype(">u2").tobytes())
+        else:
+            bits = []
+            for v in flat:
+                for j in range(depth - 1, -1, -1):
+                    bits.append((int(v) >> j) & 1)
+            while len(bits) % 8:
+                bits.append(0)
+            rows.append(np.packbits(np.array(bits, dtype=np.uint8)).tobytes())
+    return b"".join(rows), (len(rows[0]) if rows else 0)
+
+
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_ex(
+    samples: np.ndarray,
+    color: int,
+    depth: int,
+    ftype: int = 0,
+    interlace: int = 0,
+    plte: np.ndarray | None = None,
+) -> bytes:
+    """Forward encoder covering every legal (color, depth, interlace)
+    combination, including Adam7 pass extraction."""
+    h, w, ch = samples.shape
+    assert ch == _CH[color]
+    bpp = max(1, ch * depth // 8)
+    if interlace == 0:
+        packed, stride = _pack_rows(samples, depth)
+        scan = _filter_packed(packed, h, stride, bpp, ftype)
+    else:
+        scan = b""
+        for x0, y0, xs, ys in _ADAM7:
+            sub = samples[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            packed, stride = _pack_rows(sub, depth)
+            scan += _filter_packed(packed, sub.shape[0], stride, bpp, ftype)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    parts = [PNG_SIGNATURE, _chunk(b"IHDR", ihdr)]
+    if plte is not None:
+        parts.append(_chunk(b"PLTE", plte.astype(np.uint8).tobytes()))
+    parts.append(_chunk(b"IDAT", zlib.compress(scan)))
+    parts.append(_chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+def _filter_packed(packed: bytes, h: int, stride: int, bpp: int, ftype: int) -> bytes:
+    """_filter_scanlines over already-packed rows (it operates on raw
+    bytes, so it generalizes to every depth unchanged)."""
+    return _filter_scanlines(packed, h, stride, bpp, ftype)
+
+
+def _expected_rgb_ex(samples: np.ndarray, color: int, depth: int, plte=None) -> bytes:
+    """Independent expected-output computation for the extended matrix."""
+    if color == 3:
+        return np.ascontiguousarray(plte[samples[:, :, 0]]).astype(np.uint8).tobytes()
+    if depth == 16:
+        v = (samples.astype(np.uint32) * 255 + 32767) // 65535
+    elif depth < 8:
+        v = samples.astype(np.uint32) * (255 // ((1 << depth) - 1))
+    else:
+        v = samples.astype(np.uint32)
+    v = v.astype(np.uint8)
+    if color == 0:
+        return np.repeat(v, 3, axis=2).tobytes()
+    if color == 4:
+        return np.repeat(v[:, :, :1], 3, axis=2).tobytes()
+    if color == 6:
+        return np.ascontiguousarray(v[:, :, :3]).tobytes()
+    return np.ascontiguousarray(v).tobytes()
+
+
+_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+
+
+def test_adam7_passes_partition_the_grid():
+    """The seven Adam7 passes cover every pixel of any grid exactly
+    once — the scatter in decode_png relies on this."""
+    for w, h in [(1, 1), (7, 5), (8, 8), (13, 11), (16, 16), (3, 9)]:
+        m = np.zeros((h, w), int)
+        for x0, y0, xs, ys in _ADAM7:
+            m[y0::ys, x0::xs] += 1
+        assert (m == 1).all(), (w, h)
+
+
+def test_every_legal_depth_color_interlace_combo_decodes():
+    """Full matrix: every (color type, legal depth) x interlace x a
+    sampled filter decodes back to the exact RGB-normalized source —
+    cross-checked against the independent forward packer/filterer."""
+    rng = np.random.RandomState(42)
+    for color, depths in _DEPTHS.items():
+        for depth in depths:
+            for (w, h), ilace in [((7, 5), 0), ((7, 5), 1), ((16, 4), 1), ((1, 1), 0), ((8, 8), 1)]:
+                ch = _CH[color]
+                hi = (1 << depth) if color != 3 else min(1 << depth, 11)
+                samples = rng.randint(0, hi, (h, w, ch))
+                plte = rng.randint(0, 256, (11, 3)) if color == 3 else None
+                ftype = int(rng.randint(0, 5))
+                png = _png_ex(samples, color, depth, ftype=ftype, interlace=ilace, plte=plte)
+                got = decode_png(png)
+                want = (w, h, _expected_rgb_ex(samples, color, depth, plte))
+                assert got == want, (color, depth, w, h, ftype, ilace)
+
+
+def test_interlaced_phash_matches_noninterlaced():
+    """Interlacing is a transport detail: the same pixels hash
+    identically whichever layout carried them."""
+    rng = np.random.RandomState(9)
+    samples = rng.randint(0, 256, (16, 16, 3))
+    flat = _png_ex(samples, 2, 8, ftype=0, interlace=0)
+    adam = _png_ex(samples, 2, 8, ftype=2, interlace=1)
+    assert phash_bytes(flat) == phash_bytes(adam)
+
+
+def test_malformed_extended_streams_rejected():
+    rng = np.random.RandomState(4)
+    samples = rng.randint(0, 4, (4, 4, 1))
+    plte = rng.randint(0, 256, (4, 3))
+    good = _png_ex(samples, 3, 2, plte=plte)
+    assert decode_png(good) is not None
+    # palette index out of range: malformed, not gated
+    oob = _png_ex(np.full((4, 4, 1), 3), 3, 2, plte=rng.randint(0, 256, (2, 3)))
+    assert decode_png(oob) is None
+    # palette stream with no PLTE chunk at all
+    assert decode_png(_png_ex(samples, 3, 2, plte=None)) is None
+    # illegal depth/color combos and header values (spec violations);
+    # IHDR body at byte 16: w(16-19) h(20-23) depth@24 color@25
+    # comp@26 filt@27 interlace@28
+    rgb = rng.randint(0, 256, (4, 4, 3))
+    rgb16 = rng.randint(0, 1 << 16, (4, 4, 3))
+    bad = bytearray(_png_ex(rgb16, 2, 16))
+    bad[25] = 3  # depth-16 palette: illegal combo
+    assert decode_png(bytes(bad)) is None
+    bad2 = bytearray(_png_ex(rgb, 2, 8))
+    bad2[24] = 0  # depth 0: illegal everywhere
+    assert decode_png(bytes(bad2)) is None
+    bad3 = bytearray(_png_ex(rgb, 2, 8))
+    bad3[28] = 2  # interlace method 2: not a thing
+    assert decode_png(bytes(bad3)) is None
+
+
+_REAL_PNGS = [
+    # (path, width, height) — files shipped by system packages, written
+    # by real encoders; exercises palette (8- and 2-bit) and alpha
+    ("/usr/share/gitweb/static/git-favicon.png", 16, 16),
+    ("/usr/share/gitweb/static/git-logo.png", 72, 27),
+    ("/usr/share/doc/python3/_static/file.png", 16, 16),
+    ("/usr/share/doc/python3/_static/minus.png", 11, 11),
+]
+
+
+@pytest.mark.parametrize("path,w,h", _REAL_PNGS)
+def test_real_world_png_interop(path, w, h):
+    import os
+
+    if not os.path.exists(path):
+        pytest.skip(f"interop fixture not on this machine: {path}")
+    r = decode_png(open(path, "rb").read())
+    assert r is not None and (r[0], r[1]) == (w, h)
+    assert len(r[2]) == w * h * 3

@@ -6,17 +6,18 @@ resize / frame-sampling run as Arrow-batched ``mapInPandas`` operators so
 Python touches whole columnar batches, never rows.
 
 Media decode REALLY decodes: binary PPM (P6) payloads are parsed
-(decode_ppm) for true dimensions and pixels, 8-bit non-interlaced PNG
+(decode_ppm) for true dimensions and pixels, the FULL legal PNG matrix
 inflates + unfilters with stdlib zlib alone (decode_png — gray / RGB /
-gray+alpha / RGBA, no codec library), the perceptual hash is a real
-DCT pHash over the decoded pixels of EITHER container (phash_bytes is
+palette / gray+alpha / RGBA at depths 1/2/4/8/16, non-interlaced and
+Adam7, no codec library), the perceptual hash is a real DCT pHash over
+the decoded pixels of ANY decodable container (phash_bytes is
 format-invariant: a PPM and a PNG of the same pixels hash
 identically), and RIFF/PCM WAV audio parses for real too (decode_wav
 -> extract_audio_features: sample rate, channels, duration, RMS over
 decoded samples). resize_images nearest-resamples decodable payloads
 and re-encodes in the source container. Formats that genuinely need a
-codec absent from this environment (JPEG/16-bit|interlaced|palette
-PNG/mp3/flac/...) fall back to the documented md5-derived stub
+codec absent from this environment (mp3/flac/webp/video
+containers/...) fall back to the documented md5-derived stub
 (decode_image_stub with fake=True for dimensions, md5-prefix
 signatures) or NULL typed audio fields, which keeps every downstream
 operator testable on opaque bytes. The Spark-side plumbing — schema,
@@ -141,7 +142,27 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes] | None:
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 # color type -> samples per pixel for the 8-bit truecolor/gray family
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# legal bit depths per color type (RFC 2083 §4.1.1) — anything else is
+# a malformed stream, not a gated format
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 pass grid: (x_start, y_start, x_step, y_step); the seven passes
+# partition the pixel grid exactly (pinned by test)
+_PNG_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 # Decode-size ceiling for untrusted payloads (crawl data IS untrusted):
 # a crafted header (PNG u32 dims, GIF u16 dims x unbounded frame count)
@@ -154,17 +175,88 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 MAX_DECODE_BYTES = 1 << 28
 
 
+def _png_stride(w: int, ch: int, depth: int) -> int:
+    return (w * ch * depth + 7) // 8
+
+
+def _png_unfilter(raw: bytes, at: int, h: int, stride: int, bpp: int):
+    """Reverse the five scanline filters (None/Sub/Up/Average/Paeth)
+    over ``h`` rows of ``stride`` bytes starting at ``raw[at]``; returns
+    ((h, stride) u8 rows, next offset) or None on an unknown filter
+    byte. Predictors step by ``bpp`` bytes — the byte width of one
+    pixel, min 1: sub-byte depths filter at byte granularity per the
+    spec. Sub/Average/Paeth carry a per-pixel recurrence so those rows
+    walk bytes, while None/Up rows stay vectorized — encoders here emit
+    filter 0, keeping the hot path fast."""
+    import numpy as np
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[at]
+        line = np.frombuffer(raw, np.uint8, stride, at + 1).astype(np.int32)
+        at += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = (line + prev) & 255
+        elif f in (1, 3, 4):
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + int(prev[x])) // 2
+                else:
+                    b, c = int(prev[x]), int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                cur[x] = (int(line[x]) + pred) & 255
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out, at
+
+
+def _png_samples(rows, w: int, ch: int, depth: int):
+    """(h, stride) unfiltered scanline bytes -> (h, w, ch) u8 samples.
+    Sub-byte depths unpack MSB-first (ch is always 1 there — gray or
+    palette indices); 16-bit big-endian scales to 8 bits by exact
+    rounding (v*255/65535), matching libpng's 16->8 'scale'."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch)
+    if depth == 16:
+        pairs = rows[:, : w * ch * 2].reshape(h, w * ch, 2).astype(np.uint32)
+        v = (pairs[..., 0] << 8) | pairs[..., 1]
+        return ((v * 255 + 32767) // 65535).astype(np.uint8).reshape(h, w, ch)
+    bits = np.unpackbits(rows, axis=1)
+    n = bits.shape[1] // depth
+    vals = np.zeros((h, n), dtype=np.uint8)
+    for j in range(depth):
+        vals = (vals << 1) | bits[:, j::depth][:, :n]
+    return vals[:, :w].reshape(h, w, 1)
+
+
 def decode_png(payload: bytes) -> tuple[int, int, bytes] | None:
-    """Parse an 8-bit non-interlaced PNG (gray / RGB / gray+alpha /
-    RGBA) with stdlib ``zlib`` only: returns (width, height, rgb_bytes)
-    — pixels normalized to 3-channel RGB (gray replicated, alpha
-    dropped) so callers see the decode_ppm contract — or None for
-    anything this pure decoder honestly can't cover (16-bit, palette,
-    interlaced, or malformed streams). IDAT chunks are concatenated,
-    inflated, and the five scanline filters (None/Sub/Up/Average/
-    Paeth) are reversed; Sub/Average/Paeth carry a per-pixel recurrence
-    so those rows walk bytes, while None/Up rows stay vectorized —
-    encoders here emit filter 0, keeping the hot path fast."""
+    """Parse a PNG with stdlib ``zlib`` + numpy only — every legal
+    (color type, bit depth, interlace) combination: gray / RGB /
+    palette / gray+alpha / RGBA at depths 1/2/4/8/16 where the spec
+    allows them, non-interlaced or Adam7. Returns (width, height,
+    rgb_bytes) — pixels normalized to 3-channel 8-bit RGB (gray
+    replicated and scaled up from sub-byte depths, palette indices
+    resolved through PLTE, 16-bit scaled by exact rounding, alpha
+    dropped: the decode_ppm contract) — or None for malformed streams
+    (bad depth/color combos, truncated or corrupt deflate data,
+    over-cap dimensions). tRNS transparency is ignored, consistent
+    with the alpha-dropping contract. Cross-checked against an
+    independent forward-filter/packer implementation and real-world
+    files in tests/test_png.py."""
     import struct
     import zlib
 
@@ -173,7 +265,7 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes] | None:
     if not payload.startswith(PNG_SIGNATURE):
         return None
     try:
-        pos, w, h, color, idat = 8, None, None, None, []
+        pos, w, h, depth, color, ilace, idat, plte = 8, None, 0, 0, 0, 0, [], None
         while pos + 8 <= len(payload):
             (size,) = struct.unpack(">I", payload[pos : pos + 4])
             ctype = payload[pos + 4 : pos + 8]
@@ -187,13 +279,15 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes] | None:
                     ">IIBBBBB", body[:13]
                 )
                 if (
-                    depth != 8
-                    or comp != 0
+                    comp != 0
                     or filt != 0
-                    or ilace != 0
+                    or ilace not in (0, 1)
                     or color not in _PNG_CHANNELS
+                    or depth not in _PNG_DEPTHS[color]
                 ):
-                    return None  # the codec-path family, honestly gated
+                    return None
+            elif ctype == b"PLTE":
+                plte = np.frombuffer(body[: size - size % 3], np.uint8).reshape(-1, 3)
             elif ctype == b"IDAT":
                 idat.append(body)
             elif ctype == b"IEND":
@@ -201,10 +295,21 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes] | None:
             pos += 12 + size  # length + type + crc
         if w is None or not w or not h or not idat:
             return None
+        if color == 3 and (plte is None or not len(plte)):
+            return None
         ch = _PNG_CHANNELS[color]
-        stride = w * ch
-        needed = h * (1 + stride)
-        if needed > MAX_DECODE_BYTES:
+        bpp = max(1, ch * depth // 8)
+        if ilace == 0:
+            passes = [(0, 0, 1, 1, w, h)]
+        else:
+            passes = []
+            for x0, y0, xs, ys in _PNG_ADAM7:
+                pw = (w - x0 + xs - 1) // xs
+                ph = (h - y0 + ys - 1) // ys
+                if pw > 0 and ph > 0:
+                    passes.append((x0, y0, xs, ys, pw, ph))
+        needed = sum(ph * (1 + _png_stride(pw, ch, depth)) for *_g, pw, ph in passes)
+        if needed > MAX_DECODE_BYTES or w * h * 3 > MAX_DECODE_BYTES:
             return None
         # incremental inflate capped at exactly the bytes the image
         # needs: a deflate bomb never materializes past the cap
@@ -212,42 +317,29 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes] | None:
         raw = dec.decompress(b"".join(idat), needed)
         if len(raw) < needed:
             return None
-        out = np.zeros((h, stride), dtype=np.uint8)
-        prev = np.zeros(stride, dtype=np.int32)
+        samples = np.zeros((h, w, ch), dtype=np.uint8)
         at = 0
-        for y in range(h):
-            f = raw[at]
-            line = np.frombuffer(raw, np.uint8, stride, at + 1).astype(np.int32)
-            at += 1 + stride
-            if f == 0:
-                cur = line
-            elif f == 2:
-                cur = (line + prev) & 255
-            elif f in (1, 3, 4):
-                cur = np.zeros(stride, dtype=np.int32)
-                for x in range(stride):
-                    a = int(cur[x - ch]) if x >= ch else 0
-                    if f == 1:
-                        pred = a
-                    elif f == 3:
-                        pred = (a + int(prev[x])) // 2
-                    else:
-                        b, c = int(prev[x]), int(prev[x - ch]) if x >= ch else 0
-                        p = a + b - c
-                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                        pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
-                    cur[x] = (int(line[x]) + pred) & 255
-            else:
+        for x0, y0, xs, ys, pw, ph in passes:
+            got = _png_unfilter(raw, at, ph, _png_stride(pw, ch, depth), bpp)
+            if got is None:
                 return None
-            out[y] = cur.astype(np.uint8)
-            prev = cur
-        px = out.reshape(h, w, ch)
-        if color == 0:
-            rgb = np.repeat(px, 3, axis=2)
-        elif color == 4:
-            rgb = np.repeat(px[:, :, :1], 3, axis=2)
+            rows, at = got
+            samples[y0::ys, x0::xs] = _png_samples(rows, pw, ch, depth)
+        if color == 3:
+            idx = samples[:, :, 0]
+            if int(idx.max()) >= len(plte):
+                return None  # index past the palette: malformed
+            rgb = plte[idx]
+        elif color in (0, 4):
+            gray = samples[:, :, :1]
+            if color == 0 and depth < 8:
+                # exact up-scale: 255/(2^d - 1) is an integer for d=1,2,4
+                gray = (
+                    gray.astype(np.uint16) * (255 // ((1 << depth) - 1))
+                ).astype(np.uint8)
+            rgb = np.repeat(gray, 3, axis=2)
         else:
-            rgb = px[:, :, :3]
+            rgb = samples[:, :, :3]
         return w, h, np.ascontiguousarray(rgb).tobytes()
     except (struct.error, ValueError, IndexError, OverflowError, zlib.error):
         return None
@@ -443,7 +535,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[bytes]] | None:
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
     """Decode any payload this environment can honestly decode — P6
-    PPM, 8-bit non-interlaced PNG, or GIF (first composited frame) —
+    PPM, any legal PNG, or GIF (first composited frame) —
     to (width, height, rgb_bytes); None routes the caller to the
     opaque-bytes stub path. The single decode entry every image
     operator (features, pHash, resize) goes through, so a new
@@ -484,7 +576,7 @@ def _nearest_grid(n_out: int, n_in: int):
 def phash_bytes(payload: bytes) -> int:
     """64-bit perceptual hash of a media payload, as a SIGNED int64.
 
-    Decodable payloads (P6 PPM or 8-bit PNG, via decode_image) get the
+    Decodable payloads (via decode_image) get the
     classic DCT pHash: grayscale, nearest resample to 32x32, 2-D
     DCT-II, top-left 8x8 block, each coefficient thresholded against
     the median of the 63 non-DC coefficients. FORMAT-INVARIANT: a PPM
@@ -528,8 +620,8 @@ def phash_bytes(payload: bytes) -> int:
 def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    P6 PPM and 8-bit non-interlaced PNG payloads decode for REAL
-    (decode_image). For the remaining formats a codec library is
+    P6 PPM, PNG, and GIF payloads decode for REAL (decode_image).
+    For the remaining formats a codec library is
     required and absent in this container: with ``fake=True`` the
     dimensions derive deterministically from the payload digest,
     keeping every downstream operator testable; with ``fake=False`` the
@@ -540,8 +632,8 @@ def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
     if not fake:
         raise NotImplementedError(
             "decoding this image format requires a codec library (e.g. "
-            "Pillow); not available in this environment (PPM and 8-bit "
-            "PNG decode natively via decode_image)"
+            "Pillow); not available in this environment (PPM, PNG, and "
+            "GIF decode natively via decode_image)"
         )
     return _dims_from_digest(hashlib.md5(payload).digest())
 
@@ -671,7 +763,7 @@ RESIZE_SCHEMA = T.StructType(
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Arrow-batched image resize over the binary column: decodable
-    payloads (P6 PPM / 8-bit PNG via decode_image) are nearest-neighbor
+    payloads (via decode_image) are nearest-neighbor
     resampled to (width, height) — the SAME _nearest_grid rule the
     pHash uses, so a resize then pHash equals pHashing the resample
     directly — and re-encoded in their SOURCE container (PPM stays PPM,

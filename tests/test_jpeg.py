@@ -1,0 +1,457 @@
+"""Pure stdlib+numpy baseline JPEG decode.
+
+decode_jpeg covers baseline sequential Huffman JPEG (SOF0/SOF1): 8-bit
+samples, grayscale or YCbCr, sampling factors 1-2, restart markers,
+0xFF byte stuffing, 16-bit quant tables. Progressive (SOF2) and
+arithmetic-coded streams stay honestly gated (None -> opaque stub
+path). Because JPEG is lossy there is no bit-exact round-trip; these
+tests cross-check against an INDEPENDENT forward encoder written from
+ITU-T T.81 Annex F/K (FDCT + quantize + Huffman, including the Annex K
+typical tables) with measured error bounds, pin exactness where the
+math IS exact (flat image, unit quant tables), and decode real-world
+JPEGs from other encoders where the container files exist.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from travel_data_ingestion_spark.llm.multimodal import (
+    decode_image,
+    decode_jpeg,
+    phash_bytes,
+    resize_images,
+)
+
+# ---------------------------------------------------------------- forward
+# Independent spec-side encoder (ITU-T T.81), NOT derived from the decoder.
+
+_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_m():
+    n = 8
+    m = np.zeros((n, n))
+    for k in range(n):
+        for x in range(n):
+            m[k, x] = np.cos((2 * x + 1) * k * np.pi / (2 * n)) * (
+                np.sqrt(1 / n) if k == 0 else np.sqrt(2 / n)
+            )
+    return m
+
+
+_M = _dct_m()
+
+
+def _codes(counts, symbols):
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _category(v):
+    a, s = abs(v), 0
+    while a:
+        a >>= 1
+        s += 1
+    return s
+
+
+def _scale_qt(base, quality):
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.array(
+        [max(1, min(255, (x * scale + 50) // 100)) for x in base], dtype=np.int32
+    )
+
+
+def _encode_block(bw, block, qnat, codes_dc, codes_ac, pred):
+    coef = _M @ (block.astype(np.float64) - 128.0) @ _M.T
+    zz = np.round(coef / qnat).astype(np.int32).reshape(-1)[_ZZ]
+    diff = int(zz[0]) - pred
+    s = _category(diff)
+    c, ln = codes_dc[s]
+    bw.put(c, ln)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = codes_ac[0xF0]
+            bw.put(c, ln)
+            run -= 16
+        s = _category(v)
+        c, ln = codes_ac[(run << 4) | s]
+        bw.put(c, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        c, ln = codes_ac[0x00]
+        bw.put(c, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(rgb, quality=90, subsample="444", grayscale=False, restart_interval=0):
+    """Forward baseline JPEG encoder (test oracle)."""
+    h, w = rgb.shape[:2]
+    qly = _scale_qt(_QT_LUMA, quality).reshape(8, 8).astype(np.float64)
+    qlc = _scale_qt(_QT_CHROMA, quality).reshape(8, 8).astype(np.float64)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(int(qly.reshape(-1)[_ZZ][i]) for i in range(64)))
+    if not grayscale:
+        out += seg(
+            0xDB, bytes([1]) + bytes(int(qlc.reshape(-1)[_ZZ][i]) for i in range(64))
+        )
+    if grayscale:
+        comps = [(1, 1, 1, 0)]
+    elif subsample == "420":
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    elif subsample == "422":
+        comps = [(1, 2, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    else:
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += seg(0xC0, sof)
+    for tc_th, (counts, syms) in [(0x00, _DC_LUMA), (0x10, _AC_LUMA)] + (
+        [] if grayscale else [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    ):
+        out += seg(0xC4, bytes([tc_th]) + bytes(counts) + bytes(syms))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for cid, _hs, _vs, tq in comps:
+        sos += bytes([cid, 0x00 if tq == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    px = rgb.astype(np.float64)
+    if grayscale:
+        planes = [px[:, :, 0]]
+    else:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    sampled = []
+    for ci, (_cid, hs, vs, _tq) in enumerate(comps):
+        p = planes[ci]
+        if hs != hmax or vs != vmax:
+            fy, fx = vmax // vs, hmax // hs
+            hh, ww = (h + fy - 1) // fy, (w + fx - 1) // fx
+            pad = np.pad(p, ((0, hh * fy - h), (0, ww * fx - w)), mode="edge")
+            p = pad.reshape(hh, fy, ww, fx).mean(axis=(1, 3))
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        sampled.append(p)
+    luma = (_codes(*_DC_LUMA), _codes(*_AC_LUMA))
+    chroma = (_codes(*_DC_CHROMA), _codes(*_AC_CHROMA))
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+    count = rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and count and count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                pred = [0] * len(comps)
+            count += 1
+            for ci, (_cid, hs, vs, tq) in enumerate(comps):
+                qn = qly if tq == 0 else qlc
+                cdc, cac = luma if tq == 0 else chroma
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                        pred[ci] = _encode_block(
+                            bw, sampled[ci][y0 : y0 + 8, x0 : x0 + 8], qn, cdc, cac, pred[ci]
+                        )
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ tests
+
+
+def _smooth(w, h, seed):
+    """Low-frequency test image: JPEG-representable, so round-trip error
+    bounds stay tight and deterministic."""
+    r = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3))
+    for c in range(3):
+        a, b, ph = r.uniform(30, 100), r.uniform(0.02, 0.2, 2), r.uniform(0, 6)
+        img[:, :, c] = 128 + a * np.sin(b[0] * xx + b[1] * yy + ph)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _decode_err(img, payload, grayscale=False):
+    got = decode_jpeg(payload)
+    assert got is not None
+    h, w = img.shape[:2]
+    assert (got[0], got[1]) == (w, h)
+    dec = np.frombuffer(got[2], np.uint8).reshape(h, w, 3).astype(np.int32)
+    ref = (
+        np.repeat(img[:, :, :1], 3, axis=2) if grayscale else img
+    ).astype(np.int32)
+    err = np.abs(dec - ref)
+    return err.max(), err.mean()
+
+
+def test_444_roundtrip_bounds():
+    for w, h in [(8, 8), (16, 16), (24, 17), (7, 5), (33, 9)]:
+        img = _smooth(w, h, w * 100 + h)
+        mx, mean = _decode_err(img, encode_jpeg(img, quality=95))
+        assert mx <= 12 and mean <= 3.0, (w, h, mx, mean)
+
+
+def test_420_and_422_roundtrip_bounds():
+    img = _smooth(24, 17, 3)
+    mx, mean = _decode_err(img, encode_jpeg(img, quality=95, subsample="420"))
+    assert mx <= 25 and mean <= 5.0
+    mx, mean = _decode_err(img, encode_jpeg(img, quality=95, subsample="422"))
+    assert mx <= 25 and mean <= 5.0
+
+
+def test_grayscale_roundtrip_tight():
+    img = _smooth(16, 16, 9)
+    mx, mean = _decode_err(img, encode_jpeg(img, quality=95, grayscale=True), grayscale=True)
+    assert mx <= 3 and mean <= 1.0
+
+
+def test_flat_image_q100_exact():
+    """With a flat image every AC coefficient is exactly 0 and the DC is
+    exactly representable: decode must be bit-exact — the one place the
+    lossy format admits an exactness pin."""
+    flat = np.full((16, 16, 3), 77, np.uint8)
+    got = decode_jpeg(encode_jpeg(flat, quality=100))
+    assert got == (16, 16, flat.tobytes())
+
+
+def test_restart_markers_and_dri():
+    img = _smooth(32, 32, 5)
+    for subsample, dri in [("444", 2), ("420", 3), ("444", 1)]:
+        payload = encode_jpeg(img, quality=95, subsample=subsample, restart_interval=dri)
+        assert b"\xff\xd0" in payload or b"\xff\xd1" in payload
+        mx, mean = _decode_err(img, payload)
+        assert mx <= 25 and mean <= 5.0, (subsample, dri, mx, mean)
+
+
+def test_progressive_and_malformed_rejected():
+    img = _smooth(16, 16, 1)
+    base = encode_jpeg(img, quality=95)
+    # flip SOF0 -> SOF2 (progressive): honestly gated
+    i = base.index(b"\xff\xc0")
+    prog = base[:i] + b"\xff\xc2" + base[i + 2 :]
+    assert decode_jpeg(prog) is None
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None
+    assert decode_jpeg(base[: len(base) // 3]) is None or True  # truncation: total
+    assert decode_jpeg(b"P6\n1 1\n255\nabc") is None
+
+
+def test_dims_bomb_rejected():
+    """A tiny payload claiming huge dimensions must die at the size cap,
+    not loop for minutes over empty MCUs."""
+    img = _smooth(8, 8, 2)
+    base = bytearray(encode_jpeg(img, quality=95))
+    i = bytes(base).index(b"\xff\xc0")
+    # SOF body: len(2) prec(1) h(2) w(2) -> patch h and w to 30000
+    struct.pack_into(">HH", base, i + 5, 30000, 30000)
+    assert decode_jpeg(bytes(base)) is None
+
+
+def test_truncated_entropy_data_terminates():
+    """Cutting the scan mid-stream must return None (or a total decode)
+    quickly — the synthetic-fill cap stops zero-bit freewheeling."""
+    img = _smooth(64, 64, 4)
+    payload = encode_jpeg(img, quality=95)
+    sos = payload.index(b"\xff\xda")
+    for cut in (sos + 20, sos + 100, len(payload) - 40):
+        r = decode_jpeg(payload[:cut])
+        assert r is None or len(r[2]) == r[0] * r[1] * 3
+
+
+def test_adversarial_bytes_never_raise():
+    rng = np.random.RandomState(77)
+    base = encode_jpeg(_smooth(10, 10, 3), quality=90)
+    for _ in range(300):
+        b = bytearray(base)
+        for _k in range(rng.randint(1, 6)):
+            b[rng.randint(0, len(b))] = rng.randint(0, 256)
+        r = decode_jpeg(bytes(b))
+        assert r is None or len(r[2]) == r[0] * r[1] * 3
+    for n in (0, 1, 8, 20, 50):
+        assert decode_jpeg(bytes(rng.randint(0, 256, n).astype("uint8"))) is None
+
+
+def test_phash_tracks_jpeg_reencode():
+    """A JPEG re-encode of the same pixels lands within a few pHash bits
+    of the source (measured: <=4 at q95 4:4:4 on smooth images) — the
+    crawl-dedup case where a byte digest can never match."""
+    img = _smooth(48, 40, 0)
+    ppm = b"P6\n48 40\n255\n" + img.tobytes()
+    j = encode_jpeg(img, quality=95)
+    d = bin((phash_bytes(ppm) ^ phash_bytes(j)) & ((1 << 64) - 1)).count("1")
+    assert d <= 4, d
+
+
+def test_decode_image_routes_jpeg():
+    img = _smooth(12, 10, 8)
+    got = decode_image(encode_jpeg(img, quality=95))
+    assert got is not None and (got[0], got[1]) == (12, 10)
+
+
+@pytest.mark.parametrize(
+    "path,expect_dims",
+    [
+        (
+            "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/data/python.jpg",
+            (16, 16),
+        ),
+        (
+            "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/rust/"
+            "html/embedded-book/assets/verify.jpeg",
+            (720, 477),
+        ),
+    ],
+)
+def test_real_world_jpeg_interop(path, expect_dims):
+    """Files produced by REAL encoders (not the test oracle above):
+    marker layout, stuffing, and entropy data from the wild must decode
+    to the dimensions the file states."""
+    if not os.path.exists(path):
+        pytest.skip(f"interop fixture not on this machine: {path}")
+    r = decode_jpeg(open(path, "rb").read())
+    assert r is not None and (r[0], r[1]) == expect_dims
+    a = np.frombuffer(r[2], np.uint8)
+    assert 10 < a.mean() < 245  # decoded something image-like, not noise
+
+
+def test_real_world_progressive_rejected():
+    path = (
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/rust/"
+        "html/embedded-book/assets/f3.jpg"
+    )
+    if not os.path.exists(path):
+        pytest.skip("interop fixture not on this machine")
+    assert decode_jpeg(open(path, "rb").read()) is None  # SOF2: gated
+
+
+def test_resize_reencodes_jpeg_as_lossless_png(spark):
+    """A resized JPEG comes back as LOSSLESS PNG (re-encoding lossy
+    would change pixels twice) with the shared nearest-resample grid."""
+    from travel_data_ingestion_spark.llm.multimodal import PNG_SIGNATURE
+
+    img = _smooth(24, 16, 6)
+    j = encode_jpeg(img, quality=95)
+    media = spark.createDataFrame(
+        [(1, bytearray(j))], "media_id long, payload binary"
+    )
+    out = resize_images(media, 8, 8).collect()[0]
+    assert out.resized and bytes(out.payload).startswith(PNG_SIGNATURE)
+    dec = decode_image(bytes(out.payload))
+    assert dec is not None and (dec[0], dec[1]) == (8, 8)

@@ -9,15 +9,18 @@ Media decode REALLY decodes: binary PPM (P6) payloads are parsed
 (decode_ppm) for true dimensions and pixels, the FULL legal PNG matrix
 inflates + unfilters with stdlib zlib alone (decode_png — gray / RGB /
 palette / gray+alpha / RGBA at depths 1/2/4/8/16, non-interlaced and
-Adam7, no codec library), the perceptual hash is a real DCT pHash over
-the decoded pixels of ANY decodable container (phash_bytes is
-format-invariant: a PPM and a PNG of the same pixels hash
-identically), and RIFF/PCM WAV audio parses for real too (decode_wav
+Adam7, no codec library), baseline JPEG Huffman-decodes and IDCTs for
+real (llm/jpeg.decode_jpeg — SOF0/1, subsampling, restart markers),
+the perceptual hash is a real DCT pHash over the decoded pixels of ANY
+decodable container (phash_bytes is format-invariant: a PPM and a PNG
+of the same pixels hash identically, and a JPEG re-encode lands within
+a few bits), and RIFF/PCM WAV audio parses for real too (decode_wav
 -> extract_audio_features: sample rate, channels, duration, RMS over
 decoded samples). resize_images nearest-resamples decodable payloads
 and re-encodes in the source container. Formats that genuinely need a
-codec absent from this environment (mp3/flac/webp/video
-containers/...) fall back to the documented md5-derived stub
+codec absent from this environment (progressive/arithmetic
+JPEG/mp3/flac/webp/video containers/...) fall back to the documented
+md5-derived stub
 (decode_image_stub with fake=True for dimensions, md5-prefix
 signatures) or NULL typed audio fields, which keeps every downstream
 operator testable on opaque bytes. The Spark-side plumbing — schema,
@@ -39,6 +42,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from travel_data_ingestion_spark.llm.jpeg import decode_jpeg
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -535,11 +540,11 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[bytes]] | None:
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
     """Decode any payload this environment can honestly decode — P6
-    PPM, any legal PNG, or GIF (first composited frame) —
-    to (width, height, rgb_bytes); None routes the caller to the
-    opaque-bytes stub path. The single decode entry every image
-    operator (features, pHash, resize) goes through, so a new
-    container added here lights up the whole pipeline."""
+    PPM, any legal PNG, GIF (first composited frame), or baseline
+    JPEG (llm/jpeg.decode_jpeg) — to (width, height, rgb_bytes); None
+    routes the caller to the opaque-bytes stub path. The single decode
+    entry every image operator (features, pHash, resize) goes through,
+    so a new container added here lights up the whole pipeline."""
     dec = decode_ppm(payload)
     if dec is None:
         dec = decode_png(payload)
@@ -548,6 +553,8 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
         if gif is not None:
             w, h, frames = gif
             dec = (w, h, frames[0])
+    if dec is None and payload[:2] == b"\xff\xd8":
+        dec = decode_jpeg(payload)
     return dec
 
 
@@ -768,10 +775,10 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     pHash uses, so a resize then pHash equals pHashing the resample
     directly — and re-encoded in their SOURCE container (PPM stays PPM,
     PNG stays PNG: a resize must not silently change what downstream
-    format filters see). Palette containers (GIF) re-encode as
-    LOSSLESS PNG: writing a palette back would require color
-    quantization, which could alter pixels — re-encoding losslessly is
-    the honest move. Undecodable payloads pass through byte-for-byte
+    format filters see). Palette containers (GIF) and lossy containers
+    (JPEG) re-encode as LOSSLESS PNG: writing a palette back would
+    force color quantization and re-encoding JPEG would lose pixels a
+    second time — re-encoding losslessly is the honest move. Undecodable payloads pass through byte-for-byte
     with resized=false and NULL dimensions — a training-data pipeline
     drops or routes them, it never fabricates pixels.
 
@@ -805,7 +812,11 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 res = np.ascontiguousarray(
                     arr[np.ix_(_nearest_grid(height, h0), _nearest_grid(width, w0))]
                 )
-                if b.startswith(PNG_SIGNATURE) or b[:6] in (b"GIF87a", b"GIF89a"):
+                if (
+                    b.startswith(PNG_SIGNATURE)
+                    or b[:6] in (b"GIF87a", b"GIF89a")
+                    or b[:2] == b"\xff\xd8"
+                ):
                     enc = encode_png(width, height, res.tobytes())
                 else:
                     enc = b"P6\n%d %d\n255\n" % (width, height) + res.tobytes()

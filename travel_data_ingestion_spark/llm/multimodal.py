@@ -84,6 +84,8 @@ MIME_BY_EXT = {
     "bmp": "image/bmp",
     "ppm": "image/x-portable-pixmap",
     "pgm": "image/x-portable-graymap",
+    "pbm": "image/x-portable-bitmap",
+    "pnm": "image/x-portable-anymap",
     "webp": "image/webp",
     "wav": "audio/wav",
     "mp3": "audio/mpeg",
@@ -538,14 +540,197 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[bytes]] | None:
         return None
 
 
+def decode_pnm(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Parse any netpbm image — P1/P4 bitmaps, P2/P5 graymaps, P3/P6
+    pixmaps; ASCII or binary; ``#`` comments; maxval up to 65535
+    (16-bit binary samples are big-endian, scaled to 8 bits by exact
+    rounding) — to the (width, height, rgb_bytes) contract. P1/P4
+    follow the PBM convention that 1 means BLACK. decode_ppm stays the
+    strict fast path for the internal render format; this is the
+    general parser behind it."""
+    import numpy as np
+
+    if len(payload) < 2 or payload[0:1] != b"P" or payload[1:2] not in b"123456":
+        return None
+    kind = payload[1] - 0x30
+    try:
+        # header tokenizer: whitespace-separated ints, # comments to EOL
+        pos = 2
+        vals = []
+        need = 2 if kind in (1, 4) else 3
+        while len(vals) < need:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        if kind in (1, 4):
+            (w, h), maxval = vals, 1
+        else:
+            w, h, maxval = vals
+        if w <= 0 or h <= 0 or not 1 <= maxval <= 65535 or w * h * 3 > MAX_DECODE_BYTES:
+            return None
+        ch = 3 if kind in (3, 6) else 1
+        if kind in (1, 2, 3):  # ASCII samples
+            if kind == 1:
+                # P1 digits may be packed without whitespace
+                body = payload[pos:].translate(None, b" \t\r\n")
+                if len(body) < w * h:
+                    return None
+                arr = np.frombuffer(body, np.uint8, w * h) - 0x30
+                if arr.max() > 1:
+                    return None
+            else:
+                toks = payload[pos:].split()
+                if len(toks) < w * h * ch:
+                    return None
+                arr = np.array([int(t) for t in toks[: w * h * ch]], dtype=np.uint32)
+        else:  # binary: exactly ONE whitespace byte after the header
+            pos += 1
+            if kind == 4:
+                stride = (w + 7) // 8
+                if len(payload) < pos + stride * h:
+                    return None
+                rows = np.frombuffer(payload, np.uint8, stride * h, pos).reshape(
+                    h, stride
+                )
+                arr = np.unpackbits(rows, axis=1)[:, :w].reshape(-1)
+            elif maxval < 256:
+                if len(payload) < pos + w * h * ch:
+                    return None
+                arr = np.frombuffer(payload, np.uint8, w * h * ch, pos)
+            else:
+                if len(payload) < pos + w * h * ch * 2:
+                    return None
+                arr = np.frombuffer(payload, np.dtype(">u2"), w * h * ch, pos)
+        arr = arr.astype(np.uint32)
+        if kind in (1, 4):
+            px = ((1 - arr) * 255).astype(np.uint8).reshape(h, w, 1)  # 1 = black
+        else:
+            if int(arr.max()) > maxval:
+                return None
+            if maxval != 255:
+                arr = (arr * 255 + maxval // 2) // maxval
+            px = arr.astype(np.uint8).reshape(h, w, ch)
+        rgb = np.repeat(px, 3, axis=2) if ch == 1 else px
+        return w, h, np.ascontiguousarray(rgb).tobytes()
+    except (ValueError, IndexError, OverflowError):
+        return None
+
+
+def _bitfield_channel(vals, mask: int):
+    """Extract one BI_BITFIELDS channel and scale it to 8 bits."""
+    import numpy as np
+
+    if mask == 0:
+        return np.zeros(vals.shape, dtype=np.uint8)
+    shift = (mask & -mask).bit_length() - 1
+    width = (mask >> shift).bit_length()
+    c = (vals & np.uint32(mask)) >> np.uint32(shift)
+    top = (1 << width) - 1
+    return ((c * 255 + top // 2) // top).astype(np.uint8)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Parse an uncompressed Windows BMP (BITMAPINFOHEADER or the V4/V5
+    extensions): 1/4/8-bit palette, 16/24/32-bit truecolor, BI_RGB or
+    BI_BITFIELDS (arbitrary contiguous masks), bottom-up and top-down
+    rows, 4-byte row padding — to (width, height, rgb_bytes). RLE
+    compression and the ancient CORE header return None (gated)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    try:
+        (data_off,) = struct.unpack("<I", payload[10:14])
+        (hdrsz,) = struct.unpack("<I", payload[14:18])
+        if hdrsz < 40:
+            return None  # BITMAPCOREHEADER: gated
+        w, h_raw = struct.unpack("<ii", payload[18:26])
+        planes, bpp = struct.unpack("<HH", payload[26:30])
+        (comp,) = struct.unpack("<I", payload[30:34])
+        top_down = h_raw < 0
+        h = -h_raw if top_down else h_raw
+        if (
+            w <= 0
+            or h <= 0
+            or planes != 1
+            or bpp not in (1, 4, 8, 16, 24, 32)
+            or comp not in (0, 3)
+            or (comp == 3 and bpp not in (16, 32))
+            or w * h * 3 > MAX_DECODE_BYTES
+        ):
+            return None
+        if comp == 3:
+            rmask, gmask, bmask = struct.unpack("<III", payload[54:66])
+        elif bpp == 16:
+            rmask, gmask, bmask = 0x7C00, 0x03E0, 0x001F  # BI_RGB 555
+        else:
+            rmask, gmask, bmask = 0xFF0000, 0x00FF00, 0x0000FF
+        palette = None
+        if bpp <= 8:
+            (n_colors,) = struct.unpack("<I", payload[46:50])
+            n_colors = n_colors or (1 << bpp)
+            pal_off = 14 + hdrsz
+            pal = np.frombuffer(payload, np.uint8, n_colors * 4, pal_off)
+            palette = pal.reshape(-1, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+        stride = ((w * bpp + 31) // 32) * 4
+        if len(payload) < data_off + stride * h:
+            return None
+        rows = np.frombuffer(payload, np.uint8, stride * h, data_off).reshape(
+            h, stride
+        )
+        if not top_down:
+            rows = rows[::-1]
+        if bpp <= 8:
+            bits = np.unpackbits(rows, axis=1)
+            n = bits.shape[1] // bpp
+            idx = np.zeros((h, n), dtype=np.uint8)
+            for j in range(bpp):
+                idx = (idx << 1) | bits[:, j::bpp][:, :n]
+            idx = idx[:, :w]
+            if int(idx.max()) >= len(palette):
+                return None
+            rgb = palette[idx]
+        elif bpp == 24:
+            px = rows[:, : w * 3].reshape(h, w, 3)
+            rgb = px[:, :, ::-1]  # BGR -> RGB
+        else:
+            npx = bpp // 8
+            raw = rows[:, : w * npx].reshape(h, w, npx).astype(np.uint32)
+            vals = raw[:, :, 0]
+            for k in range(1, npx):
+                vals = vals | (raw[:, :, k] << np.uint32(8 * k))  # little-endian
+            rgb = np.stack(
+                [
+                    _bitfield_channel(vals, rmask),
+                    _bitfield_channel(vals, gmask),
+                    _bitfield_channel(vals, bmask),
+                ],
+                axis=2,
+            )
+        return w, h, np.ascontiguousarray(rgb).astype(np.uint8).tobytes()
+    except (struct.error, ValueError, IndexError, OverflowError):
+        return None
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
-    """Decode any payload this environment can honestly decode — P6
-    PPM, any legal PNG, GIF (first composited frame), or baseline
-    JPEG (llm/jpeg.decode_jpeg) — to (width, height, rgb_bytes); None
-    routes the caller to the opaque-bytes stub path. The single decode
-    entry every image operator (features, pHash, resize) goes through,
-    so a new container added here lights up the whole pipeline."""
+    """Decode any payload this environment can honestly decode — netpbm
+    (P1-P6), any legal PNG, GIF (first composited frame), baseline
+    JPEG (llm/jpeg.decode_jpeg), or uncompressed BMP — to (width,
+    height, rgb_bytes); None routes the caller to the opaque-bytes
+    stub path. The single decode entry every image operator (features,
+    pHash, resize) goes through, so a new container added here lights
+    up the whole pipeline."""
     dec = decode_ppm(payload)
+    if dec is None and payload[:1] == b"P":
+        dec = decode_pnm(payload)
     if dec is None:
         dec = decode_png(payload)
     if dec is None:
@@ -555,6 +740,8 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
             dec = (w, h, frames[0])
     if dec is None and payload[:2] == b"\xff\xd8":
         dec = decode_jpeg(payload)
+    if dec is None and payload[:2] == b"BM":
+        dec = decode_bmp(payload)
     return dec
 
 

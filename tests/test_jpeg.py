@@ -1,15 +1,19 @@
 """Pure stdlib+numpy baseline JPEG decode.
 
-decode_jpeg covers baseline sequential Huffman JPEG (SOF0/SOF1): 8-bit
-samples, grayscale or YCbCr, sampling factors 1-2, restart markers,
-0xFF byte stuffing, 16-bit quant tables. Progressive (SOF2) and
-arithmetic-coded streams stay honestly gated (None -> opaque stub
-path). Because JPEG is lossy there is no bit-exact round-trip; these
-tests cross-check against an INDEPENDENT forward encoder written from
-ITU-T T.81 Annex F/K (FDCT + quantize + Huffman, including the Annex K
-typical tables) with measured error bounds, pin exactness where the
-math IS exact (flat image, unit quant tables), and decode real-world
-JPEGs from other encoders where the container files exist.
+decode_jpeg covers Huffman DCT JPEG, both baseline sequential
+(SOF0/SOF1) and progressive (SOF2 — spectral selection + successive
+approximation with DC and AC refinement): 8-bit samples, grayscale or
+YCbCr, sampling factors 1-2, restart markers, 0xFF byte stuffing,
+16-bit quant tables. Arithmetic-coded / lossless / hierarchical
+streams stay honestly gated (None -> opaque stub path). Because JPEG
+is lossy there is no bit-exact round-trip against PIXELS; these tests
+cross-check against an INDEPENDENT forward encoder written from ITU-T
+T.81 Annex F/G/K with measured error bounds, pin exactness where the
+math IS exact (flat image; and progressive re-encodings of IDENTICAL
+quantized coefficients must decode bit-identically to the baseline
+encoding — the strongest check in the file), and decode real-world
+JPEGs from other encoders (including libjpeg progressive scan
+scripts) where the container files exist.
 """
 
 from __future__ import annotations
@@ -340,13 +344,17 @@ def test_restart_markers_and_dri():
         assert mx <= 25 and mean <= 5.0, (subsample, dri, mx, mean)
 
 
-def test_progressive_and_malformed_rejected():
+def test_gated_and_malformed_rejected():
     img = _smooth(16, 16, 1)
     base = encode_jpeg(img, quality=95)
-    # flip SOF0 -> SOF2 (progressive): honestly gated
     i = base.index(b"\xff\xc0")
-    prog = base[:i] + b"\xff\xc2" + base[i + 2 :]
-    assert decode_jpeg(prog) is None
+    # SOF0 -> SOF2: the unified scan path decodes a whole-band scan
+    # identically whichever frame marker announced it
+    relabeled = base[:i] + b"\xff\xc2" + base[i + 2 :]
+    assert decode_jpeg(relabeled) == decode_jpeg(base)
+    # SOF9 (arithmetic coding): honestly gated
+    arith = base[:i] + b"\xff\xc9" + base[i + 2 :]
+    assert decode_jpeg(arith) is None
     assert decode_jpeg(b"") is None
     assert decode_jpeg(b"\xff\xd8\xff\xd9") is None
     assert decode_jpeg(base[: len(base) // 3]) is None or True  # truncation: total
@@ -431,16 +439,6 @@ def test_real_world_jpeg_interop(path, expect_dims):
     assert 10 < a.mean() < 245  # decoded something image-like, not noise
 
 
-def test_real_world_progressive_rejected():
-    path = (
-        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/rust/"
-        "html/embedded-book/assets/f3.jpg"
-    )
-    if not os.path.exists(path):
-        pytest.skip("interop fixture not on this machine")
-    assert decode_jpeg(open(path, "rb").read()) is None  # SOF2: gated
-
-
 def test_resize_reencodes_jpeg_as_lossless_png(spark):
     """A resized JPEG comes back as LOSSLESS PNG (re-encoding lossy
     would change pixels twice) with the shared nearest-resample grid."""
@@ -455,3 +453,313 @@ def test_resize_reencodes_jpeg_as_lossless_png(spark):
     assert out.resized and bytes(out.payload).startswith(PNG_SIGNATURE)
     dec = decode_image(bytes(out.payload))
     assert dec is not None and (dec[0], dec[1]) == (8, 8)
+
+
+# ------------------------------------------------- progressive forward
+# Independent progressive encoder (T.81 Annex G encode procedures, the
+# correction-bit buffering discipline of libjpeg's jcphuff): emits the
+# SAME quantized coefficients as the baseline encoder through a
+# multi-scan script, so decode must be BIT-IDENTICAL to the baseline
+# decode — no error bounds, exact equality.
+
+
+def _coef_grids(rgb, quality, subsample="444", grayscale=False):
+    """Quantized zigzag coefficient grids per component (MCU-padded),
+    mirroring encode_jpeg's sampling/FDCT/quant exactly."""
+    h, w = rgb.shape[:2]
+    qly = _scale_qt(_QT_LUMA, quality).reshape(8, 8).astype(np.float64)
+    qlc = _scale_qt(_QT_CHROMA, quality).reshape(8, 8).astype(np.float64)
+    if grayscale:
+        comps = [(1, 1, 1, 0)]
+    elif subsample == "420":
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    elif subsample == "422":
+        comps = [(1, 2, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    else:
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    px = rgb.astype(np.float64)
+    if grayscale:
+        planes = [px[:, :, 0]]
+    else:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = []
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        p = planes[ci]
+        if hs != hmax or vs != vmax:
+            fy, fx = vmax // vs, hmax // hs
+            hh, ww = (h + fy - 1) // fy, (w + fx - 1) // fx
+            pad = np.pad(p, ((0, hh * fy - h), (0, ww * fx - w)), mode="edge")
+            p = pad.reshape(hh, fy, ww, fx).mean(axis=(1, 3))
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        qn = qly if tq == 0 else qlc
+        grid = np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+        for by in range(mcuy * vs):
+            for bx in range(mcux * hs):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = _M @ (block - 128.0) @ _M.T
+                grid[by, bx] = np.round(coef / qn).astype(np.int32).reshape(-1)[_ZZ]
+        grids.append(grid)
+    return comps, grids, mcux, mcuy, (qly, qlc), (hmax, vmax, w, h)
+
+
+def _emit_dc_first(bw, comps, grids, mcux, mcuy, al, codes):
+    pred = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_cid, hs, vs, tq) in enumerate(comps):
+                cdc = codes[0] if tq == 0 else codes[1]
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(grids[ci][my * vs + by, mx * hs + bx, 0]) >> al
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s = _category(diff)
+                        c, ln = cdc[s]
+                        bw.put(c, ln)
+                        if s:
+                            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _emit_dc_refine(bw, comps, grids, mcux, mcuy, al):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_cid, hs, vs, _tq) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        bw.put((int(grids[ci][my * vs + by, mx * hs + bx, 0]) >> al) & 1, 1)
+
+
+def _comp_grid_dims(comp, hmax, vmax, w, h):
+    _cid, hs, vs, _tq = comp
+    cw = ((w * hs + hmax - 1) // hmax + 7) // 8
+    chh = ((h * vs + vmax - 1) // vmax + 7) // 8
+    return chh, cw
+
+
+def _emit_ac_first(bw, grid, chh, cw, ss, se, al, cac):
+    for by in range(chh):
+        for bx in range(cw):
+            zz = grid[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    c, ln = cac[0xF0]
+                    bw.put(c, ln)
+                    r -= 16
+                s = _category(t)
+                c, ln = cac[(r << 4) | s]
+                bw.put(c, ln)
+                bw.put(t if t >= 0 else t + (1 << s) - 1, s)
+                r = 0
+            if r:
+                c, ln = cac[0x00]  # EOB (run of exactly 1)
+                bw.put(c, ln)
+
+
+def _emit_ac_refine(bw, grid, chh, cw, ss, se, ah, al, cac):
+    """The jcphuff correction-bit discipline: buffered correction bits
+    flush right after each emitted symbol, and the r>15 ZRL check runs
+    at EVERY nonzero (correction positions included) so a buffered bit
+    never positionally outruns the ZRL that must precede it."""
+    for by in range(chh):
+        for bx in range(cw):
+            zz = grid[by, bx]
+            # last newly-significant position: ZRLs beyond it fold into EOB
+            last_new = -1
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                if (abs(v) >> ah) == 0 and (abs(v) >> al) != 0:
+                    last_new = k
+            r = 0
+            pending = []
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= last_new:
+                    c, ln = cac[0xF0]
+                    bw.put(c, ln)
+                    r -= 16
+                    for bit in pending:
+                        bw.put(bit, 1)
+                    pending = []
+                if (abs(v) >> ah) != 0:  # history nonzero: correction bit
+                    pending.append(t & 1)
+                    continue
+                # newly significant (t must be 1 at this precision)
+                c, ln = cac[(r << 4) | 1]
+                bw.put(c, ln)
+                bw.put(1 if v >= 0 else 0, 1)
+                for bit in pending:
+                    bw.put(bit, 1)
+                pending = []
+                r = 0
+            if r or pending:
+                c, ln = cac[0x00]  # EOB; decoder then reads the tail bits
+                bw.put(c, ln)
+                for bit in pending:
+                    bw.put(bit, 1)
+
+
+def encode_jpeg_progressive(rgb, quality=90, subsample="444", grayscale=False, script=None):
+    """Progressive encoding of the SAME coefficients encode_jpeg would
+    emit. script entries: ('dc', ah, al) — interleaved over all
+    components — or ('ac', ci, ss, se, ah, al). Default script uses
+    spectral selection AND successive approximation on both DC and AC."""
+    h, w = rgb.shape[:2]
+    comps, grids, mcux, mcuy, (qly, qlc), (hmax, vmax, _w, _h) = _coef_grids(
+        rgb, quality, subsample, grayscale
+    )
+    if script is None:
+        script = [("dc", 0, 1), ("dc", 1, 0)]
+        for ci in range(len(comps)):
+            script += [("ac", ci, 1, 5, 0, 1), ("ac", ci, 6, 63, 0, 1), ("ac", ci, 1, 63, 1, 0)]
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(int(qly.reshape(-1)[_ZZ][i]) for i in range(64)))
+    if not grayscale:
+        out += seg(0xDB, bytes([1]) + bytes(int(qlc.reshape(-1)[_ZZ][i]) for i in range(64)))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    for tc_th, (counts, syms) in [(0x00, _DC_LUMA), (0x10, _AC_LUMA)] + (
+        [] if grayscale else [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    ):
+        out += seg(0xC4, bytes([tc_th]) + bytes(counts) + bytes(syms))
+    dc_codes = (_codes(*_DC_LUMA), _codes(*_DC_CHROMA))
+    ac_luma, ac_chroma = _codes(*_AC_LUMA), _codes(*_AC_CHROMA)
+    for entry in script:
+        bw = _BitWriter()
+        if entry[0] == "dc":
+            _ah, _al = entry[1], entry[2]
+            sos = bytes([len(comps)])
+            for cid, _hs, _vs, tq in comps:
+                sos += bytes([cid, 0x00 if tq == 0 else 0x10])  # Td only
+            sos += bytes([0, 0, (_ah << 4) | _al])
+            out += seg(0xDA, sos)
+            if _ah == 0:
+                _emit_dc_first(bw, comps, grids, mcux, mcuy, _al, dc_codes)
+            else:
+                _emit_dc_refine(bw, comps, grids, mcux, mcuy, _al)
+        else:
+            _kind, ci, ss, se, _ah, _al = entry
+            cid, _hs, _vs, tq = comps[ci]
+            cac = ac_luma if tq == 0 else ac_chroma
+            sos = bytes([1, cid, 0x00 if tq == 0 else 0x11, ss, se, (_ah << 4) | _al])
+            out += seg(0xDA, sos)
+            chh, cw = _comp_grid_dims(comps[ci], hmax, vmax, w, h)
+            if _ah == 0:
+                _emit_ac_first(bw, grids[ci], chh, cw, ss, se, _al, cac)
+            else:
+                _emit_ac_refine(bw, grids[ci], chh, cw, ss, se, _ah, _al, cac)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_decodes_bit_identical_to_baseline():
+    """The strongest JPEG check here: a progressive multi-scan encoding
+    of the SAME quantized coefficients must decode to EXACTLY the same
+    pixels as the baseline encoding — spectral selection, DC and AC
+    successive approximation, refinement correction bits and EOB tails
+    all have to be read perfectly for equality to hold."""
+    for (w, h), subsample, gray in [
+        ((16, 16), "444", False),
+        ((24, 17), "444", False),
+        ((24, 17), "420", False),
+        ((33, 9), "422", False),
+        ((16, 16), "444", True),
+    ]:
+        img = _smooth(w, h, w + h)
+        base = decode_jpeg(encode_jpeg(img, quality=90, subsample=subsample, grayscale=gray))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=90, subsample=subsample, grayscale=gray)
+        )
+        assert base is not None and prog == base, (w, h, subsample, gray)
+
+
+def test_progressive_spectral_only_and_deep_refinement_scripts():
+    """Alternative scan scripts: spectral-selection-only, and a 3-level
+    successive approximation ladder — all bit-identical to baseline."""
+    img = _smooth(24, 16, 7)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    spectral = [("dc", 0, 0)]
+    for ci in range(3):
+        spectral += [("ac", ci, 1, 2, 0, 0), ("ac", ci, 3, 20, 0, 0), ("ac", ci, 21, 63, 0, 0)]
+    assert decode_jpeg(encode_jpeg_progressive(img, quality=85, script=spectral)) == base
+    ladder = [("dc", 0, 2), ("dc", 2, 1), ("dc", 1, 0)]
+    for ci in range(3):
+        ladder += [
+            ("ac", ci, 1, 63, 0, 2),
+            ("ac", ci, 1, 63, 2, 1),
+            ("ac", ci, 1, 63, 1, 0),
+        ]
+    assert decode_jpeg(encode_jpeg_progressive(img, quality=85, script=ladder)) == base
+
+
+def test_progressive_noise_image_bit_identical():
+    """High-frequency noise maximizes ZRL/EOB-run/correction-bit
+    interleavings — the hard cases for the refinement bitstream."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    for q in (50, 85, 95):
+        base = decode_jpeg(encode_jpeg(img, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+        assert base is not None and prog == base, q
+
+
+def test_real_world_progressive_interop():
+    """libjpeg-scripted progressive files from system packages decode
+    with correct dimensions and image-like statistics."""
+    cases = [
+        (
+            "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/rust/"
+            "html/embedded-book/assets/f3.jpg",
+            (720, 477),
+        ),
+        ("/usr/share/doc/nodejs/thin-white-stripe.jpg", (493, 58)),
+    ]
+    ran = 0
+    for path, dims in cases:
+        if not os.path.exists(path):
+            continue
+        r = decode_jpeg(open(path, "rb").read())
+        assert r is not None and (r[0], r[1]) == dims, path
+        a = np.frombuffer(r[2], np.uint8)
+        assert 10 < a.mean() < 245 and a.std() > 5, path
+        ran += 1
+    if not ran:
+        pytest.skip("no progressive interop fixtures on this machine")
+
+
+def test_progressive_adversarial_bytes_never_raise():
+    rng = np.random.RandomState(99)
+    base = encode_jpeg_progressive(_smooth(12, 10, 5), quality=90)
+    for _ in range(300):
+        b = bytearray(base)
+        for _k in range(rng.randint(1, 6)):
+            b[rng.randint(0, len(b))] = rng.randint(0, 256)
+        r = decode_jpeg(bytes(b))
+        assert r is None or len(r[2]) == r[0] * r[1] * 3

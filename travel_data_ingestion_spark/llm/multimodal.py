@@ -9,8 +9,9 @@ Media decode REALLY decodes: binary PPM (P6) payloads are parsed
 (decode_ppm) for true dimensions and pixels, the FULL legal PNG matrix
 inflates + unfilters with stdlib zlib alone (decode_png — gray / RGB /
 palette / gray+alpha / RGBA at depths 1/2/4/8/16, non-interlaced and
-Adam7, no codec library), baseline JPEG Huffman-decodes and IDCTs for
-real (llm/jpeg.decode_jpeg — SOF0/1, subsampling, restart markers),
+Adam7, no codec library), JPEG Huffman-decodes and IDCTs for real —
+baseline AND progressive (llm/jpeg.decode_jpeg — SOF0/1/2, spectral
+selection, successive approximation, subsampling, restart markers),
 the perceptual hash is a real DCT pHash over the decoded pixels of ANY
 decodable container (phash_bytes is format-invariant: a PPM and a PNG
 of the same pixels hash identically, and a JPEG re-encode lands within
@@ -18,8 +19,8 @@ a few bits), and RIFF/PCM WAV audio parses for real too (decode_wav
 -> extract_audio_features: sample rate, channels, duration, RMS over
 decoded samples). resize_images nearest-resamples decodable payloads
 and re-encodes in the source container. Formats that genuinely need a
-codec absent from this environment (progressive/arithmetic
-JPEG/mp3/flac/webp/video containers/...) fall back to the documented
+codec absent from this environment (arithmetic-coded JPEG, mp3/flac,
+webp, video containers, ...) fall back to the documented
 md5-derived stub
 (decode_image_stub with fake=True for dimensions, md5-prefix
 signatures) or NULL typed audio fields, which keeps every downstream
@@ -722,8 +723,8 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes] | None:
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
     """Decode any payload this environment can honestly decode — netpbm
-    (P1-P6), any legal PNG, GIF (first composited frame), baseline
-    JPEG (llm/jpeg.decode_jpeg), or uncompressed BMP — to (width,
+    (P1-P6), any legal PNG, GIF (first composited frame), baseline or
+    progressive JPEG (llm/jpeg.decode_jpeg), or uncompressed BMP — to (width,
     height, rgb_bytes); None routes the caller to the opaque-bytes
     stub path. The single decode entry every image operator (features,
     pHash, resize) goes through, so a new container added here lights

@@ -15,9 +15,10 @@ selection, successive approximation, subsampling, restart markers),
 the perceptual hash is a real DCT pHash over the decoded pixels of ANY
 decodable container (phash_bytes is format-invariant: a PPM and a PNG
 of the same pixels hash identically, and a JPEG re-encode lands within
-a few bits), and RIFF/PCM WAV audio parses for real too (decode_wav
--> extract_audio_features: sample rate, channels, duration, RMS over
-decoded samples). resize_images nearest-resamples decodable payloads
+a few bits), and audio parses for real too (decode_audio — WAV with
+integer PCM / IEEE float / G.711 mu-law+a-law / extensible, AIFF/AIFC,
+Sun AU — feeding extract_audio_features and a container-invariant
+audio pHash). resize_images nearest-resamples decodable payloads
 and re-encodes in the source container. Formats that genuinely need a
 codec absent from this environment (arithmetic-coded JPEG, mp3/flac,
 webp, video containers, ...) fall back to the documented
@@ -1025,12 +1026,11 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return cols.mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, int, bytes] | None:
-    """Parse an uncompressed RIFF/WAVE payload (PCM, format tag 1):
-    returns (sample_rate, n_channels, bits_per_sample, data_bytes) or
-    None for anything else — the audio twin of decode_ppm, same honest
-    scope: uncompressed containers decode for real, codec formats
-    (mp3/flac/...) fall back to the opaque path."""
+def _wav_chunks(payload: bytes):
+    """RIFF/WAVE chunk walk shared by decode_wav (legacy narrow API)
+    and decode_audio (full matrix): returns (rate, n_channels,
+    format_tag, bits, data_bytes) or None. WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) resolves to the SubFormat GUID's leading tag."""
     import struct
 
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -1042,15 +1042,208 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes] | None:
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
             tag, n_ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
-            if tag != 1:  # PCM only
-                return None
-            fmt = (rate, n_ch, bits)
+            if tag == 0xFFFE and len(body) >= 26:
+                # extensible: actual tag leads the 16-byte SubFormat GUID
+                (tag,) = struct.unpack("<H", body[24:26])
+            fmt = (rate, n_ch, tag, bits)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if fmt is None or data is None or fmt[2] not in (8, 16):
+    if fmt is None or data is None:
         return None
-    return fmt[0], fmt[1], fmt[2], data
+    return fmt[0], fmt[1], fmt[2], fmt[3], data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """Parse an uncompressed RIFF/WAVE payload (integer PCM, 8/16-bit):
+    returns (sample_rate, n_channels, bits_per_sample, data_bytes) or
+    None for anything else. This is the narrow legacy API some callers
+    still bind; decode_audio is the full-matrix decoder (24/32-bit,
+    float, mu-law/a-law, extensible, plus AIFF and AU containers)."""
+    got = _wav_chunks(payload)
+    if got is None:
+        return None
+    rate, n_ch, tag, bits, data = got
+    if tag != 1 or bits not in (8, 16):
+        return None
+    return rate, n_ch, bits, data
+
+
+def _ulaw_table():
+    """G.711 mu-law expansion, 256 -> int16 (validated against real
+    mu-law fixtures in tests: the expanded waveform must track the
+    same clip's linear-PCM rendering)."""
+    import numpy as np
+
+    out = np.zeros(256, dtype=np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        sign = u & 0x80
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        sample = (((mantissa << 3) + 0x84) << exponent) - 0x84
+        out[code] = -sample if sign else sample
+    return out
+
+
+def _alaw_table():
+    """G.711 a-law expansion, 256 -> int16 (same fixture validation)."""
+    import numpy as np
+
+    out = np.zeros(256, dtype=np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        sign = a & 0x80
+        exponent = (a >> 4) & 0x07
+        mantissa = a & 0x0F
+        if exponent == 0:
+            t = (mantissa << 4) + 8
+        else:
+            t = ((mantissa << 4) + 0x108) << (exponent - 1)
+        # a-law sign bit SET means positive (opposite of mu-law after
+        # its complement) — caught against the real a-law fixture,
+        # whose decode came out perfectly anti-correlated (-0.9999)
+        # with the same clip's linear PCM before this flip
+        out[code] = t if sign else -t
+    return out
+
+
+def _pcm_to_float(data: bytes, bits: int, big_endian: bool, signed8: bool):
+    """Integer PCM bytes -> float64 in [-1, 1)."""
+    import numpy as np
+
+    if bits == 8:
+        x = np.frombuffer(data, np.uint8).astype(np.float64)
+        return (x - 128.0) / 128.0 if not signed8 else (
+            np.frombuffer(data, np.int8).astype(np.float64) / 128.0
+        )
+    nbytes = bits // 8
+    usable = len(data) - len(data) % nbytes
+    if bits == 24:
+        raw = np.frombuffer(data, np.uint8, usable).reshape(-1, 3).astype(np.int32)
+        if big_endian:
+            v = (raw[:, 0] << 16) | (raw[:, 1] << 8) | raw[:, 2]
+        else:
+            v = (raw[:, 2] << 16) | (raw[:, 1] << 8) | raw[:, 0]
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return v.astype(np.float64) / float(1 << 23)
+    dt = {16: "i2", 32: "i4"}[bits]
+    x = np.frombuffer(data[:usable], (">" if big_endian else "<") + dt)
+    return x.astype(np.float64) / float(1 << (bits - 1))
+
+
+def _ieee80_to_int(b: bytes) -> int:
+    """AIFF's 80-bit extended float sample rate -> int Hz."""
+    import struct
+
+    se, hi, lo = struct.unpack(">HII", b[:10])
+    exponent = se & 0x7FFF
+    mantissa = (hi << 32) | lo
+    if exponent == 0 and mantissa == 0:
+        return 0
+    value = mantissa * 2.0 ** (exponent - 16383 - 63)
+    return int(round(-value if se & 0x8000 else value))
+
+
+def decode_audio(payload: bytes):
+    """Decode any audio container this environment can honestly decode
+    to (sample_rate, n_channels, float64 samples shaped
+    (n_frames, n_channels), normalized to [-1, 1)) — the audio twin of
+    decode_image: one canonical entry, so a new container added here
+    lights up features and the audio pHash unchanged.
+
+    Containers: RIFF/WAVE (integer PCM 8u/16/24/32, IEEE float 32/64,
+    G.711 mu-law/a-law, WAVE_FORMAT_EXTENSIBLE), AIFF/AIFC (big-endian
+    PCM 8s/16/24/32, 'sowt' little-endian 16, 'ulaw'/'alaw'
+    compression), and Sun AU (mu-law, PCM 8s/16/24/32, float 32/64,
+    a-law). mp3/flac/ogg need a real codec and return None — the
+    documented stub path."""
+    import struct
+
+    import numpy as np
+
+    try:
+        rate = n_ch = None
+        x = None
+        if payload[:4] == b"RIFF":
+            got = _wav_chunks(payload)
+            if got is None:
+                return None
+            rate, n_ch, tag, bits, data = got
+            if tag == 1 and bits in (8, 16, 24, 32):
+                x = _pcm_to_float(data, bits, big_endian=False, signed8=False)
+            elif tag == 3 and bits in (32, 64):
+                usable = len(data) - len(data) % (bits // 8)
+                x = np.frombuffer(
+                    data[:usable], "<f4" if bits == 32 else "<f8"
+                ).astype(np.float64)
+            elif tag == 7 and bits == 8:
+                x = _ulaw_table()[np.frombuffer(data, np.uint8)] / 32768.0
+            elif tag == 6 and bits == 8:
+                x = _alaw_table()[np.frombuffer(data, np.uint8)] / 32768.0
+            else:
+                return None
+        elif payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+            is_aifc = payload[8:12] == b"AIFC"
+            pos, comm, ssnd = 12, None, None
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                (size,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+                body = payload[pos + 8 : pos + 8 + size]
+                if cid == b"COMM" and len(body) >= 18:
+                    ch, _frames, bits = struct.unpack(">HIH", body[:8])
+                    srate = _ieee80_to_int(body[8:18])
+                    comp = body[18:22] if is_aifc and len(body) >= 22 else b"NONE"
+                    comm = (ch, bits, srate, comp)
+                elif cid == b"SSND" and len(body) >= 8:
+                    (offset,) = struct.unpack(">I", body[:4])
+                    ssnd = body[8 + offset :]
+                pos += 8 + size + (size & 1)
+            if comm is None or ssnd is None:
+                return None
+            n_ch, bits, rate, comp = comm
+            if comp in (b"NONE", b"none"):
+                if bits not in (8, 16, 24, 32):
+                    return None
+                x = _pcm_to_float(ssnd, bits, big_endian=True, signed8=True)
+            elif comp == b"sowt" and bits == 16:  # AIFC little-endian PCM
+                x = _pcm_to_float(ssnd, 16, big_endian=False, signed8=True)
+            elif comp in (b"ulaw", b"ULAW"):
+                x = _ulaw_table()[np.frombuffer(ssnd, np.uint8)] / 32768.0
+            elif comp in (b"alaw", b"ALAW"):
+                x = _alaw_table()[np.frombuffer(ssnd, np.uint8)] / 32768.0
+            else:
+                return None  # AIFC codec compressions: gated
+        elif payload[:4] == b".snd":
+            off, _size, enc, rate, n_ch = struct.unpack(">IIIII", payload[4:24])
+            if off < 24 or off > len(payload):
+                return None
+            data = payload[off:]
+            if enc == 1:
+                x = _ulaw_table()[np.frombuffer(data, np.uint8)] / 32768.0
+            elif enc in (2, 3, 4, 5):
+                bits = {2: 8, 3: 16, 4: 24, 5: 32}[enc]
+                x = _pcm_to_float(data, bits, big_endian=True, signed8=True)
+            elif enc in (6, 7):
+                nb = 4 if enc == 6 else 8
+                usable = len(data) - len(data) % nb
+                x = np.frombuffer(
+                    data[:usable], ">f4" if enc == 6 else ">f8"
+                ).astype(np.float64)
+            elif enc == 27:
+                x = _alaw_table()[np.frombuffer(data, np.uint8)] / 32768.0
+            else:
+                return None  # ADPCM and friends: gated
+        else:
+            return None
+        if x is None or not rate or not n_ch or n_ch > 64:
+            return None
+        n_frames = len(x) // n_ch
+        if n_frames * n_ch * 8 > MAX_DECODE_BYTES:
+            return None
+        return rate, n_ch, x[: n_frames * n_ch].reshape(n_frames, n_ch)
+    except (struct.error, ValueError, IndexError, OverflowError):
+        return None
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType(
@@ -1068,13 +1261,14 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
 
 
 def extract_audio_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched audio feature extraction: REAL RIFF/PCM parse
-    (decode_wav) for sample rate / channel count / duration and an RMS
-    energy over the decoded samples; non-WAV payloads yield NULL typed
-    fields (digest/byte count still computed) so mixed media tables
-    keep one schema. Same 100 TB shape as extract_features: map-only,
-    payload bytes cross to Python once, only small feature rows
-    return."""
+    """Arrow-batched audio feature extraction: REAL container parse
+    (decode_audio — WAV incl. float/mu-law/a-law/extensible, AIFF/AIFC,
+    Sun AU) for sample rate / channel count / duration and an RMS
+    energy over the decoded samples; undecodable payloads yield NULL
+    typed fields (digest/byte count still computed) so mixed media
+    tables keep one schema. Same 100 TB shape as extract_features:
+    map-only, payload bytes cross to Python once, only small feature
+    rows return."""
     import numpy as np
 
     cols = media.select("media_id", "payload")
@@ -1090,21 +1284,14 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 out["media_id"].append(mid)
                 out["n_bytes"].append(len(b))
                 out["digest"].append(hashlib.md5(b).hexdigest())
-                dec = decode_wav(b)
+                dec = decode_audio(b)
                 if dec is None:
                     for k in ("sample_rate", "n_channels", "n_samples",
                               "duration_s", "rms"):
                         out[k].append(None)
                     continue
-                rate, n_ch, bits, data = dec
-                if bits == 16:
-                    x = np.frombuffer(
-                        data[: len(data) - len(data) % 2], dtype="<i2"
-                    ).astype(np.float64) / 32768.0
-                else:
-                    x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
-                         - 128.0) / 128.0
-                n_samples = len(x) // n_ch if n_ch else 0
+                rate, n_ch, frames = dec
+                n_samples = frames.shape[0]
                 out["sample_rate"].append(rate)
                 out["n_channels"].append(n_ch)
                 out["n_samples"].append(n_samples)
@@ -1112,7 +1299,9 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     round(n_samples / rate, 6) if rate else None
                 )
                 out["rms"].append(
-                    round(float(np.sqrt((x ** 2).mean())), 6) if len(x) else 0.0
+                    round(float(np.sqrt((frames ** 2).mean())), 6)
+                    if frames.size
+                    else 0.0
                 )
             yield pd.DataFrame(out)
 
@@ -1125,11 +1314,13 @@ def audio_phash_bytes(payload: bytes) -> int:
     blocking so near-duplicate detection extends to audio with zero
     new pair machinery.
 
-    Decodable RIFF/PCM WAV: channels mix to mono, the waveform splits
+    Decodable audio (decode_audio: WAV / AIFF / AU incl. mu-law and
+    a-law): channels mix to mono, the waveform splits
     into 65 equal segments, and bit i says whether segment i+1 carries
     more energy than segment i (64 adjacent-energy comparisons). The
-    signature is invariant to global gain (comparisons are monotone
-    under scaling) and stable under light noise — re-encoded or
+    signature is invariant to global gain AND to the container carrying
+    the samples (normalization is a global scale; comparisons are
+    monotone under scaling) and stable under light noise — re-encoded or
     re-leveled copies land within a few bits, the classic
     crawl-audio-dedup case a byte digest can never catch. Undecodable
     payloads keep the documented md5-derived stub (identical bytes
@@ -1139,22 +1330,16 @@ def audio_phash_bytes(payload: bytes) -> int:
     literal payloads can anchor oracles and tests."""
     import numpy as np
 
-    dec = decode_wav(payload)
-    if dec is None or not dec[3]:
+    dec = decode_audio(payload)
+    if dec is None or dec[2].size == 0:
         v = int(hashlib.md5(payload).hexdigest()[:16], 16)
         return v - (1 << 64) if v >= (1 << 63) else v
-    rate, n_ch, bits, data = dec
-    if bits == 16:
-        x = np.frombuffer(
-            data[: len(data) - len(data) % 2], dtype="<i2"
-        ).astype(np.float64)
-    else:
-        x = np.frombuffer(data, np.uint8).astype(np.float64) - 128.0
-    n_frames = len(x) // max(n_ch, 1)
+    _rate, _n_ch, frames = dec
+    n_frames = frames.shape[0]
     if n_frames < 66:  # too short for 65 segments: hash the exact bytes
         v = int(hashlib.md5(payload).hexdigest()[:16], 16)
         return v - (1 << 64) if v >= (1 << 63) else v
-    mono = x[: n_frames * n_ch].reshape(n_frames, n_ch).mean(axis=1)
+    mono = frames.mean(axis=1)
     bounds = (np.arange(66) * n_frames) // 65
     energy = np.array(
         [float((mono[bounds[i] : bounds[i + 1]] ** 2).sum()) for i in range(65)]

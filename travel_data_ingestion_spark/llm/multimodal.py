@@ -17,10 +17,10 @@ decodable container (phash_bytes is format-invariant: a PPM and a PNG
 of the same pixels hash identically, and a JPEG re-encode lands within
 a few bits), and audio parses for real too (decode_audio — WAV with
 integer PCM / IEEE float / G.711 mu-law+a-law / extensible, AIFF/AIFC,
-Sun AU — feeding extract_audio_features and a container-invariant
-audio pHash). resize_images nearest-resamples decodable payloads
+Sun AU, native FLAC — feeding extract_audio_features and a
+container-invariant audio pHash). resize_images nearest-resamples decodable payloads
 and re-encodes in the source container. Formats that genuinely need a
-codec absent from this environment (arithmetic-coded JPEG, mp3/flac,
+codec absent from this environment (arithmetic-coded JPEG, mp3/ogg,
 webp, video containers, ...) fall back to the documented
 md5-derived stub
 (decode_image_stub with fake=True for dimensions, md5-prefix
@@ -1155,9 +1155,10 @@ def decode_audio(payload: bytes):
     Containers: RIFF/WAVE (integer PCM 8u/16/24/32, IEEE float 32/64,
     G.711 mu-law/a-law, WAVE_FORMAT_EXTENSIBLE), AIFF/AIFC (big-endian
     PCM 8s/16/24/32, 'sowt' little-endian 16, 'ulaw'/'alaw'
-    compression), and Sun AU (mu-law, PCM 8s/16/24/32, float 32/64,
-    a-law). mp3/flac/ogg need a real codec and return None — the
-    documented stub path."""
+    compression), Sun AU (mu-law, PCM 8s/16/24/32, float 32/64,
+    a-law), and native FLAC (llm/flac.decode_flac — every subframe
+    type and channel assignment, bit-exact). mp3/ogg need a real codec
+    and return None — the documented stub path."""
     import struct
 
     import numpy as np
@@ -1214,6 +1215,14 @@ def decode_audio(payload: bytes):
                 x = _alaw_table()[np.frombuffer(ssnd, np.uint8)] / 32768.0
             else:
                 return None  # AIFC codec compressions: gated
+        elif payload[:4] == b"fLaC":
+            from travel_data_ingestion_spark.llm.flac import decode_flac
+
+            got = decode_flac(payload)
+            if got is None:
+                return None
+            rate, n_ch, bits, ints = got
+            x = ints.astype(np.float64).reshape(-1) / float(1 << (bits - 1))
         elif payload[:4] == b".snd":
             off, _size, enc, rate, n_ch = struct.unpack(">IIIII", payload[4:24])
             if off < 24 or off > len(payload):

@@ -271,16 +271,19 @@ def test_media_phash_pairs_compose_with_cluster_index(spark, tmp_path):
     clusters keyed by their minimum media id."""
     from travel_data_ingestion_spark.dedup_index import ClusterIndex
     from travel_data_ingestion_spark.queries.llm_multimodal import (
+        _PLANTED_AUDIO_BASE_ID as A,
         _PLANTED_MEDIA_BASE_ID as B,
         mm03_phash_dedup,
-        planted_ppm_media,
+        planted_audio_media,
+        planted_image_media,
     )
 
     pairs = mm03_phash_dedup(spark, SF_DIR).select(
         F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
     )
     docs = spark.createDataFrame(
-        [(i,) for i, _p in planted_ppm_media()], "doc_id long"
+        [(i,) for i, _p in planted_image_media() + planted_audio_media()],
+        "doc_id long",
     )
     # corpus docs are duplicate-free (verified in llm_multimodal fixture
     # note), so every pair endpoint is a planted media row
@@ -289,7 +292,7 @@ def test_media_phash_pairs_compose_with_cluster_index(spark, tmp_path):
     clusters = {
         (r.cluster_id, r.cluster_size) for r in cc.clusters(spark).collect()
     }
-    assert clusters == {(B + 0, 3), (B + 10, 2)}
+    assert clusters == {(B + 0, 4), (B + 10, 2), (B + 20, 2), (A + 0, 4)}
 
 
 @pytest.mark.slow

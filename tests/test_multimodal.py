@@ -71,15 +71,31 @@ def test_phash_pairs_are_perceptual_not_byte_level():
         planted_ppm_media,
     )
 
-    payloads = dict(planted_ppm_media())
-    digests = {mid: hashlib.md5(p).hexdigest() for mid, p in payloads.items()}
+    from travel_data_ingestion_spark.llm.multimodal import audio_phash_bytes
+    from travel_data_ingestion_spark.queries.llm_multimodal import (
+        planted_audio_media,
+        planted_image_media,
+    )
+
+    payloads = dict(planted_image_media())
+    audio = dict(planted_audio_media())
+    digests = {
+        mid: hashlib.md5(p).hexdigest()
+        for mid, p in list(payloads.items()) + list(audio.items())
+    }
     assert len(set(digests.values())) == len(digests)  # all bytes distinct
     pairs = _planted_pairs()
-    assert len(pairs) == 4
+    # alpha clique of 4 (incl. the PNG re-encode) = 6 pairs, beta pair,
+    # gamma PPM<->JPEG pair, audio clique of 4 = 6 pairs
+    assert len(pairs) == 14
     # at least one NON-ZERO hamming pair: genuinely near, not identical
     assert any(h > 0 for _a, _b, h in pairs)
+    # no accidental image<->audio cross pairs
+    assert not any(a < 4_000_000_000 <= b for a, b, _h in pairs)
     for a, b, h in pairs:
-        pa, pb = phash_bytes(payloads[a]), phash_bytes(payloads[b])
+        fn = audio_phash_bytes if a in audio else phash_bytes
+        src_map = audio if a in audio else payloads
+        pa, pb = fn(src_map[a]), fn(src_map[b])
         assert bin((pa ^ pb) & (2**64 - 1)).count("1") == h <= 3
 
 

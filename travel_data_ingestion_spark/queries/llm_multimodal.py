@@ -97,14 +97,19 @@ def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Planted near-duplicate media: the corpus' PPM renders are verified
-# pHash-spread (min pairwise hamming 10-14 at sf0.001/0.01/0.1 — no
+# pHash-spread (min pairwise hamming 10-14, and min corpus-vs-planted
+# hamming 16-20 against the FULL planted signature set incl. the
+# cross-container and audio entries, at sf0.001/0.01/0.1 — no
 # accidental pairs at the <=3 threshold), so the graded pairs come from
-# planted images. Unlike the former md5-stub era, the planted copies
+# planted media. Unlike the former md5-stub era, the planted copies
 # DIFFER AT THE BYTE LEVEL: A1 perturbs 32 pixels (+16) of the base and
-# still hashes identically (hamming 0), A2 perturbs 56 pixels (+20) and
-# lands at hamming 2 — matches only a real perceptual hash can make.
-# IDs start at 3e9, above real doc_ids and other fixtures' 1e9/2e9
-# blocks.
+# still hashes identically (hamming 0), A2 perturbs 56 pixels (+20)
+# lands at hamming 2, A3 is a LOSSLESS PNG re-encode (hamming 0), the
+# gamma pair is a PPM and its baseline-JPEG re-encode (hamming 0), and
+# the audio clique is one clip through WAV/FLAC/AIFF plus a half-gain
+# re-level — matches only real perceptual hashes over real decodes can
+# make. Image IDs start at 3e9 (above real doc_ids and other fixtures'
+# 1e9/2e9 blocks), audio at 4e9.
 _PLANTED_MEDIA_BASE_ID = 3_000_000_000
 
 
@@ -141,15 +146,201 @@ def planted_ppm_media() -> list[tuple[int, bytes]]:
     ]
 
 
+# A real-world JPEG re-encode of the gamma smooth base (32x24 sinusoid,
+# seed 8, quality-95 4:4:4 baseline): generated once by the independent
+# T.81 test encoder and pinned as a literal, because the package
+# deliberately carries no JPEG ENCODER — only the decoder. Measured
+# pHash hamming 0 against the gamma PPM (deterministic bytes on both
+# sides; tests/test_jpeg.py pins the format-tracking property broadly).
+_GAMMA_JPEG = bytes.fromhex(
+    "ffd8ffdb004300020101010101020101010202020202040302020202050404030406"
+    "0506060605060606070908060709070606080b08090a0a0a0a0a06080b0c0b0a0c09"
+    "0a0a0affdb004301020202020202050303050a0706070a0a0a0a0a0a0a0a0a0a0a0a"
+    "0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a0a"
+    "0a0a0a0affc00011080018002003011100021101031101ffc4001f00000105010101"
+    "01010100000000000000000102030405060708090a0bffc400b51000020103030204"
+    "03050504040000017d01020300041105122131410613516107227114328191a10823"
+    "42b1c11552d1f02433627282090a161718191a25262728292a3435363738393a4344"
+    "45464748494a535455565758595a636465666768696a737475767778797a83848586"
+    "8788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4"
+    "c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9"
+    "faffc4001f0100030101010101010101010000000000000102030405060708090a0b"
+    "ffc400b5110002010204040304070504040001027700010203110405213106124151"
+    "0761711322328108144291a1b1c109233352f0156272d10a162434e125f11718191a"
+    "262728292a35363738393a434445464748494a535455565758595a63646566676869"
+    "6a737475767778797a82838485868788898a92939495969798999aa2a3a4a5a6a7a8"
+    "a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae2e3e4e5e6"
+    "e7e8e9eaf2f3f4f5f6f7f8f9faffda000c03010002110311003f00f2ff00137c48bd"
+    "f126a2c1672c0b7ad7e798aa9c913f993134b179e636cb5bb3aaf86da149792a4f32"
+    "e79ef5f198e73ad2b23fa03c38f0ca55a71a9381ed3a45f5a787ec03330185ae8ca3"
+    "866b63ab2d0febbcb723c2645824dab591c2fc4ef8d296b13c10dcf63d0d7f4a7047"
+    "878bdd94a07e27e22f18c30f4e54e123c1fe1bf87ee752b849a552727b8afc471509"
+    "547647c3f879e1bcf1356352703dd7c350db68562aef8185aeacab876a632aad0fec"
+    "5c9787b0791e0936ad64735f11fe2ba58c0f0c53e38ec6bfa2383380d5e32944fcaf"
+    "c42e33a383a5284247867897c6b7daf5eb224a4e4fad7f4765792e1f2da09b47f1ae"
+    "7b99e273bc6b8a77bb3dc3c15e188344b2592440081e95fc1d96e4b3c5555a1fe967"
+    "0f70f61325c1a949256455f1ef8e63d36d9a18a4c607ad7ef3c23c1caf19389f05c7"
+    "fc71432fa128424787f8afc4b7dae5e18d1c9c9afe81cb32dc365d41368fe26e28e2"
+    "4c46738c718bbdd9ade00f005d6a77092cb11393dc57cbf13f1551c1526933eb380f"
+    "82eae63888ce713fffd9"
+)
+
+
+def _gamma_smooth():
+    """The gamma base: a low-frequency sinusoid (JPEG-representable, so
+    the lossy re-encode stays at pHash hamming 0)."""
+    import numpy as np
+
+    r = np.random.RandomState(8)
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.zeros((24, 32, 3))
+    for c in range(3):
+        a, b, ph = r.uniform(30, 100), r.uniform(0.02, 0.2, 2), r.uniform(0, 6)
+        img[:, :, c] = 128 + a * np.sin(b[0] * xx + b[1] * yy + ph)
+    return np.clip(img, 0, 255).astype("uint8")
+
+
+def planted_image_media() -> list[tuple[int, bytes]]:
+    """All planted image payloads mm03 grades: the PPM set plus
+    CROSS-CONTAINER re-encodes — a lossless PNG of the alpha base
+    (byte-level completely different, pHash hamming 0) and a baseline
+    JPEG of the gamma base (lossy container, still hamming 0) — the
+    re-encoded-crawl-copy cases a byte digest can never pair."""
+    from travel_data_ingestion_spark.llm.multimodal import encode_png
+
+    import numpy as np
+
+    a0 = np.random.RandomState(42).randint(0, 256, (24, 24, 3)).astype("uint8")
+    g0 = _gamma_smooth()
+    return planted_ppm_media() + [
+        (_PLANTED_MEDIA_BASE_ID + 3, encode_png(24, 24, a0.tobytes())),
+        (_PLANTED_MEDIA_BASE_ID + 20, _ppm_bytes(g0)),
+        (_PLANTED_MEDIA_BASE_ID + 21, _GAMMA_JPEG),
+    ]
+
+
+# audio planted ids live above the image block
+_PLANTED_AUDIO_BASE_ID = 4_000_000_000
+
+
+def _env_clip(gain: float = 1.0):
+    """Deterministic mono clip with a strong amplitude envelope (the
+    audio pHash's adjacent-energy bits need envelope structure)."""
+    import numpy as np
+
+    n = 2000
+    t = np.arange(n)
+    env = 3000 + 2500 * np.sin(2 * np.pi * t / 837) + 1500 * np.sin(2 * np.pi * t / 264)
+    x = env * np.sin(2 * np.pi * t / 29) * gain
+    return np.clip(x, -32768, 32767).astype("int64")
+
+
+def _wav_pcm16(x, rate: int = 8000) -> bytes:
+    import struct
+
+    data = b"".join(struct.pack("<h", int(v)) for v in x)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _aiff_pcm16(x, rate: int = 8000) -> bytes:
+    import struct
+
+    e, m = 16383 + 63, rate
+    while m < 1 << 63:
+        m <<= 1
+        e -= 1
+    comm = struct.pack(">HIH", 1, len(x), 16) + struct.pack(
+        ">HII", e, m >> 32, m & 0xFFFFFFFF
+    )
+    data = b"".join(struct.pack(">h", int(v)) for v in x)
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+    body += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def _flac_verbatim16(x, rate: int = 8000) -> bytes:
+    """Minimal verbatim-subframe FLAC writer — a planted-FIXTURE
+    generator only (like _ppm_bytes); the package ships a FLAC decoder,
+    not an encoder. One mono 16-bit frame, blocksize-code 7."""
+    from travel_data_ingestion_spark.llm.flac import _crc8
+
+    bits_out = bytearray()
+    acc = [0, 0]  # value, nbits
+
+    def put(v, n):
+        acc[0] = (acc[0] << n) | (v & ((1 << n) - 1))
+        acc[1] += n
+        while acc[1] >= 8:
+            bits_out.append((acc[0] >> (acc[1] - 8)) & 0xFF)
+            acc[1] -= 8
+            acc[0] &= (1 << acc[1]) - 1
+
+    n = len(x)
+    put(n, 16)
+    put(n, 16)
+    put(0, 24)
+    put(0, 24)
+    put(rate, 20)
+    put(0, 3)  # 1 channel
+    put(15, 5)  # 16 bits
+    put(n, 36)
+    streaminfo = bytes(bits_out) + bytes(16)  # + unchecked md5
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    bits_out.clear()
+    acc[0] = acc[1] = 0
+    put(0x3FFE, 14)
+    put(0, 2)
+    put(7, 4)  # 16-bit blocksize follows
+    put(0, 4)  # rate from streaminfo
+    put(0, 4)  # 1 channel independent
+    put(0, 3)  # size from streaminfo
+    put(0, 1)
+    put(0, 8)  # frame number 0
+    put(n - 1, 16)
+    hdr = bytes(bits_out)
+    bits_out.clear()
+    put(0, 1)
+    put(1, 6)  # VERBATIM
+    put(0, 1)  # no wasted bits
+    for v in x:
+        put(int(v) & 0xFFFF, 16)
+    if acc[1]:
+        put(0, 8 - acc[1])
+    return bytes(out) + hdr + bytes([_crc8(hdr)]) + bytes(bits_out) + b"\x00\x00"
+
+
+def planted_audio_media() -> list[tuple[int, bytes]]:
+    """Planted audio payloads: the SAME clip through four containers —
+    WAV, native FLAC, AIFF, and a half-gain WAV re-level — all hashing
+    identically (audio_phash_bytes is container- and gain-invariant),
+    so mm03's one pair generator grades audio near-dup too."""
+    x = _env_clip()
+    return [
+        (_PLANTED_AUDIO_BASE_ID + 0, _wav_pcm16(x)),
+        (_PLANTED_AUDIO_BASE_ID + 1, _flac_verbatim16(x)),
+        (_PLANTED_AUDIO_BASE_ID + 2, _aiff_pcm16(x)),
+        (_PLANTED_AUDIO_BASE_ID + 3, _wav_pcm16(_env_clip(0.5))),
+    ]
+
+
 def _planted_pairs() -> list[tuple[int, int, int]]:
     """The planted pairs at hamming<=3, computed at import by the SAME
-    pure phash_bytes the Spark kernel maps over payload bytes — the
-    literal-coefficient pattern sim02's md5-seeded hyperplanes use. The
-    corpus contributes no pairs (verified pHash spread, see above), so
-    these literals ARE the expected output; any drift in the decode ->
-    DCT -> threshold chain breaks the hash match."""
-    media = planted_ppm_media()
-    sigs = [(mid, phash_bytes(p)) for mid, p in media]
+    pure hash functions the Spark kernels map over payload bytes
+    (phash_bytes for image containers, audio_phash_bytes for audio) —
+    the literal-coefficient pattern sim02's md5-seeded hyperplanes use.
+    The corpus contributes no pairs (verified pHash spread vs both the
+    image AND audio planted signatures, see above), so these literals
+    ARE the expected output; any drift in any decode -> hash chain,
+    image or audio, breaks the hash match."""
+    from travel_data_ingestion_spark.llm.multimodal import audio_phash_bytes
+
+    sigs = [(mid, phash_bytes(p)) for mid, p in planted_image_media()]
+    sigs += [(mid, audio_phash_bytes(p)) for mid, p in planted_audio_media()]
     out = []
     for i in range(len(sigs)):
         for j in range(i + 1, len(sigs)):
@@ -174,34 +365,46 @@ def _phash_dedup_oracle() -> str:
     "mm03_phash_dedup",
     _phash_dedup_oracle(),
     survey_ops=("X-MM-3",),
-    doc="Multimodal near-dup detection with a REAL perceptual hash: "
-    "64-bit DCT pHash signatures over decoded PPM pixels (Arrow-batched "
-    "mapInPandas — payload bytes cross to Python once, only a long "
-    "returns; llm.multimodal.phash_bytes: grayscale -> 32x32 resample "
-    "-> 2-D DCT-II -> 8x8 median threshold), then pairs at hamming<=3 "
-    "via the same distinct-signature pigeonhole blocking dd04 uses "
-    "(llm_dedup.hamming_pairs: 4x16-bit chunks, lossless, flood-proof). "
-    "The planted duplicates differ at the byte level (md5 could never "
-    "pair them): one pair at hamming 0 (32 perturbed pixels), one at "
-    "hamming 2 — evidence of genuine near-duplicate matching. Oracle = "
-    "the planted pairs as literals computed at import by the same pure "
-    "phash_bytes (sim02's literal-coefficient pattern); the corpus "
-    "contributes no pairs (measured min pairwise hamming 10-14 across "
+    doc="Multimodal near-dup detection with REAL perceptual hashes "
+    "across modalities AND containers: 64-bit DCT pHash signatures over "
+    "decoded image pixels (PPM/PNG/JPEG via decode_image; grayscale -> "
+    "32x32 resample -> 2-D DCT-II -> 8x8 median threshold) UNION "
+    "adjacent-energy audio pHash signatures over decoded samples "
+    "(WAV/FLAC/AIFF via decode_audio), then ONE pair generator at "
+    "hamming<=3 — the same distinct-signature pigeonhole blocking dd04 "
+    "uses (llm_dedup.hamming_pairs: 4x16-bit chunks, lossless, "
+    "flood-proof). The planted duplicates differ at the byte level and "
+    "even at the CONTAINER level (a PNG and a baseline-JPEG re-encode "
+    "pair with their sources at hamming 0; one audio clip pairs across "
+    "WAV/FLAC/AIFF and a half-gain re-level) — matches no byte digest "
+    "can make. Oracle = the planted pairs as literals computed at "
+    "import by the same pure hash functions (sim02's "
+    "literal-coefficient pattern); the corpus contributes no pairs "
+    "(measured min corpus-vs-planted hamming 16-20 across "
     "sf0.001/0.01/0.1). At 100 TB: signature extraction is the only "
     "pass that reads payload bytes; pair generation runs on 8-byte "
     "signatures.",
 )
 def mm03_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from travel_data_ingestion_spark.llm.multimodal import phash_signatures
+    from travel_data_ingestion_spark.llm.multimodal import (
+        audio_phash_signatures,
+        phash_signatures,
+    )
     from travel_data_ingestion_spark.queries.llm_dedup import hamming_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = ppm_media_from_documents(docs).select("media_id", "payload")
-    planted = spark.createDataFrame(
-        [(mid, bytearray(p)) for mid, p in planted_ppm_media()],
+    planted_img = spark.createDataFrame(
+        [(mid, bytearray(p)) for mid, p in planted_image_media()],
         "media_id long, payload binary",
     )
-    sigs = phash_signatures(corpus.unionByName(planted))
+    planted_aud = spark.createDataFrame(
+        [(mid, bytearray(p)) for mid, p in planted_audio_media()],
+        "media_id long, payload binary",
+    )
+    sigs = phash_signatures(corpus.unionByName(planted_img)).unionByName(
+        audio_phash_signatures(planted_aud)
+    )
     return hamming_pairs(sigs, "media_id", "phash").select(
         F.col("id_a").alias("media_a"), F.col("id_b").alias("media_b"), "hamming"
     )
@@ -241,8 +444,11 @@ def _media_clusters_oracle() -> str:
     "propagation dd06 runs on text (llm_dedup.propagate_min_labels — "
     "the pair schema is the contract, so media clustering is the text "
     "machinery applied to a different signature). Survivors = cluster "
-    "minima; the planted near-duplicate images collapse into a size-3 "
-    "and a size-2 cluster every round, keeping the row non-vacuous. "
+    "minima; the planted media collapse into a size-4 image cluster "
+    "(incl. the PNG re-encode), two size-2 image clusters (one pairing "
+    "a PPM with its JPEG re-encode), and a size-4 audio cluster "
+    "(WAV/FLAC/AIFF/re-leveled) every round, keeping the row "
+    "non-vacuous. "
     "Propagation runs over edge endpoints only (O(pairs) per pass, "
     "converged-verified, memoized per run); the DuckDB oracle computes "
     "the same components with a recursive-CTE transitive closure over "

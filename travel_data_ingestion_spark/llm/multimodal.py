@@ -21,7 +21,8 @@ Sun AU, native FLAC — feeding extract_audio_features and a
 container-invariant audio pHash). resize_images nearest-resamples decodable payloads
 and re-encodes in the source container. Formats that genuinely need a
 codec absent from this environment (arithmetic-coded JPEG, mp3/ogg,
-webp, video containers, ...) fall back to the documented
+webp, real video codecs — MJPEG/DIB AVI decodes via decode_avi, ...)
+fall back to the documented
 md5-derived stub
 (decode_image_stub with fake=True for dimensions, md5-prefix
 signatures) or NULL typed audio fields, which keeps every downstream
@@ -92,6 +93,7 @@ MIME_BY_EXT = {
     "wav": "audio/wav",
     "mp3": "audio/mpeg",
     "flac": "audio/flac",
+    "avi": "video/x-msvideo",
     "mp4": "video/mp4",
     "webm": "video/webm",
     "mkv": "video/x-matroska",
@@ -718,6 +720,93 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes] | None:
                 axis=2,
             )
         return w, h, np.ascontiguousarray(rgb).astype(np.uint8).tobytes()
+    except (struct.error, ValueError, IndexError, OverflowError):
+        return None
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, list[bytes]] | None:
+    """Parse an AVI (RIFF) video whose stream this environment can
+    honestly decode — MJPEG (every frame is a baseline/progressive
+    JPEG, llm/jpeg.decode_jpeg) or uncompressed DIB (bottom-up BGR,
+    24/32-bit) — to (width, height, [rgb_frames]), the decode_gif
+    contract, so frame sampling and the whole still pipeline compose
+    downstream unchanged. Real codec streams (H.264/VP9/...) return
+    None. Cumulative decoded frame bytes are capped (frame COUNT is
+    attacker-chosen) like GIF compositing."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    try:
+        w = h = None
+        handler = None
+        bpp = 24
+        frames: list[bytes] = []
+        decoded = 0
+
+        def walk(at: int, end: int):
+            nonlocal w, h, handler, bpp, decoded
+            while at + 8 <= end:
+                cid = payload[at : at + 4]
+                (size,) = struct.unpack("<I", payload[at + 4 : at + 8])
+                body_at = at + 8
+                if cid == b"LIST":
+                    walk(body_at + 4, body_at + size)
+                elif cid == b"avih" and size >= 40:
+                    w2, h2 = struct.unpack(
+                        "<II", payload[body_at + 32 : body_at + 40]
+                    )
+                    w, h = w or w2, h or h2
+                elif cid == b"strh" and size >= 16:
+                    if payload[body_at : body_at + 4] == b"vids":
+                        handler = payload[body_at + 4 : body_at + 8]
+                elif cid == b"strf" and size >= 20 and handler is not None:
+                    bw, bh = struct.unpack("<ii", payload[body_at + 4 : body_at + 12])
+                    (bits,) = struct.unpack("<H", payload[body_at + 14 : body_at + 16])
+                    comp = payload[body_at + 16 : body_at + 20]
+                    w, h = bw or w, abs(bh) or h
+                    bpp = bits or 24
+                    if comp not in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00"):
+                        handler = comp  # codec fourcc: gates below
+                elif cid[2:4] in (b"dc", b"db") and cid[:2] == b"00":
+                    if not w or not h:
+                        raise ValueError("frame before header")
+                    chunk = payload[body_at : body_at + size]
+                    if chunk[:2] == b"\xff\xd8":
+                        dec = decode_jpeg(chunk)
+                        if dec is None:
+                            raise ValueError("bad mjpeg frame")
+                        fw, fh, rgb = dec
+                        if (fw, fh) != (w, h):
+                            raise ValueError("frame dims disagree with header")
+                    elif handler in (b"DIB ", b"\x00\x00\x00\x00", b"RGB ") or (
+                        handler and handler.lower() in (b"dib ", b"rgb ")
+                    ):
+                        npx = bpp // 8
+                        if bpp not in (24, 32):
+                            raise ValueError("unsupported dib depth")
+                        stride = ((w * npx + 3) // 4) * 4
+                        if len(chunk) < stride * h:
+                            raise ValueError("short dib frame")
+                        rows = np.frombuffer(
+                            chunk, np.uint8, stride * h
+                        ).reshape(h, stride)[::-1]
+                        px = rows[:, : w * npx].reshape(h, w, npx)
+                        rgb = np.ascontiguousarray(px[:, :, 2::-1]).tobytes()
+                    else:
+                        raise ValueError("codec stream")  # honest gate
+                    decoded += w * h * 3
+                    if decoded > MAX_DECODE_BYTES:
+                        raise ValueError("decode cap")
+                    frames.append(rgb)
+                at = body_at + size + (size & 1)
+
+        walk(12, len(payload))
+        if w is None or not frames:
+            return None
+        return int(w), int(h), frames
     except (struct.error, ValueError, IndexError, OverflowError):
         return None
 
@@ -1395,8 +1484,9 @@ FRAME_SCHEMA = T.StructType(
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """REAL frame sampling over the binary column: multi-frame
-    containers (GIF, decoded in pure Python — LZW + compositing, see
-    decode_gif) emit every Nth COMPOSITED frame re-encoded as a P6 PPM
+    containers (GIF — pure-Python LZW + compositing, see decode_gif —
+    and AVI video with MJPEG or uncompressed DIB streams, see
+    decode_avi) emit every Nth frame re-encoded as a P6 PPM
     payload, still images emit their single frame at index 0, and
     undecodable payloads emit nothing. Each emitted frame is a
     first-class image payload, so the entire still pipeline composes
@@ -1427,9 +1517,9 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             }
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(p)
-                gif = decode_gif(b)
-                if gif is not None:
-                    w, h, frames = gif
+                multi = decode_gif(b) or decode_avi(b)
+                if multi is not None:
+                    w, h, frames = multi
                     picks = [(i, frames[i]) for i in range(0, len(frames), every_n)]
                 else:
                     dec = decode_image(b)

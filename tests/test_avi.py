@@ -139,3 +139,93 @@ def test_avi_adversarial_totality():
             b[rng.randint(0, len(b))] = rng.randint(0, 256)
         r = decode_avi(bytes(b))
         assert r is None or all(len(f) == r[0] * r[1] * 3 for f in r[2])
+
+
+def _avi_multi(streams, w, h, frame_chunks) -> bytes:
+    """Multi-stream AVI builder: streams = [(fccType, handler, strf_body)],
+    frame_chunks = [(chunk_id, data)] in movi order."""
+    avih = struct.pack("<IIIIIIIIII", 33333, 0, 0, 0, len(frame_chunks), 0,
+                       len(streams), 0, w, h) + bytes(16)
+    strls = b""
+    for fcc, handler, strf in streams:
+        strh = fcc + handler + bytes(48)
+        strls += _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strls)
+    movi = _list(b"movi", b"".join(_chunk(cid, d) for cid, d in frame_chunks))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _vid_strf(w, h, bits, comp):
+    return struct.pack("<IiiHH4sIiiII", 40, w, h, 1, bits, comp, 0, 0, 0, 0, 0)
+
+
+def test_audio_track_does_not_clobber_video_header():
+    """An audio stream's WAVEFORMATEX strf (>=20 bytes) must not be
+    misread as a BITMAPINFOHEADER — the review-found failure made every
+    audio+video file return None because nSamplesPerSec clobbered the
+    width. Frames also match by the VIDEO stream's chunk index."""
+    img = _smooth(16, 16, 4)
+    wavefmt = struct.pack("<HHIIHHH", 0x55, 2, 44100, 176400, 4, 16, 0)  # MP3-ish
+    payload = _avi_multi(
+        [
+            (b"vids", b"MJPG", _vid_strf(16, 16, 24, b"MJPG")),
+            (b"auds", b"\x00\x00\x00\x00", wavefmt),
+        ],
+        16,
+        16,
+        [(b"00dc", encode_jpeg(img, quality=95)), (b"01wb", b"fake-audio-data")],
+    )
+    got = decode_avi(payload)
+    assert got is not None and (got[0], got[1]) == (16, 16) and len(got[2]) == 1
+
+
+def test_video_as_second_stream():
+    """vids need not be stream 0: frames arrive as 01dc and audio-as-
+    stream-0's chunks are ignored."""
+    img = _smooth(16, 16, 5)
+    wavefmt = struct.pack("<HHIIHHH", 1, 1, 8000, 16000, 2, 16, 0)
+    payload = _avi_multi(
+        [
+            (b"auds", b"\x00\x00\x00\x00", wavefmt),
+            (b"vids", b"MJPG", _vid_strf(16, 16, 24, b"MJPG")),
+        ],
+        16,
+        16,
+        [(b"00wb", b"audio-bytes"), (b"01dc", encode_jpeg(img, quality=95))],
+    )
+    got = decode_avi(payload)
+    assert got is not None and len(got[2]) == 1
+
+
+def test_top_down_dib_is_not_mirrored():
+    """Negative biHeight marks a top-down DIB: rows must NOT be
+    flipped (the review-found failure mirrored such frames
+    vertically)."""
+    rgb = np.zeros((2, 4, 3), np.uint8)
+    rgb[0, :, 0] = 255  # top row red, bottom row blue
+    rgb[1, :, 2] = 255
+    stride = ((4 * 3 + 3) // 4) * 4
+    top_down_rows = b"".join(
+        rgb[y, :, ::-1].tobytes() + bytes(stride - 12) for y in range(2)
+    )
+    payload = _avi_multi(
+        [(b"vids", b"DIB ", _vid_strf(4, -2, 24, b"\x00\x00\x00\x00"))],
+        4,
+        2,
+        [(b"00db", top_down_rows)],
+    )
+    got = decode_avi(payload)
+    assert got is not None and got[2][0] == rgb.tobytes()
+
+
+def test_nested_list_bomb_never_raises():
+    """~6000 nested LIST chunks must return None/empty, not blow the
+    recursion limit past the never-raises contract (the walk is an
+    explicit stack now)."""
+    depth = 6000
+    inner = _chunk(b"avih", bytes(56))
+    for _ in range(depth):
+        inner = _list(b"hdrl", inner)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    assert decode_avi(payload) is None  # no frames -> None, and NO raise

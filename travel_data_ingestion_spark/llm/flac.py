@@ -159,7 +159,10 @@ def _decode_flac(payload: bytes):
     rate, n_ch, bits, total = info
     if not rate or bits not in (8, 12, 16, 20, 24):
         return None
-    if total and total * n_ch * 4 > MAX_DECODE_BYTES:
+    # budget 16 bytes per sample: the int64 decode buffer plus the
+    # float64 copy decode_audio makes — the cap bounds PEAK allocation,
+    # not just the nominal output size
+    if total and total * n_ch * 16 > MAX_DECODE_BYTES:
         return None
     out = []
     got = 0
@@ -174,7 +177,7 @@ def _decode_flac(payload: bytes):
         samples, pos = frame
         out.append(samples)
         got += samples.shape[0]
-        if got * n_ch * 4 > MAX_DECODE_BYTES:
+        if got * n_ch * 16 > MAX_DECODE_BYTES:
             return None
         if total and got >= total:
             break

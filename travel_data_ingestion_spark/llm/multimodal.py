@@ -232,6 +232,21 @@ def _png_unfilter(raw: bytes, at: int, h: int, stride: int, bpp: int):
     return out, at
 
 
+def _unpack_msb_first(rows, w: int, depth: int):
+    """MSB-first sub-byte unpack shared by PNG scanlines and BMP
+    palette rows: (h, stride) packed bytes -> (h, w) values, depth in
+    (1, 2, 4) — one implementation, so a bit-order fix can't miss a
+    copy."""
+    import numpy as np
+
+    bits = np.unpackbits(rows, axis=1)
+    n = bits.shape[1] // depth
+    vals = np.zeros((rows.shape[0], n), dtype=np.uint8)
+    for j in range(depth):
+        vals = (vals << 1) | bits[:, j::depth][:, :n]
+    return vals[:, :w]
+
+
 def _png_samples(rows, w: int, ch: int, depth: int):
     """(h, stride) unfiltered scanline bytes -> (h, w, ch) u8 samples.
     Sub-byte depths unpack MSB-first (ch is always 1 there — gray or
@@ -246,12 +261,7 @@ def _png_samples(rows, w: int, ch: int, depth: int):
         pairs = rows[:, : w * ch * 2].reshape(h, w * ch, 2).astype(np.uint32)
         v = (pairs[..., 0] << 8) | pairs[..., 1]
         return ((v * 255 + 32767) // 65535).astype(np.uint8).reshape(h, w, ch)
-    bits = np.unpackbits(rows, axis=1)
-    n = bits.shape[1] // depth
-    vals = np.zeros((h, n), dtype=np.uint8)
-    for j in range(depth):
-        vals = (vals << 1) | bits[:, j::depth][:, :n]
-    return vals[:, :w].reshape(h, w, 1)
+    return _unpack_msb_first(rows, w, depth).reshape(h, w, 1)
 
 
 def decode_png(payload: bytes) -> tuple[int, int, bytes] | None:
@@ -693,12 +703,7 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes] | None:
         if not top_down:
             rows = rows[::-1]
         if bpp <= 8:
-            bits = np.unpackbits(rows, axis=1)
-            n = bits.shape[1] // bpp
-            idx = np.zeros((h, n), dtype=np.uint8)
-            for j in range(bpp):
-                idx = (idx << 1) | bits[:, j::bpp][:, :n]
-            idx = idx[:, :w]
+            idx = _unpack_msb_first(rows, w, bpp)
             if int(idx.max()) >= len(palette):
                 return None
             rgb = palette[idx]
@@ -725,14 +730,21 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes] | None:
 
 
 def decode_avi(payload: bytes) -> tuple[int, int, list[bytes]] | None:
-    """Parse an AVI (RIFF) video whose stream this environment can
-    honestly decode — MJPEG (every frame is a baseline/progressive
-    JPEG, llm/jpeg.decode_jpeg) or uncompressed DIB (bottom-up BGR,
-    24/32-bit) — to (width, height, [rgb_frames]), the decode_gif
-    contract, so frame sampling and the whole still pipeline compose
-    downstream unchanged. Real codec streams (H.264/VP9/...) return
-    None. Cumulative decoded frame bytes are capped (frame COUNT is
-    attacker-chosen) like GIF compositing."""
+    """Parse an AVI (RIFF) video whose VIDEO stream this environment
+    can honestly decode — MJPEG (every frame is a baseline/progressive
+    JPEG, llm/jpeg.decode_jpeg) or uncompressed DIB (24/32-bit BGR,
+    bottom-up or top-down via biHeight's sign) — to (width, height,
+    [rgb_frames]), the decode_gif contract, so frame sampling and the
+    whole still pipeline compose downstream unchanged. Stream-aware:
+    strf headers bind to THEIR stream's strh (an audio track's
+    WAVEFORMATEX is never misread as a BITMAPINFOHEADER), and frame
+    chunks are matched by the video stream's index (##dc/##db), so
+    audio+video files and vids-not-first layouts decode. Real codec
+    streams (H.264/VP9/...) return None. The chunk walk is ITERATIVE
+    (an explicit stack) — a nested-LIST bomb cannot blow the Python
+    recursion limit past the never-raises contract — and cumulative
+    decoded frame bytes are capped (frame COUNT is attacker-chosen)
+    like GIF compositing."""
     import struct
 
     import numpy as np
@@ -740,73 +752,96 @@ def decode_avi(payload: bytes) -> tuple[int, int, list[bytes]] | None:
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         return None
     try:
-        w = h = None
-        handler = None
-        bpp = 24
+        avih_w = avih_h = None
+        n_streams = 0
+        video = None  # dict: idx, w, h, bpp, top_down, comp — set by strf
+        video_strh_idx = None
         frames: list[bytes] = []
         decoded = 0
-
-        def walk(at: int, end: int):
-            nonlocal w, h, handler, bpp, decoded
-            while at + 8 <= end:
-                cid = payload[at : at + 4]
-                (size,) = struct.unpack("<I", payload[at + 4 : at + 8])
-                body_at = at + 8
-                if cid == b"LIST":
-                    walk(body_at + 4, body_at + size)
-                elif cid == b"avih" and size >= 40:
-                    w2, h2 = struct.unpack(
-                        "<II", payload[body_at + 32 : body_at + 40]
+        # explicit segment stack, document order: pushing the
+        # continuation before the LIST body makes the body pop first
+        stack = [(12, len(payload))]
+        while stack:
+            at, end = stack.pop()
+            if at + 8 > end:
+                continue
+            cid = payload[at : at + 4]
+            (size,) = struct.unpack("<I", payload[at + 4 : at + 8])
+            body_at = at + 8
+            nxt = body_at + size + (size & 1)
+            stack.append((nxt, end))  # continuation
+            if cid == b"LIST":
+                stack.append((body_at + 4, min(body_at + size, end)))
+            elif cid == b"avih" and size >= 40:
+                avih_w, avih_h = struct.unpack(
+                    "<II", payload[body_at + 32 : body_at + 40]
+                )
+            elif cid == b"strh" and size >= 8:
+                if (
+                    payload[body_at : body_at + 4] == b"vids"
+                    and video_strh_idx is None
+                ):
+                    video_strh_idx = n_streams
+                n_streams += 1
+            elif cid == b"strf" and size >= 20:
+                # binds to the MOST RECENT strh; only the video
+                # stream's strf is a BITMAPINFOHEADER
+                if n_streams - 1 == video_strh_idx and video is None:
+                    bw, bh = struct.unpack(
+                        "<ii", payload[body_at + 4 : body_at + 12]
                     )
-                    w, h = w or w2, h or h2
-                elif cid == b"strh" and size >= 16:
-                    if payload[body_at : body_at + 4] == b"vids":
-                        handler = payload[body_at + 4 : body_at + 8]
-                elif cid == b"strf" and size >= 20 and handler is not None:
-                    bw, bh = struct.unpack("<ii", payload[body_at + 4 : body_at + 12])
-                    (bits,) = struct.unpack("<H", payload[body_at + 14 : body_at + 16])
-                    comp = payload[body_at + 16 : body_at + 20]
-                    w, h = bw or w, abs(bh) or h
-                    bpp = bits or 24
-                    if comp not in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00"):
-                        handler = comp  # codec fourcc: gates below
-                elif cid[2:4] in (b"dc", b"db") and cid[:2] == b"00":
-                    if not w or not h:
-                        raise ValueError("frame before header")
-                    chunk = payload[body_at : body_at + size]
-                    if chunk[:2] == b"\xff\xd8":
-                        dec = decode_jpeg(chunk)
-                        if dec is None:
-                            raise ValueError("bad mjpeg frame")
-                        fw, fh, rgb = dec
-                        if (fw, fh) != (w, h):
-                            raise ValueError("frame dims disagree with header")
-                    elif handler in (b"DIB ", b"\x00\x00\x00\x00", b"RGB ") or (
-                        handler and handler.lower() in (b"dib ", b"rgb ")
-                    ):
-                        npx = bpp // 8
-                        if bpp not in (24, 32):
-                            raise ValueError("unsupported dib depth")
-                        stride = ((w * npx + 3) // 4) * 4
-                        if len(chunk) < stride * h:
-                            raise ValueError("short dib frame")
-                        rows = np.frombuffer(
-                            chunk, np.uint8, stride * h
-                        ).reshape(h, stride)[::-1]
-                        px = rows[:, : w * npx].reshape(h, w, npx)
-                        rgb = np.ascontiguousarray(px[:, :, 2::-1]).tobytes()
-                    else:
-                        raise ValueError("codec stream")  # honest gate
-                    decoded += w * h * 3
-                    if decoded > MAX_DECODE_BYTES:
-                        raise ValueError("decode cap")
-                    frames.append(rgb)
-                at = body_at + size + (size & 1)
-
-        walk(12, len(payload))
-        if w is None or not frames:
+                    (bits,) = struct.unpack(
+                        "<H", payload[body_at + 14 : body_at + 16]
+                    )
+                    video = {
+                        "w": bw or avih_w,
+                        "h": abs(bh) or avih_h,
+                        "top_down": bh < 0,
+                        "bpp": bits or 24,
+                        "comp": payload[body_at + 16 : body_at + 20],
+                    }
+            elif (
+                video is not None
+                and cid[:2] == b"%02d" % video_strh_idx
+                and cid[2:4] in (b"dc", b"db")
+            ):
+                w, h = video["w"], video["h"]
+                if not w or not h:
+                    raise ValueError("frame before header dims")
+                chunk = payload[body_at : body_at + size]
+                comp = video["comp"]
+                if comp in (b"MJPG", b"mjpg") and chunk[:2] == b"\xff\xd8":
+                    dec = decode_jpeg(chunk)
+                    if dec is None:
+                        raise ValueError("bad mjpeg frame")
+                    fw, fh, rgb = dec
+                    if (fw, fh) != (w, h):
+                        raise ValueError("frame dims disagree with header")
+                elif comp == b"\x00\x00\x00\x00" or (
+                    comp and comp.lower() in (b"dib ", b"rgb ")
+                ):
+                    npx = video["bpp"] // 8
+                    if video["bpp"] not in (24, 32):
+                        raise ValueError("unsupported dib depth")
+                    stride = ((w * npx + 3) // 4) * 4
+                    if len(chunk) < stride * h:
+                        raise ValueError("short dib frame")
+                    rows = np.frombuffer(
+                        chunk, np.uint8, stride * h
+                    ).reshape(h, stride)
+                    if not video["top_down"]:
+                        rows = rows[::-1]
+                    px = rows[:, : w * npx].reshape(h, w, npx)
+                    rgb = np.ascontiguousarray(px[:, :, 2::-1]).tobytes()
+                else:
+                    raise ValueError("codec stream")  # honest gate
+                decoded += w * h * 3
+                if decoded > MAX_DECODE_BYTES:
+                    raise ValueError("decode cap")
+                frames.append(rgb)
+        if video is None or not frames:
             return None
-        return int(w), int(h), frames
+        return int(video["w"]), int(video["h"]), frames
     except (struct.error, ValueError, IndexError, OverflowError):
         return None
 
@@ -905,8 +940,8 @@ def phash_bytes(payload: bytes) -> int:
 def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    P6 PPM, PNG, and GIF payloads decode for REAL (decode_image).
-    For the remaining formats a codec library is
+    netpbm, PNG, GIF, JPEG, and BMP payloads decode for REAL
+    (decode_image). For the remaining formats a codec library is
     required and absent in this container: with ``fake=True`` the
     dimensions derive deterministically from the payload digest,
     keeping every downstream operator testable; with ``fake=False`` the
@@ -917,8 +952,9 @@ def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
     if not fake:
         raise NotImplementedError(
             "decoding this image format requires a codec library (e.g. "
-            "Pillow); not available in this environment (PPM, PNG, and "
-            "GIF decode natively via decode_image)"
+            "Pillow); not available in this environment (netpbm, PNG, "
+            "GIF, baseline/progressive JPEG, and BMP decode natively "
+            "via decode_image)"
         )
     return _dims_from_digest(hashlib.md5(payload).digest())
 

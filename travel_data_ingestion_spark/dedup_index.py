@@ -386,6 +386,150 @@ class EmbeddingIndex:
     build = update
 
 
+_SIGS_SCHEMA = "media_id long, phash long, batch_id long"
+
+
+class PhashIndex:
+    """Parquet-backed incremental near-dup index over a MEDIA table —
+    the perceptual-hash sibling of MinHashIndex, completing the
+    modality set (text shingles / embeddings / media signatures).
+
+    Signatures are computed exactly once per media_id ever (the pHash
+    kernels decode payload bytes — by far the expensive step — so
+    recomputation is the thing to avoid); each update touches O(batch)
+    + colliding buckets via the same 4x16-bit pigeonhole blocking
+    hamming_pairs uses (lossless for hamming <= 3), joined
+    new-side-vs-whole-index at the SIGNATURE level so identical-payload
+    floods collapse before the join. ``signature_fn`` selects the
+    modality kernel (llm.multimodal.phash_signatures for images,
+    audio_phash_signatures for audio); one index can hold both — the
+    two hash families live in the same 64-bit space and simply never
+    land within the threshold of each other in practice (mm03 pins the
+    measured separation).
+
+    Replay semantics mirror MinHashIndex exactly: ``batch_id=None``
+    allocates a fresh negative id (resubmitting indexed media is a full
+    no-op); ``batch_id >= 0`` is the streaming-epoch API (a replayed
+    epoch re-emits exactly its original pairs; appends stay
+    exactly-once via the ledger anti-join). The new side derives from
+    the POST-append ledger filtered by batch_id — not a pre-append
+    frame, which a write-triggered file-listing refresh can silently
+    empty (the measured r7 trap, see MinHashIndex.update).
+
+    Invariant (pinned by tests/test_phash_index.py): the union of pair
+    sets from build + every update equals the one-shot
+    hamming_pairs answer over all signatures.
+    """
+
+    MAX_HAMMING = 3
+
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+        self.sigs_path = f"{self.path}/sigs"
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.sigs_path)
+
+    def _read_sigs(self, spark: SparkSession) -> DataFrame:
+        if not self.exists():
+            return spark.createDataFrame([], _SIGS_SCHEMA)
+        return spark.read.schema(_SIGS_SCHEMA).parquet(self.sigs_path)
+
+    def update(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        batch_id: int | None = None,
+        signature_fn=None,
+    ) -> DataFrame:
+        """Index a batch of (media_id, payload) rows; return the NEW
+        near-dup pairs (id_a, id_b, hamming) this batch introduces. A
+        returned pair always has a new id on one side."""
+        if signature_fn is None:
+            from travel_data_ingestion_spark.llm.multimodal import (
+                phash_signatures,
+            )
+
+            signature_fn = phash_signatures
+        batch = batch.select("media_id", "payload").dropDuplicates(["media_id"])
+        ledger = self._read_sigs(spark)
+        if batch_id is None:
+            prev_min = ledger.agg(F.min("batch_id")).first()[0]
+            bid = min(int(prev_min or 0), 0) - 1
+        else:
+            bid = int(batch_id)
+            if bid < 0:
+                raise ValueError("stream batch_id must be >= 0")
+        fresh = batch.join(ledger.select("media_id"), "media_id", "left_anti")
+        sigs_new = signature_fn(fresh).select(
+            "media_id", "phash", F.lit(bid).alias("batch_id")
+        )
+        sigs_new.write.mode("append").parquet(self.sigs_path)
+
+        sigs_all = self._read_sigs(spark)
+        # the epoch's own rows are the new side on first run AND replay
+        new_side = sigs_all.filter(F.col("batch_id").eqNullSafe(F.lit(bid)))
+        return self._pairs_new_vs_all(new_side, sigs_all)
+
+    build = update
+
+    def _pairs_new_vs_all(self, new_side: DataFrame, sigs_all: DataFrame) -> DataFrame:
+        """Pairs (id_a, id_b, hamming<=MAX_HAMMING) with at least one
+        new id, via signature-level pigeonhole blocking: hamming<=3
+        over 64 bits means >= 1 of the 4 disjoint 16-bit chunks is
+        equal, so the chunk equi-join is lossless (hamming_pairs'
+        first-level blocking; the hot-bucket second level is a batch
+        optimization an incremental new-side rarely needs — the new
+        side is small by construction)."""
+
+        def chunked(sigs: DataFrame) -> DataFrame:
+            usig = sigs.select(F.col("phash").alias("sig")).distinct()
+            return usig.select(
+                "sig",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("chunk_id"),
+                                F.shiftrightunsigned("sig", 16 * c)
+                                .bitwiseAND(F.lit(0xFFFF))
+                                .alias("chunk_val"),
+                            )
+                            for c in range(4)
+                        ]
+                    )
+                ).alias("ch"),
+            ).select("sig", "ch.chunk_id", "ch.chunk_val")
+
+        new_chunks = chunked(new_side).alias("n")
+        all_chunks = chunked(sigs_all).alias("o")
+        ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+        cand = (
+            new_chunks.join(
+                all_chunks,
+                (F.col("n.chunk_id") == F.col("o.chunk_id"))
+                & (F.col("n.chunk_val") == F.col("o.chunk_val")),
+            )
+            .select(F.col("n.sig").alias("sig_a"), F.col("o.sig").alias("sig_b"))
+            .distinct()
+            .withColumn("hamming", ham)
+            .filter(F.col("hamming") <= self.MAX_HAMMING)
+        )
+        ids_new = new_side.select(F.col("phash").alias("sig_a"), F.col("media_id").alias("ida"))
+        ids_all = sigs_all.select(F.col("phash").alias("sig_b"), F.col("media_id").alias("idb"))
+        return (
+            cand.join(ids_new, "sig_a")
+            .join(ids_all, "sig_b")
+            .filter(F.col("ida") != F.col("idb"))
+            .select(
+                F.least("ida", "idb").alias("id_a"),
+                F.greatest("ida", "idb").alias("id_b"),
+                "hamming",
+            )
+            .distinct()
+        )
+
+
 _ASSIGN_SCHEMA = "doc_id long, c0 long"
 _REMAP_SCHEMA = "src long, dst long"
 

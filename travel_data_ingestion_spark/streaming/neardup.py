@@ -155,3 +155,34 @@ def clustered_neardup_stream(
             pairs.unpersist()
 
     return stream.writeStream.foreachBatch(process).outputMode("update")
+
+
+def media_neardup_stream(
+    stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    signature_fn=None,
+) -> DataStreamWriter:
+    """Wire a (media_id, payload, ...) stream into the incremental
+    perceptual-hash index: each micro-batch decodes + hashes ONLY its
+    own payloads (PhashIndex stores signatures forever — decode is the
+    expensive step), joins new signatures against the whole index via
+    the pigeonhole blocking, and lands the epoch's new pairs into an
+    epoch-partitioned parquet with dynamic overwrite — the same
+    exactly-once-under-replay contract as neardup_stream, extended to
+    media. ``signature_fn`` picks the modality kernel (image pHash by
+    default; pass audio_phash_signatures for an audio stream)."""
+    from travel_data_ingestion_spark.dedup_index import PhashIndex
+
+    idx = PhashIndex(index_path)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        pairs = idx.update(
+            batch_df.sparkSession,
+            batch_df.select("media_id", "payload"),
+            batch_id=epoch_id,
+            signature_fn=signature_fn,
+        )
+        _write_pairs_idempotent(pairs, epoch_id, pairs_path)
+
+    return stream.writeStream.foreachBatch(process).outputMode("update")

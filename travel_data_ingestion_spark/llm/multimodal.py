@@ -85,6 +85,8 @@ MIME_BY_EXT = {
     "png": "image/png",
     "gif": "image/gif",
     "bmp": "image/bmp",
+    "tif": "image/tiff",
+    "tiff": "image/tiff",
     "ppm": "image/x-portable-pixmap",
     "pgm": "image/x-portable-graymap",
     "pbm": "image/x-portable-bitmap",
@@ -729,6 +731,196 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes] | None:
         return None
 
 
+def _tiff_lzw(data: bytes, n_expected: int) -> bytes | None:
+    """TIFF-flavor LZW (MSB-first bit packing, early-change code-width
+    growth, Clear=256, EOI=257) — distinct from GIF's LSB-first
+    variant, so it gets its own ~40 lines rather than a flag on
+    _lzw_decode."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    n = len(data)
+    while len(out) < n_expected:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out) if out else None
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == 256:  # Clear
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # EOI
+            break
+        if prev is None:
+            if code > 255:
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        prev = entry
+        # early change: width grows one code EARLIER than GIF
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+        if len(out) > MAX_DECODE_BYTES:
+            return None
+    return bytes(out)
+
+
+def _packbits(data: bytes, n_expected: int) -> bytes | None:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < n_expected:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # 128: no-op
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Parse a strip-based baseline TIFF (both byte orders) with
+    stdlib + numpy only: uncompressed, PackBits, or TIFF-LZW strips;
+    photometric gray (incl. white-is-zero inversion), RGB, RGBA (alpha
+    dropped), and palette; 8-bit samples plus 1-bit bilevel and 16-bit
+    (exact-round to 8); chunky planar layout. Tiled layouts, planar=2,
+    JPEG-in-TIFF and other codec compressions return None — the honest
+    gate. Cross-checked against CPython's real test TIFF and a forward
+    builder in tests/test_tiff.py."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] not in (b"II", b"MM") or len(payload) < 8:
+        return None
+    bo = "<" if payload[:2] == b"II" else ">"
+    try:
+        (magic,) = struct.unpack(bo + "H", payload[2:4])
+        if magic != 42:
+            return None
+        (ifd,) = struct.unpack(bo + "I", payload[4:8])
+        (n_tags,) = struct.unpack(bo + "H", payload[ifd : ifd + 2])
+        _SZ = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1}
+
+        tags: dict[int, list[int]] = {}
+        for i in range(n_tags):
+            e = payload[ifd + 2 + 12 * i : ifd + 14 + 12 * i]
+            tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+            if typ not in _SZ:
+                continue
+            total = _SZ[typ] * cnt
+            raw = e[8:12] if total <= 4 else payload[
+                struct.unpack(bo + "I", e[8:12])[0] :
+            ]
+            if len(raw) < total:
+                return None
+            if typ == 3:
+                vals = list(struct.unpack(bo + "%dH" % cnt, raw[: 2 * cnt]))
+            elif typ == 4:
+                vals = list(struct.unpack(bo + "%dI" % cnt, raw[: 4 * cnt]))
+            else:
+                vals = list(raw[:cnt])
+            tags[tag] = vals
+
+        w = tags.get(256, [0])[0]
+        h = tags.get(257, [0])[0]
+        comp = tags.get(259, [1])[0]
+        photo = tags.get(262, [1])[0]
+        spp = tags.get(277, [1])[0]
+        bits_list = tags.get(258, [1] * spp)
+        planar = tags.get(284, [1])[0]
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        rows_per_strip = tags.get(278, [h])[0] or h
+        if (
+            not w
+            or not h
+            or offsets is None
+            or planar != 1
+            or 322 in tags  # tiled: gated
+            or comp not in (1, 5, 32773)
+            or len(set(bits_list)) != 1
+            or bits_list[0] not in (1, 8, 16)
+            or (bits_list[0] == 1 and spp != 1)  # bilevel is single-sample
+            or photo not in (0, 1, 2, 3)
+            or (photo == 2 and spp < 3)  # RGB needs >= 3 actual samples
+            or spp < 1
+            or w * h * 3 > MAX_DECODE_BYTES
+        ):
+            return None
+        bits = bits_list[0]
+        if counts is None:
+            if len(offsets) != 1:
+                return None
+            counts = [len(payload) - offsets[0]]
+        row_bytes = (w * spp * bits + 7) // 8
+        raw = bytearray()
+        for k, (off, cnt) in enumerate(zip(offsets, counts)):
+            strip = payload[off : off + cnt]
+            rows_here = min(rows_per_strip, h - k * rows_per_strip)
+            need = row_bytes * rows_here
+            if comp == 1:
+                dec = strip
+            elif comp == 32773:
+                dec = _packbits(strip, need)
+            else:
+                dec = _tiff_lzw(strip, need)
+            if dec is None or len(dec) < need:
+                return None
+            raw += dec[:need]
+        if bits == 8:
+            samples = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+        elif bits == 16:
+            v = np.frombuffer(bytes(raw), np.dtype(bo + "u2")).reshape(h, w, spp)
+            samples = ((v.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+        else:  # 1-bit bilevel, MSB-first rows
+            rows = np.frombuffer(bytes(raw), np.uint8).reshape(h, row_bytes)
+            samples = (_unpack_msb_first(rows, w, 1) * 255).reshape(h, w, 1)
+        if photo == 3:
+            cmap = tags.get(320)
+            ncol = 1 << bits
+            if cmap is None or len(cmap) < 3 * ncol or bits != 8:
+                return None
+            # colormap entries are 16-bit; exact-round to 8
+            pal = (np.array(cmap[: 3 * ncol], dtype=np.uint32) * 255 + 32767) // 65535
+            pal = pal.astype(np.uint8).reshape(3, ncol).T
+            rgb = pal[samples[:, :, 0]]
+        elif photo in (0, 1):
+            g = samples[:, :, :1]
+            if photo == 0:  # white-is-zero
+                g = 255 - g
+            rgb = np.repeat(g, 3, axis=2)
+        else:
+            if spp < 3:
+                return None
+            rgb = samples[:, :, :3]  # extra samples (alpha) dropped
+        return int(w), int(h), np.ascontiguousarray(rgb).tobytes()
+    except (struct.error, ValueError, IndexError, OverflowError):
+        return None
+
+
 def decode_avi(payload: bytes) -> tuple[int, int, list[bytes]] | None:
     """Parse an AVI (RIFF) video whose VIDEO stream this environment
     can honestly decode — MJPEG (every frame is a baseline/progressive
@@ -849,7 +1041,8 @@ def decode_avi(payload: bytes) -> tuple[int, int, list[bytes]] | None:
 def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
     """Decode any payload this environment can honestly decode — netpbm
     (P1-P6), any legal PNG, GIF (first composited frame), baseline or
-    progressive JPEG (llm/jpeg.decode_jpeg), or uncompressed BMP — to (width,
+    progressive JPEG (llm/jpeg.decode_jpeg), uncompressed BMP, or
+    strip-based TIFF (none/PackBits/LZW) — to (width,
     height, rgb_bytes); None routes the caller to the opaque-bytes
     stub path. The single decode entry every image operator (features,
     pHash, resize) goes through, so a new container added here lights
@@ -868,6 +1061,8 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
         dec = decode_jpeg(payload)
     if dec is None and payload[:2] == b"BM":
         dec = decode_bmp(payload)
+    if dec is None and payload[:2] in (b"II", b"MM"):
+        dec = decode_tiff(payload)
     return dec
 
 

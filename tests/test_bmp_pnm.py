@@ -148,6 +148,33 @@ def test_bmp_palette_depths():
     assert decode_bmp(bad) is None
 
 
+def test_bmp_noncontiguous_bitfields_gated():
+    """A non-contiguous BI_BITFIELDS mask would silently mis-scale in
+    _bitfield_channel (ADVICE r9); decode_bmp must route it to None."""
+    rgb = _rand_rgb(6, 5, 4)
+    good = _bmp(rgb, bpp=32, bitfields=(0xFF0000, 0xFF00, 0xFF))
+    assert decode_bmp(good) is not None
+    for masks in (
+        (0xF0F000, 0xFF00, 0xFF),  # red has a hole
+        (0xFF0000, 0b1010 << 8, 0xFF),  # green non-contiguous
+        (0xFF0000, 0xFF00, 0x55),  # blue non-contiguous
+    ):
+        b = bytearray(good)
+        struct.pack_into("<III", b, 54, *masks)
+        assert decode_bmp(bytes(b)) is None, masks
+    # a mask wider than bpp is equally malformed
+    b16 = bytearray(_bmp(rgb, bpp=16, bitfields=(0xF800, 0x7E0, 0x1F)))
+    struct.pack_into("<III", b16, 54, 0x1F8000, 0x7E0, 0x1F)
+    assert decode_bmp(bytes(b16)) is None
+    # an all-zero mask stays legal (channel reads as 0)
+    z = bytearray(good)
+    struct.pack_into("<III", z, 54, 0xFF0000, 0xFF00, 0)
+    got = decode_bmp(bytes(z))
+    assert got is not None
+    dec = np.frombuffer(got[2], np.uint8).reshape(4, 5, 3)
+    assert (dec[:, :, 2] == 0).all() and (dec[:, :, 0] == rgb[:, :, 0]).all()
+
+
 def test_bmp_malformed_rejected():
     rgb = _rand_rgb(5, 4, 4)
     good = _bmp(rgb)

@@ -80,12 +80,14 @@ def test_replay_is_noop(spark, tmp_path):
     assert _as_map(idx.df(spark)) == second
 
 
-def _orphan_increments(spark, idx, batch):
+def _orphan_increments(spark, idx, batch, bid=None):
     """Reproduce update()'s increments commit WITHOUT the ledger append
-    — the state a crash between the two writes leaves behind."""
-    ledger = idx._read_ledger(spark)
-    prev_min = ledger.agg(F.min("batch_id")).first()[0]
-    bid = min(int(prev_min or 0), 0) - 1
+    — the state a crash between the two writes leaves behind. ``bid``
+    overrides the derived batch-API id to fake a crashed STREAM epoch."""
+    if bid is None:
+        ledger = idx._read_ledger(spark)
+        prev_min = ledger.agg(F.min("batch_id")).first()[0]
+        bid = min(int(prev_min or 0), 0) - 1
     inc = (
         shingle_docs(batch.select("doc_id", "text"))
         .select("doc_id", F.explode("shingles").alias("term"))
@@ -119,6 +121,39 @@ def test_crashed_update_heals_on_retry(spark, tmp_path):
         r.batch_id for r in idx._read_ledger(spark).select("batch_id").collect()
     }
     assert orphan_bid in ledgered
+
+
+def test_batch_update_never_claims_crashed_stream_epoch(spark, tmp_path):
+    """A POSITIVE unledgered id is a crashed stream epoch, owned by its
+    own replay. A batch-API update claiming it would ledger docs under
+    an id the stream's replay then rmtree's — a permanent silent
+    undercount (ADVICE r9). The batch update must allocate from the
+    negative id space and leave the stream orphan for the stream."""
+    b1 = _docs(spark, range(8))
+    b2 = _docs(spark, range(8, 16))
+    b3 = _docs(spark, range(16, 24))
+    idx = DocFreqIndex(str(tmp_path / "dfi"), n_buckets=4)
+    idx.update(spark, b1)
+    # stream epoch 7 crashes between its increments commit and its
+    # ledger append
+    _orphan_increments(spark, idx, b2, bid=7)
+    # an interleaved batch-API update must NOT claim id 7
+    idx.update(spark, b3)
+    ledgered = {
+        r.batch_id for r in idx._read_ledger(spark).select("batch_id").collect()
+    }
+    assert 7 not in ledgered
+    assert min(ledgered) < 0  # b3 landed in the batch id space
+    assert os.path.isdir(os.path.join(idx.incr_path, "batch_id=7"))
+    # the stream's own replay of epoch 7 heals it; totals are exact
+    idx.update(spark, b2, batch_id=7)
+    assert _as_map(idx.df(spark)) == _as_map(
+        _oneshot_df(b1.unionByName(b2).unionByName(b3))
+    )
+    ledgered = {
+        r.batch_id for r in idx._read_ledger(spark).select("batch_id").collect()
+    }
+    assert 7 in ledgered
 
 
 def test_compact_skips_unledgered_orphan(spark, tmp_path):

@@ -46,7 +46,7 @@ def _entries(bo, tags):
 
 
 def _tiff(w, h, data, comp=1, photo=2, spp=3, bits=8, bo="<", colormap=None,
-          rows_per_strip=None, strips=None):
+          rows_per_strip=None, strips=None, predictor=None):
     """Forward TIFF builder. ``strips`` overrides data (already-encoded
     per-strip payloads)."""
     tags = [
@@ -61,6 +61,8 @@ def _tiff(w, h, data, comp=1, photo=2, spp=3, bits=8, bo="<", colormap=None,
         tags.append((278, 4, [rows_per_strip]))
     if colormap is not None:
         tags.append((320, 3, list(colormap)))
+    if predictor is not None:
+        tags.append((317, 3, [predictor]))
     strips = strips if strips is not None else [data]
     # two passes: sizes depend on the IFD length, which depends on tag
     # count — compute layout with placeholder offsets first
@@ -211,6 +213,50 @@ def test_lzw_long_runs_exercise_width_growth():
     data = (rng.randint(0, 8, 6000) * 32).astype(np.uint8).tobytes()
     payload = _tiff(100, 20, None, comp=5, spp=3, strips=[_lzw_enc(data)])
     assert decode_tiff(payload) == (100, 20, data)
+
+
+def _hdiff(arr):
+    """Forward horizontal differencing (what a Predictor=2 encoder
+    writes): first sample of each row kept, the rest deltas mod 2^bits."""
+    d = arr.copy()
+    d[:, 1:, :] = arr[:, 1:, :] - arr[:, :-1, :]
+    return d
+
+
+def test_predictor2_horizontal_differencing():
+    """The common real-world LZW layout: Predictor=2 strips must be
+    un-differenced after decompression (ADVICE r9: the repro row
+    [0,30,60,90] previously decoded to [0,30,30,30])."""
+    # the literal ADVICE repro: a gray row of deltas 0,30,30,30
+    row = np.array([[[0], [30], [60], [90]]], dtype=np.uint8)
+    p = _tiff(4, 1, _hdiff(row).tobytes(), photo=1, spp=1, predictor=2)
+    assert decode_tiff(p) == (4, 1, np.repeat(row, 3, axis=2).tobytes())
+    # RGB with LZW strips, values that wrap mod 256, multiple strips
+    rgb = _rand_rgb(31, 9, 6)
+    diffed = _hdiff(rgb)
+    strips = [
+        _lzw_enc(diffed[:3].tobytes()),
+        _lzw_enc(diffed[3:].tobytes()),
+    ]
+    p = _tiff(9, 6, None, comp=5, strips=strips, rows_per_strip=3,
+              predictor=2)
+    assert decode_tiff(p) == (9, 6, rgb.tobytes())
+    # 16-bit: differencing operates on 16-bit values BEFORE the 8-bit
+    # exact-round scale
+    g16 = np.random.RandomState(32).randint(0, 65536, (4, 7, 1))
+    g16 = g16.astype(np.uint16)
+    d16 = g16.copy()
+    d16[:, 1:, :] = g16[:, 1:, :] - g16[:, :-1, :]
+    p = _tiff(7, 4, d16.astype("<u2").tobytes(), photo=1, spp=1, bits=16,
+              predictor=2)
+    want = ((g16.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    assert decode_tiff(p) == (7, 4, np.repeat(want, 3, axis=2).tobytes())
+    # Predictor=1 is explicit none; 3 (float) and 2-on-bilevel are gated
+    assert decode_tiff(_tiff(4, 1, row.tobytes(), photo=1, spp=1,
+                             predictor=1)) is not None
+    assert decode_tiff(_tiff(9, 6, rgb.tobytes(), predictor=3)) is None
+    bil = _tiff(8, 1, b"\xaa", photo=1, spp=1, bits=1, predictor=2)
+    assert decode_tiff(bil) is None
 
 
 def test_codec_and_layout_gates():

@@ -685,6 +685,14 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes] | None:
             return None
         if comp == 3:
             rmask, gmask, bmask = struct.unpack("<III", payload[54:66])
+            for m in (rmask, gmask, bmask):
+                # _bitfield_channel assumes a contiguous run of bits;
+                # a non-contiguous (hostile/malformed) mask would
+                # silently mis-scale, so gate it to None here
+                if m:
+                    s = (m & -m).bit_length() - 1
+                    if ((m >> s) + 1) & (m >> s) or m >= (1 << bpp):
+                        return None
         elif bpp == 16:
             rmask, gmask, bmask = 0x7C00, 0x03E0, 0x001F  # BI_RGB 555
         else:
@@ -805,10 +813,12 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes] | None:
     stdlib + numpy only: uncompressed, PackBits, or TIFF-LZW strips;
     photometric gray (incl. white-is-zero inversion), RGB, RGBA (alpha
     dropped), and palette; 8-bit samples plus 1-bit bilevel and 16-bit
-    (exact-round to 8); chunky planar layout. Tiled layouts, planar=2,
-    JPEG-in-TIFF and other codec compressions return None — the honest
-    gate. Cross-checked against CPython's real test TIFF and a forward
-    builder in tests/test_tiff.py."""
+    (exact-round to 8); chunky planar layout; Predictor=2 horizontal
+    differencing (tag 317) reversed by a per-row running sum. Tiled
+    layouts, planar=2, the float predictor, JPEG-in-TIFF and other
+    codec compressions return None — the honest gate. Cross-checked
+    against CPython's real test TIFF and a forward builder in
+    tests/test_tiff.py."""
     import struct
 
     import numpy as np
@@ -851,6 +861,7 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes] | None:
         spp = tags.get(277, [1])[0]
         bits_list = tags.get(258, [1] * spp)
         planar = tags.get(284, [1])[0]
+        predictor = tags.get(317, [1])[0]
         offsets = tags.get(273)
         counts = tags.get(279)
         rows_per_strip = tags.get(278, [h])[0] or h
@@ -867,6 +878,8 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes] | None:
             or photo not in (0, 1, 2, 3)
             or (photo == 2 and spp < 3)  # RGB needs >= 3 actual samples
             or spp < 1
+            or predictor not in (1, 2)  # 3 = float predictor: gated
+            or (predictor == 2 and bits_list[0] == 1)
             or w * h * 3 > MAX_DECODE_BYTES
         ):
             return None
@@ -892,8 +905,17 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes] | None:
             raw += dec[:need]
         if bits == 8:
             samples = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+            if predictor == 2:
+                # reverse horizontal differencing: running sum across
+                # each row per channel, modulo the sample width (each
+                # row restarts — axis=1 cumsum is exactly per-row)
+                samples = (
+                    np.cumsum(samples, axis=1, dtype=np.uint64) & 0xFF
+                ).astype(np.uint8)
         elif bits == 16:
             v = np.frombuffer(bytes(raw), np.dtype(bo + "u2")).reshape(h, w, spp)
+            if predictor == 2:
+                v = np.cumsum(v, axis=1, dtype=np.uint64) & 0xFFFF
             samples = ((v.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
         else:  # 1-bit bilevel, MSB-first rows
             rows = np.frombuffer(bytes(raw), np.uint8).reshape(h, row_bytes)

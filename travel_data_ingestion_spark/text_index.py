@@ -143,7 +143,12 @@ class DocFreqIndex:
                 .distinct()
                 .collect()
             }
-            orphans = sorted(live_ids - ledgered_ids)
+            # Only NEGATIVE orphans belong to the batch-API id space. A
+            # positive unledgered id is a crashed STREAM epoch: its own
+            # replay will rewrite that partition, so a batch update
+            # claiming it would ledger docs under an id the stream then
+            # rmtree's — a permanent silent undercount. Leave it alone.
+            orphans = sorted(i for i in live_ids - ledgered_ids if i < 0)
             if orphans:
                 bid = int(orphans[0])
             else:

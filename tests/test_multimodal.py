@@ -85,9 +85,12 @@ def test_phash_pairs_are_perceptual_not_byte_level():
     }
     assert len(set(digests.values())) == len(digests)  # all bytes distinct
     pairs = _planted_pairs()
-    # alpha clique of 4 (incl. the PNG re-encode) = 6 pairs, beta pair,
-    # gamma PPM<->JPEG pair, audio clique of 4 = 6 pairs
-    assert len(pairs) == 14
+    # alpha clique of 7 (PPM x3 + PNG/BMP/TIFF-PackBits/TIFF-LZW-Pred2
+    # re-encodes) = 21 pairs, beta pair, gamma PPM<->JPEG pair, delta
+    # clique of 3 (PPM/GIF/P3) = 3, epsilon netpbm clique of 4
+    # (P1/P2/P4/P5) = 6, audio clique of 6 (WAV/FLAC/AIFF/AU/mu-law/
+    # half-gain) = 15 -> every clique fully connected
+    assert len(pairs) == 21 + 1 + 1 + 3 + 6 + 15
     # at least one NON-ZERO hamming pair: genuinely near, not identical
     assert any(h > 0 for _a, _b, h in pairs)
     # no accidental image<->audio cross pairs
@@ -118,6 +121,39 @@ def test_decode_ppm_rejects_malformed():
     assert decode_ppm(b"P6\n4 4\n65535\n" + b"x" * 48) is None  # wrong maxval
     assert decode_ppm(b"P5\n4 4\n255\n" + b"x" * 16) is None  # not P6
     assert decode_ppm(b"JFIF....") is None
+
+
+def test_real_frame_sampling_over_planted_clips(spark):
+    """mm02's graded signal is REAL: the planted GIF/AVI clips decode
+    to their pinned frame counts, every 10th index is emitted, and the
+    payloads=False lean variant returns no pixel bytes to the JVM."""
+    from travel_data_ingestion_spark.llm.multimodal import sample_frames
+    from travel_data_ingestion_spark.queries.llm_multimodal import (
+        _PLANTED_VIDEO_FRAMES,
+        planted_video_media,
+    )
+
+    media = spark.createDataFrame(
+        [(mid, bytearray(p)) for mid, p in planted_video_media()],
+        "media_id long, payload binary",
+    )
+    lean = sample_frames(media, every_n=10, payloads=False)
+    assert "payload" not in lean.columns
+    rows = lean.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.media_id, []).append((r.frame_index, r.n_frames))
+    assert set(got) == set(_PLANTED_VIDEO_FRAMES)
+    for mid, n in _PLANTED_VIDEO_FRAMES.items():
+        assert sorted(got[mid]) == [(i, n) for i in range(0, n, 10)], mid
+    # the full variant emits decodable PPM frames for the same indices
+    full = sample_frames(media, every_n=10).collect()
+    assert {(r.media_id, r.frame_index) for r in full} == {
+        (m, i) for m, pairs in got.items() for i, _n in pairs
+    }
+    from travel_data_ingestion_spark.llm.multimodal import decode_ppm
+
+    assert all(decode_ppm(bytes(r.payload)) is not None for r in full)
 
 
 def test_metadata_projection_skips_payload(spark):

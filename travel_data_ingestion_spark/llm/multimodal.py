@@ -1731,11 +1731,22 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("payload", T.BinaryType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+FRAME_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
     ]
 )
 
 
-def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+def sample_frames(
+    media: DataFrame, every_n: int = 10, payloads: bool = True
+) -> DataFrame:
     """REAL frame sampling over the binary column: multi-frame
     containers (GIF — pure-Python LZW + compositing, see decode_gif —
     and AVI video with MJPEG or uncompressed DIB streams, see
@@ -1747,10 +1758,12 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     cross-video near-duplicate detection by frame, with zero new
     machinery.
 
-    frame_sample_plan remains the metadata-only twin that generates
-    (media_id, frame_index) JVM-side without touching payload bytes —
-    use it when only the sampling SHAPE is needed (it is what mm02
-    grades); use sample_frames when the pixels are.
+    With ``payloads=False`` the kernel still performs the REAL decode
+    (GIF/AVI frame walk or still-image parse) but emits only
+    (media_id, frame_index, n_frames) — the sampled-index ledger a
+    planner or the mm02 oracle needs, with no pixel bytes returning to
+    the JVM. frame_sample_plan remains the metadata-only stub twin
+    that never touches payload bytes at all.
 
     100 TB shape: map-only mapInPandas like every media kernel —
     payload bytes cross the Arrow boundary once, sampled frames (a
@@ -1767,29 +1780,36 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                 "payload": [],
                 "width": [],
                 "height": [],
+                "n_frames": [],
             }
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(p)
                 multi = decode_gif(b) or decode_avi(b)
                 if multi is not None:
                     w, h, frames = multi
-                    picks = [(i, frames[i]) for i in range(0, len(frames), every_n)]
+                    n = len(frames)
+                    picks = [(i, frames[i]) for i in range(0, n, every_n)]
                 else:
                     dec = decode_image(b)
                     if dec is None:
                         continue
                     w, h, px = dec
+                    n = 1
                     picks = [(0, px)]
                 header = b"P6\n%d %d\n255\n" % (w, h)
                 for i, px in picks:
                     out["media_id"].append(mid)
                     out["frame_index"].append(i)
-                    out["payload"].append(header + px)
+                    out["payload"].append(header + px if payloads else b"")
                     out["width"].append(w)
                     out["height"].append(h)
+                    out["n_frames"].append(n)
+            if not payloads:
+                del out["payload"], out["width"], out["height"]
             yield pd.DataFrame(out)
 
-    return cols.mapInPandas(batches, schema=FRAME_SCHEMA)
+    schema = FRAME_SCHEMA if payloads else FRAME_INDEX_SCHEMA
+    return cols.mapInPandas(batches, schema=schema)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

@@ -72,44 +72,94 @@ def mm01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "digest", "width", "height")
 
 
+# video (multi-frame) planted ids live above the audio block
+_PLANTED_VIDEO_BASE_ID = 5_000_000_000
+
+# frame counts mm02's oracle pins as literals (chosen to exercise >1
+# sampled index at every_n=10 and a non-multiple remainder)
+_PLANTED_VIDEO_FRAMES = {
+    _PLANTED_VIDEO_BASE_ID + 0: 23,  # animated GIF (pinned literal)
+    _PLANTED_VIDEO_BASE_ID + 1: 35,  # AVI MJPEG
+    _PLANTED_VIDEO_BASE_ID + 2: 17,  # AVI uncompressed DIB
+}
+
+
+def _frame_sample_oracle() -> str:
+    vals = ",\n        ".join(
+        f"(CAST({mid} AS BIGINT), CAST({n} AS BIGINT))"
+        for mid, n in sorted(_PLANTED_VIDEO_FRAMES.items())
+    )
+    return f"""
+    SELECT doc_id AS media_id,
+           CAST(0 AS BIGINT) AS frame_index,
+           CAST(1 AS BIGINT) AS n_frames
+    FROM documents
+    UNION ALL
+    SELECT media_id,
+           UNNEST(range(0, n_frames, 10)) AS frame_index,
+           n_frames
+    FROM (VALUES
+        {vals}
+    ) AS clips(media_id, n_frames)
+    """
+
+
 @register(
     "mm02_frame_sample",
-    f"""
-    WITH {_PPM_BLOB_CTE}
-    SELECT doc_id AS media_id,
-           UNNEST(range(0, GREATEST(CAST(length(payload) // 1000 AS BIGINT), 1), 10))
-             AS frame_index
-    FROM blob
-    """,
+    _frame_sample_oracle(),
     survey_ops=("X-MM-2",),
-    doc="Frame-sampling plan shape: one row per sampled frame index, "
-    "generated JVM-side with sequence+explode (no Python). The stub "
-    "frame count is n_bytes // 1000 over the real PPM payload size; a "
-    "real video decoder slots into the same plan.",
+    doc="REAL every-Nth frame sampling over the binary column: the "
+    "corpus' PPM renders each decode as a single still (index 0), and "
+    "three planted multi-frame clips — an animated GIF (23 frames, "
+    "pure-Python LZW + compositing walk), an MJPEG AVI (35 frames, "
+    "JPEG-per-frame), and an uncompressed-DIB AVI (17 frames) — are "
+    "decoded by the real decode_gif/decode_avi frame walks, so the "
+    "sampled indices AND total frame counts in the hash-graded output "
+    "come from actual container parses, not byte-length arithmetic "
+    "(the former n_bytes//1000 stub is gone). payloads=False keeps "
+    "pixel bytes from returning to the JVM: only (media_id, "
+    "frame_index, n_frames) rows cross back. The oracle pins the "
+    "planted counts as literals and the corpus as single-frame stills.",
 )
 def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from travel_data_ingestion_spark.llm.multimodal import frame_sample_plan
+    from travel_data_ingestion_spark.llm.multimodal import sample_frames
 
     docs = load_table(spark, sf_dir, "documents")
-    return frame_sample_plan(ppm_media_from_documents(docs), every_n=10).select(
-        "media_id", F.col("frame_index").cast("long").alias("frame_index")
+    corpus = ppm_media_from_documents(docs).select("media_id", "payload")
+    clips = spark.createDataFrame(
+        [(mid, bytearray(p)) for mid, p in planted_video_media()],
+        "media_id long, payload binary",
+    )
+    return sample_frames(
+        corpus.unionByName(clips), every_n=10, payloads=False
+    ).select(
+        "media_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.col("n_frames").cast("long").alias("n_frames"),
     )
 
 
 # Planted near-duplicate media: the corpus' PPM renders are verified
 # pHash-spread (min pairwise hamming 10-14, and min corpus-vs-planted
-# hamming 16-20 against the FULL planted signature set incl. the
-# cross-container and audio entries, at sf0.001/0.01/0.1 — no
-# accidental pairs at the <=3 threshold), so the graded pairs come from
-# planted media. Unlike the former md5-stub era, the planted copies
-# DIFFER AT THE BYTE LEVEL: A1 perturbs 32 pixels (+16) of the base and
-# still hashes identically (hamming 0), A2 perturbs 56 pixels (+20)
-# lands at hamming 2, A3 is a LOSSLESS PNG re-encode (hamming 0), the
-# gamma pair is a PPM and its baseline-JPEG re-encode (hamming 0), and
-# the audio clique is one clip through WAV/FLAC/AIFF plus a half-gain
-# re-level — matches only real perceptual hashes over real decodes can
-# make. Image IDs start at 3e9 (above real doc_ids and other fixtures'
-# 1e9/2e9 blocks), audio at 4e9.
+# hamming 14-18 against the FULL planted signature set incl. every
+# cross-container and audio entry, at sf0.001/0.01/0.1 — no accidental
+# pairs at the <=3 threshold), so the graded pairs come from planted
+# media. Unlike the former md5-stub era, the planted copies DIFFER AT
+# THE BYTE LEVEL — and mostly at the CONTAINER level. The cliques:
+#   alpha (7): base PPM; +16x32px perturb (hamming 0); +20x56px
+#     perturb (hamming 2); lossless re-encodes as PNG, BMP,
+#     TIFF-PackBits and TIFF-LZW-Predictor2 (all hamming 0).
+#   beta (2): base + light perturbation.
+#   gamma (2): smooth PPM and its baseline-JPEG re-encode (lossy
+#     container, hamming 0).
+#   delta (3): posterized PPM, its lossless GIF, and an ascii P3.
+#   epsilon (4): one bilevel pattern through netpbm P1/P4 (bilevel)
+#     and P2/P5 (gray) — identical decoded pixels.
+#   audio (6): one clip through WAV, native FLAC, AIFF, Sun AU, a
+#     G.711 mu-law AU (lossy companding), and a half-gain re-level.
+# Matches only real perceptual hashes over real decodes can make.
+# Image IDs start at 3e9 (above real doc_ids and other fixtures'
+# 1e9/2e9 blocks), audio at 4e9, video at 5e9.
 _PLANTED_MEDIA_BASE_ID = 3_000_000_000
 
 
@@ -200,27 +250,172 @@ def _gamma_smooth():
     return np.clip(img, 0, 255).astype("uint8")
 
 
+def _p3_ascii(arr) -> bytes:
+    """Ascii P3 writer (fixture generator, like _ppm_bytes)."""
+    h, w, _ = arr.shape
+    vals = " ".join(str(int(v)) for v in arr.reshape(-1))
+    return b"P3\n%d %d\n255\n" % (w, h) + vals.encode()
+
+
+def _delta_base():
+    """The delta-clique base: 5-level posterized noise, <=125 distinct
+    colors so the pinned GIF re-encode (media_literals.DELTA_GIF) is
+    lossless. tools/gen_media_fixtures.py derives the literal from the
+    SAME expression."""
+    import numpy as np
+
+    r = np.random.RandomState(13)
+    return (r.randint(0, 256, (24, 24, 3)) // 52 * 52 + 26).astype("uint8")
+
+
+def _epsilon_bilevel():
+    """The epsilon-clique base: a bilevel threshold of a low-frequency
+    sinusoid — structured enough for a distinctive pHash, and exactly
+    representable by every netpbm kind (P1/P2/P4/P5 all decode it to
+    the identical 0/255 pixel grid)."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    return (np.sin(0.31 * xx + 0.17 * yy) + np.sin(0.09 * xx * yy / 7) > 0).astype(
+        "uint8"
+    )
+
+
+def _p1_ascii(bits) -> bytes:
+    h, w = bits.shape
+    return b"P1\n%d %d\n" % (w, h) + " ".join(
+        str(int(v)) for v in bits.reshape(-1)
+    ).encode()
+
+
+def _p4_binary(bits) -> bytes:
+    import numpy as np
+
+    h, w = bits.shape
+    rows = np.packbits(bits, axis=1)
+    return b"P4\n%d %d\n" % (w, h) + rows.tobytes()
+
+
+def _p2_ascii(gray) -> bytes:
+    h, w = gray.shape
+    return b"P2\n%d %d\n255\n" % (w, h) + " ".join(
+        str(int(v)) for v in gray.reshape(-1)
+    ).encode()
+
+
+def _p5_binary(gray) -> bytes:
+    h, w = gray.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + gray.astype("uint8").tobytes()
+
+
 def planted_image_media() -> list[tuple[int, bytes]]:
     """All planted image payloads mm03 grades: the PPM set plus
-    CROSS-CONTAINER re-encodes — a lossless PNG of the alpha base
-    (byte-level completely different, pHash hamming 0) and a baseline
-    JPEG of the gamma base (lossy container, still hamming 0) — the
-    re-encoded-crawl-copy cases a byte digest can never pair."""
+    CROSS-CONTAINER re-encodes — the re-encoded-crawl-copy cases a
+    byte digest can never pair. The alpha base additionally appears as
+    a lossless PNG, BMP, TIFF-PackBits and TIFF-LZW-with-Predictor-2
+    (all pHash hamming 0 to the PPM); the gamma base as a baseline
+    JPEG (lossy container, still hamming 0); the delta base as a GIF
+    and an ascii P3; and the epsilon bilevel pattern through all four
+    gray/bilevel netpbm kinds (P1/P2/P4/P5). Re-encodes whose encoder
+    the package deliberately lacks are pinned literals from the
+    independent test encoders (media_literals, the _GAMMA_JPEG
+    pattern)."""
     from travel_data_ingestion_spark.llm.multimodal import encode_png
+    from travel_data_ingestion_spark.queries import media_literals as ML
 
     import numpy as np
 
     a0 = np.random.RandomState(42).randint(0, 256, (24, 24, 3)).astype("uint8")
     g0 = _gamma_smooth()
+    d0 = _delta_base()
+    e0 = _epsilon_bilevel()
     return planted_ppm_media() + [
         (_PLANTED_MEDIA_BASE_ID + 3, encode_png(24, 24, a0.tobytes())),
+        (_PLANTED_MEDIA_BASE_ID + 4, ML.ALPHA_BMP24),
+        (_PLANTED_MEDIA_BASE_ID + 5, ML.ALPHA_TIFF_PACKBITS),
+        (_PLANTED_MEDIA_BASE_ID + 6, ML.ALPHA_TIFF_LZW_PRED2),
         (_PLANTED_MEDIA_BASE_ID + 20, _ppm_bytes(g0)),
         (_PLANTED_MEDIA_BASE_ID + 21, _GAMMA_JPEG),
+        (_PLANTED_MEDIA_BASE_ID + 30, _ppm_bytes(d0)),
+        (_PLANTED_MEDIA_BASE_ID + 31, ML.DELTA_GIF),
+        (_PLANTED_MEDIA_BASE_ID + 32, _p3_ascii(d0)),
+        (_PLANTED_MEDIA_BASE_ID + 40, _p1_ascii(e0)),
+        (_PLANTED_MEDIA_BASE_ID + 41, _p4_binary(e0)),
+        (_PLANTED_MEDIA_BASE_ID + 42, _p2_ascii((1 - e0) * 255)),
+        (_PLANTED_MEDIA_BASE_ID + 43, _p5_binary((1 - e0) * 255)),
     ]
 
 
 # audio planted ids live above the image block
 _PLANTED_AUDIO_BASE_ID = 4_000_000_000
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    import struct
+
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _riff_list(kind: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + body)
+
+
+def _avi_bytes(frames: list[bytes], w: int, h: int, compression: bytes,
+               handler: bytes, bits: int = 24) -> bytes:
+    """Minimal AVI (RIFF) writer — a planted-FIXTURE generator like
+    _wav_pcm16; the package ships decode_avi only. One video stream,
+    frames as 00dc chunks."""
+    import struct
+
+    avih = struct.pack("<IIIIIIIIII", 33333, 0, 0, 0, len(frames), 0, 1, 0, w, h)
+    avih += bytes(16)
+    strh = b"vids" + handler + bytes(48)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, bits, compression, 0, 0, 0, 0, 0)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _dib_frame(rgb) -> bytes:
+    """Bottom-up 24-bit DIB rows, stride padded to 4 bytes."""
+    import numpy as np
+
+    h, w = rgb.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = []
+    for y in range(h - 1, -1, -1):
+        line = rgb[y, :, ::-1].astype(np.uint8).tobytes()
+        rows.append(line + bytes(stride - len(line)))
+    return b"".join(rows)
+
+
+def planted_video_media() -> list[tuple[int, bytes]]:
+    """Deterministic multi-frame clips across every video container the
+    environment honestly decodes: an animated GIF (media_literals, 23
+    distinct frames — GIF encoding needs the LZW compressor the package
+    deliberately lacks), an MJPEG AVI (35 frames, each the pinned
+    baseline-JPEG literal — MJPEG is JPEG-per-frame), and an
+    uncompressed-DIB AVI (17 deterministic noise frames). mm02 decodes
+    these for REAL (decode_gif / decode_avi frame walks) and grades the
+    sampled indices against the pinned counts."""
+    import numpy as np
+
+    from travel_data_ingestion_spark.queries import media_literals as ML
+
+    r = np.random.RandomState(77)
+    dib_frames = [
+        _dib_frame(r.randint(0, 256, (8, 16, 3)).astype("uint8")) for _ in range(17)
+    ]
+    return [
+        (_PLANTED_VIDEO_BASE_ID + 0, ML.VIDEO_GIF_23F),
+        (_PLANTED_VIDEO_BASE_ID + 1, _avi_bytes([_GAMMA_JPEG] * 35, 32, 24, b"MJPG", b"MJPG")),
+        (_PLANTED_VIDEO_BASE_ID + 2, _avi_bytes(dib_frames, 16, 8, bytes(4), b"DIB ")),
+    ]
 
 
 def _env_clip(gain: float = 1.0):
@@ -314,17 +509,54 @@ def _flac_verbatim16(x, rate: int = 8000) -> bytes:
     return bytes(out) + hdr + bytes([_crc8(hdr)]) + bytes(bits_out) + b"\x00\x00"
 
 
+def _au_bytes(enc: int, data: bytes, rate: int = 8000) -> bytes:
+    import struct
+
+    return struct.pack(">4sIIIII", b".snd", 24, len(data), enc, rate, 1) + data
+
+
+def _au_pcm16(x, rate: int = 8000) -> bytes:
+    import struct
+
+    return _au_bytes(3, b"".join(struct.pack(">h", int(v)) for v in x), rate)
+
+
+def _ulaw_enc(x):
+    """Forward G.711 mu-law compressor (fixture generator; the package
+    ships only the expansion table). Inverse of _ulaw_table's
+    convention: code = ~(sign<<7 | exp<<4 | mant)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int64)
+    sign = (x < 0).astype(np.uint8)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)).astype(np.int64) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    u = (sign << 7) | (exp.astype(np.uint8) << 4) | mant.astype(np.uint8)
+    return (~u).astype(np.uint8).tobytes()
+
+
+def _au_ulaw(x, rate: int = 8000) -> bytes:
+    return _au_bytes(1, _ulaw_enc(x), rate)
+
+
 def planted_audio_media() -> list[tuple[int, bytes]]:
-    """Planted audio payloads: the SAME clip through four containers —
-    WAV, native FLAC, AIFF, and a half-gain WAV re-level — all hashing
-    identically (audio_phash_bytes is container- and gain-invariant),
-    so mm03's one pair generator grades audio near-dup too."""
+    """Planted audio payloads: the SAME clip through six renderings —
+    WAV, native FLAC, AIFF, Sun AU (big-endian PCM16), a G.711 mu-law
+    AU (lossy companding — real telephony re-encode), and a half-gain
+    WAV re-level — all hashing within the near-dup threshold
+    (audio_phash_bytes is container- and gain-invariant; companding
+    noise is ~38 dB down, far below the envelope bits), so mm03's one
+    pair generator grades audio near-dup across every decodable audio
+    container."""
     x = _env_clip()
     return [
         (_PLANTED_AUDIO_BASE_ID + 0, _wav_pcm16(x)),
         (_PLANTED_AUDIO_BASE_ID + 1, _flac_verbatim16(x)),
         (_PLANTED_AUDIO_BASE_ID + 2, _aiff_pcm16(x)),
         (_PLANTED_AUDIO_BASE_ID + 3, _wav_pcm16(_env_clip(0.5))),
+        (_PLANTED_AUDIO_BASE_ID + 4, _au_pcm16(x)),
+        (_PLANTED_AUDIO_BASE_ID + 5, _au_ulaw(x)),
     ]
 
 
@@ -374,16 +606,20 @@ def _phash_dedup_oracle() -> str:
     "hamming<=3 — the same distinct-signature pigeonhole blocking dd04 "
     "uses (llm_dedup.hamming_pairs: 4x16-bit chunks, lossless, "
     "flood-proof). The planted duplicates differ at the byte level and "
-    "even at the CONTAINER level (a PNG and a baseline-JPEG re-encode "
-    "pair with their sources at hamming 0; one audio clip pairs across "
-    "WAV/FLAC/AIFF and a half-gain re-level) — matches no byte digest "
-    "can make. Oracle = the planted pairs as literals computed at "
-    "import by the same pure hash functions (sim02's "
-    "literal-coefficient pattern); the corpus contributes no pairs "
-    "(measured min corpus-vs-planted hamming 16-20 across "
-    "sf0.001/0.01/0.1). At 100 TB: signature extraction is the only "
-    "pass that reads payload bytes; pair generation runs on 8-byte "
-    "signatures.",
+    "at the CONTAINER level across EVERY decoder the environment "
+    "honestly ships: the alpha base pairs with its PNG, BMP, "
+    "TIFF-PackBits and TIFF-LZW-Predictor2 re-encodes (all lossless, "
+    "hamming 0), the gamma base with its baseline-JPEG re-encode "
+    "(lossy, hamming 0), the delta base with its GIF and ascii-P3 "
+    "re-encodes, the epsilon bilevel pattern across netpbm P1/P2/P4/P5, "
+    "and one audio clip across WAV/FLAC/AIFF/AU, a G.711 mu-law "
+    "re-encode, and a half-gain re-level — matches no byte digest can "
+    "make. Oracle = the planted pairs as literals computed at import "
+    "by the same pure hash functions (sim02's literal-coefficient "
+    "pattern); the corpus contributes no pairs (measured min "
+    "corpus-vs-planted hamming 14-18 across sf0.001/0.01/0.1). At "
+    "100 TB: signature extraction is the only pass that reads payload "
+    "bytes; pair generation runs on 8-byte signatures.",
 )
 def mm03_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from travel_data_ingestion_spark.llm.multimodal import (
@@ -444,10 +680,12 @@ def _media_clusters_oracle() -> str:
     "propagation dd06 runs on text (llm_dedup.propagate_min_labels — "
     "the pair schema is the contract, so media clustering is the text "
     "machinery applied to a different signature). Survivors = cluster "
-    "minima; the planted media collapse into a size-4 image cluster "
-    "(incl. the PNG re-encode), two size-2 image clusters (one pairing "
-    "a PPM with its JPEG re-encode), and a size-4 audio cluster "
-    "(WAV/FLAC/AIFF/re-leveled) every round, keeping the row "
+    "minima; the planted media collapse into a size-7 image cluster "
+    "(the alpha base, two perturbations, and its PNG/BMP/TIFF-PackBits/"
+    "TIFF-LZW-Pred2 re-encodes), a size-3 posterized/GIF/P3 cluster, a "
+    "size-4 netpbm bilevel cluster, two size-2 clusters (one pairing a "
+    "PPM with its JPEG re-encode), and a size-6 audio cluster "
+    "(WAV/FLAC/AIFF/AU/mu-law/re-leveled) every round, keeping the row "
     "non-vacuous. "
     "Propagation runs over edge endpoints only (O(pairs) per pass, "
     "converged-verified, memoized per run); the DuckDB oracle computes "

@@ -243,6 +243,91 @@ def test_cluster_index_collect_is_pairs_bounded(spark, tmp_path, monkeypatch):
     assert resolved.filter(F.col("doc_id") == 42).collect()[0].cluster_id == 17
 
 
+def test_over_budget_batch_contracts_distributed(spark, tmp_path, monkeypatch):
+    """A batch above max_driver_pairs is NOT a caller problem: update()
+    detects it with a bounded probe and contracts the pair graph
+    distributively (dd06's min-label propagation), so the driver sees
+    one row per (component, touched existing cluster) instead of one
+    per pair — and produces byte-identical state to the direct path."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    from travel_data_ingestion_spark.dedup_index import ClusterIndex
+
+    seed_batch = [(100,), (101,), (102,), (103,)]
+    seed_pairs = [(100, 101), (102, 103)]
+    # 29-pair chain 0..29, a bridge into cluster 100, two all-fresh
+    # components, and a bridge from one of them into cluster 102
+    big_pairs = [(i, i + 1) for i in range(29)]
+    big_pairs += [(3, 101), (40, 41), (50, 51), (51, 52), (50, 103)]
+    big_batch = [(i,) for i in range(60)]
+
+    def build(path, **kw):
+        cc = ClusterIndex(str(tmp_path / path))
+        cc.update(
+            spark,
+            spark.createDataFrame(seed_batch, "doc_id long"),
+            spark.createDataFrame(seed_pairs, "doc_a long, doc_b long"),
+        )
+        merges = cc.update(
+            spark,
+            spark.createDataFrame(big_batch, "doc_id long"),
+            spark.createDataFrame(big_pairs, "doc_a long, doc_b long"),
+            **kw,
+        )
+        return cc, merges
+
+    direct, m_direct = build("direct")
+
+    collected_sizes: list[int] = []
+    real_collect = ClassicDF.collect
+
+    def spy_collect(self):
+        rows = real_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(ClassicDF, "collect", spy_collect)
+    contracted, m_contracted = build("contracted", max_driver_pairs=5)
+    monkeypatch.undo()
+
+    assert m_contracted == m_direct == {100: 0, 102: 50}
+    r_direct = {r.doc_id: r.cluster_id for r in direct.resolve(spark).collect()}
+    r_contr = {
+        r.doc_id: r.cluster_id for r in contracted.resolve(spark).collect()
+    }
+    assert r_contr == r_direct
+    assert r_contr[101] == 0 and r_contr[29] == 0  # chain + bridge
+    assert r_contr[103] == 50 and r_contr[52] == 50
+    assert r_contr[40] == 40 and r_contr[41] == 40  # all-fresh component
+    # the whole point: 34 pairs crossed the wire as <= a handful of
+    # contracted rows — no collect() anywhere near pair-sized
+    assert collected_sizes and max(collected_sizes) <= 5, collected_sizes
+
+    # over-budget replay composes like the direct path: re-feeding the
+    # same batch is a no-op
+    n_assign = spark.read.parquet(contracted.assign_path).count()
+    again = contracted.update(
+        spark,
+        spark.createDataFrame(big_batch, "doc_id long"),
+        spark.createDataFrame(big_pairs, "doc_a long, doc_b long"),
+        max_driver_pairs=5,
+    )
+    assert again == {}
+    assert spark.read.parquet(contracted.assign_path).count() == n_assign
+
+    # contract violations still raise loudly on the distributed path
+    with pytest.raises(ValueError, match="never indexed"):
+        contracted.update(
+            spark,
+            spark.createDataFrame([(200,)], "doc_id long"),
+            spark.createDataFrame(
+                [(200, 999), (201, 202), (202, 203), (203, 204), (204, 205), (205, 206)],
+                "doc_a long, doc_b long",
+            ),
+            max_driver_pairs=5,
+        )
+
+
 @pytest.mark.slow
 def test_cluster_index_replay_and_unknown_endpoint(spark, tmp_path):
     from travel_data_ingestion_spark.dedup_index import ClusterIndex
@@ -292,7 +377,16 @@ def test_media_phash_pairs_compose_with_cluster_index(spark, tmp_path):
     clusters = {
         (r.cluster_id, r.cluster_size) for r in cc.clusters(spark).collect()
     }
-    assert clusters == {(B + 0, 4), (B + 10, 2), (B + 20, 2), (A + 0, 4)}
+    # alpha(7: PPM x3 + PNG/BMP/TIFF x2), beta(2), gamma(2), delta(3:
+    # PPM/GIF/P3), epsilon(4: netpbm P1/P2/P4/P5), audio(6)
+    assert clusters == {
+        (B + 0, 7),
+        (B + 10, 2),
+        (B + 20, 2),
+        (B + 30, 3),
+        (B + 40, 4),
+        (A + 0, 6),
+    }
 
 
 @pytest.mark.slow

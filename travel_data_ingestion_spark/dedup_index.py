@@ -563,20 +563,21 @@ class ClusterIndex:
     semi-filtered map-only scan of ``assign`` (row-group pruned under a
     doc_id-sorted layout; no shuffle).
 
-    DRIVER BUDGET (the stated bound, not an aspiration): ``update``
-    collects the batch's distinct pairs and union-finds them on the
-    driver — heap is O(distinct pairs + distinct endpoints) at a few
-    hundred bytes per pair (collected Rows + the endpoint set + the
-    parent map; iterative find, path-compressed, no recursion). Size
-    batches to **<= ~10^7 candidate pairs** (~ a few GB of driver heap);
-    a 10^6-pair chain batch is pinned by
-    tests/test_dedup_index.py::test_cluster_index_million_pair_batch to
-    complete within a bounded Python heap. A pathological micro-batch
-    above the budget (~10^8 pairs) must be SPLIT — feed the pairs in
-    slices via repeated ``update`` calls with the same ``batch`` docs;
-    correctness is unaffected because merges compose across calls (the
-    batched == one-shot invariant below), only the per-call driver
-    footprint changes.
+    DRIVER BUDGET (enforced inside ``update``, not a caller contract):
+    batches at or under ``max_driver_pairs`` distinct pairs (default
+    10^7, ~ a few GB of driver heap at a few hundred bytes per
+    collected pair) take the direct path — collect the distinct pairs
+    and union-find them driver-side; a 10^6-pair chain batch is pinned
+    by tests/test_dedup_index.py::test_cluster_index_million_pair_batch
+    to complete within a bounded Python heap. A batch ABOVE the budget
+    (a crawl snapshot that is 50% near-dups) is detected by a bounded
+    limit-count probe and contracted DISTRIBUTIVELY first: the dd06
+    min-label propagation collapses the batch pair graph to its
+    components, and the driver sees one row per (component, touched
+    existing cluster) — bounded by cluster-merge events, the same
+    quantity the driver-resident remap log stores by design. Both
+    paths produce identical merges and assign rows
+    (tests/test_dedup_index.py::test_over_budget_batch_contracts_distributed).
 
     Invariant (tests/test_dedup_index.py): feeding batches of
     MinHashIndex.update's new pairs reproduces one-shot dd06 exactly.
@@ -607,7 +608,13 @@ class ClusterIndex:
             for r in spark.read.schema(_REMAP_SCHEMA).parquet(path).collect()
         }
 
-    def update(self, spark: SparkSession, batch: DataFrame, pairs: DataFrame) -> dict[int, int]:
+    def update(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        pairs: DataFrame,
+        max_driver_pairs: int = 10_000_000,
+    ) -> dict[int, int]:
         """Add a batch of docs (``doc_id`` column) and the new near-dup
         pairs (``doc_a``/``doc_b``) this batch introduced; returns the
         cluster merges applied ({old_cluster: new_cluster}).
@@ -615,6 +622,16 @@ class ClusterIndex:
         Pair endpoints must be previously-indexed docs or members of
         ``batch`` (which MinHashIndex.update's output satisfies by
         construction). Replaying an already-indexed batch doc is a no-op.
+
+        The driver budget is ENFORCED here, not delegated to callers: a
+        cheap limit-count probes the pair cardinality, and a batch above
+        ``max_driver_pairs`` is contracted DISTRIBUTIVELY first
+        (propagate_min_labels over the batch pair graph — the dd06
+        machinery), so the driver union-find sees one row per
+        (component, touched existing cluster) instead of one per pair.
+        That contracted set is bounded by cluster-merge events — the
+        same quantity the remap log itself stores — so any batch the
+        index can represent at all fits the driver after contraction.
         """
         assign = self._read_assign(spark)
         remap = self._read_remap(spark)
@@ -624,6 +641,27 @@ class ClusterIndex:
             .join(assign.select("doc_id"), "doc_id", "left_anti")
         )
 
+        # Budget probe: limit(N+1).count() on the raw pairs stops
+        # scanning at N+1 rows — the common (small-batch) case pays a
+        # bounded probe, never a full count. Only when the raw stream
+        # exceeds the budget is the distinct cardinality measured.
+        raw = pairs.select("doc_a", "doc_b")
+        over = (
+            raw.limit(max_driver_pairs + 1).count() > max_driver_pairs
+            and raw.distinct().limit(max_driver_pairs + 1).count() > max_driver_pairs
+        )
+        if over:
+            merges, rows = self._contract_distributed(
+                spark, assign, remap, fresh, raw.distinct()
+            )
+        else:
+            merges, rows = self._contract_on_driver(spark, assign, remap, fresh, pairs)
+        return self._commit(spark, remap, merges, rows)
+
+    def _contract_on_driver(self, spark, assign, remap, fresh, pairs):
+        """The small-batch path: collect the distinct pairs and
+        union-find them on the driver — O(distinct pairs + endpoints)
+        heap, a few hundred bytes per pair."""
         edge_rows = pairs.select("doc_a", "doc_b").distinct().collect()
         endpoints = {r.doc_a for r in edge_rows} | {r.doc_b for r in edge_rows}
 
@@ -707,6 +745,112 @@ class ClusterIndex:
             fresh.join(touched_df.withColumnRenamed("c0", "c_t"), "doc_id", "left")
             .select("doc_id", F.coalesce("c_t", F.col("doc_id")).alias("c0"))
         )
+        return merges, rows
+
+    def _contract_distributed(self, spark, assign, remap, fresh, pr):
+        """The over-budget path: run the same distributed min-label
+        propagation dd06 uses over the batch pair graph, then hand the
+        driver only the CONTRACTED rows — one per (batch-graph
+        component, touched existing cluster). A crawl snapshot that is
+        50% near-dups sends ~10^8 pairs but only as many contracted
+        rows as there are cluster-merge events, which is what the
+        driver-resident remap log must hold anyway."""
+        from travel_data_ingestion_spark.queries.llm_dedup import (
+            propagate_min_labels,
+        )
+
+        labels = propagate_min_labels(pr, "doc_a", "doc_b")  # (node, label)
+        remap_df = spark.createDataFrame(
+            [(int(s), int(d)) for s, d in sorted(remap.items())] or [],
+            _REMAP_SCHEMA,
+        )
+        noded = (
+            labels.join(
+                assign.select(
+                    F.col("doc_id").alias("node"), F.col("c0").alias("a_c0")
+                ),
+                "node",
+                "left",
+            )
+            .join(F.broadcast(remap_df), F.col("a_c0") == F.col("src"), "left")
+            .select(
+                "node", "label", F.coalesce("dst", "a_c0").alias("old_rep")
+            )
+        )
+        missing = (
+            noded.filter(F.col("old_rep").isNull())
+            .join(
+                fresh.select(F.col("doc_id").alias("node")), "node", "left_anti"
+            )
+            .limit(5)
+            .collect()
+        )
+        if missing:
+            raise ValueError(
+                "ClusterIndex: pair endpoints never indexed: "
+                f"{sorted(r.node for r in missing)}"
+            )
+        # one row per (component label, existing cluster) — the driver
+        # union-find's entire input
+        contracted = (
+            noded.filter(F.col("old_rep").isNotNull())
+            .select("label", "old_rep")
+            .distinct()
+            .collect()
+        )
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in contracted:
+            a, b = find(int(r.label)), find(int(r.old_rep))
+            if a != b:
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+
+        # merge-log entries: existing cluster labels only (old_rep
+        # values); component labels are node ids, never insert-time
+        # labels of pre-existing rows
+        reps = {int(r.old_rep) for r in contracted}
+        merges = {x: find(x) for x in reps if find(x) != x}
+        # final label per component that met an existing cluster; the
+        # all-fresh components keep their propagated min label
+        final_map = {}
+        for r in contracted:
+            lbl = int(r.label)
+            f = find(lbl)
+            if f != lbl:
+                final_map[lbl] = f
+        fmap_df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in sorted(final_map.items())] or [],
+            "label long, final long",
+        )
+        rows = (
+            fresh.join(
+                labels.select(F.col("node").alias("doc_id"), "label"),
+                "doc_id",
+                "left",
+            )
+            .join(F.broadcast(fmap_df), "label", "left")
+            .select(
+                "doc_id",
+                F.coalesce("final", "label", F.col("doc_id"))
+                .cast("long")
+                .alias("c0"),
+            )
+        )
+        return merges, rows
+
+    def _commit(self, spark, remap, merges, rows):
+        """Shared tail of both contraction paths: append the fresh
+        assign rows, recompress + atomically swap the merge log."""
         rows.write.mode("append").parquet(self.assign_path)
 
         # Recompress the merge log: compose old entries through this

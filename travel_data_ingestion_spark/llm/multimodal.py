@@ -48,6 +48,54 @@ from pyspark.sql import types as T
 
 from travel_data_ingestion_spark.llm.jpeg import decode_jpeg
 
+# ---------------------------------------------------------------------------
+# Pluggable native-codec hooks. The pure-Python decoders below are
+# correct but 10-100x slower than libjpeg-turbo/libFLAC/ffmpeg; on a
+# real cluster the CPU bill at 100 TB of media is dominated by decode,
+# so a deployment that HAS native libraries plugs them in here and
+# every kernel (features, pHash, resize, frame sampling) — and every
+# oracle — is untouched: the hook returns the same canonical tuples
+# the pure decoders do, and anything it declines (returns None for)
+# falls through to the pure path.
+#
+# Registration propagates to executor Python workers through module
+# import, not driver state: set SPARK_GRAFT_CODEC_MODULE to a module
+# importable on every worker that exposes ``image_codec(bytes) ->
+# (w, h, rgb_bytes) | None`` and/or ``audio_codec(bytes) ->
+# (rate, n_channels, float_frames) | None`` (the decode_image /
+# decode_audio contracts). register_image_codec/register_audio_codec
+# do the same in-process (tests, notebooks, driver-side calls).
+_IMAGE_CODEC = None
+_AUDIO_CODEC = None
+
+
+def register_image_codec(fn) -> None:
+    global _IMAGE_CODEC
+    _IMAGE_CODEC = fn
+
+
+def register_audio_codec(fn) -> None:
+    global _AUDIO_CODEC
+    _AUDIO_CODEC = fn
+
+
+def _load_codec_hooks() -> None:
+    import importlib
+    import os
+
+    name = os.environ.get("SPARK_GRAFT_CODEC_MODULE")
+    if not name:
+        return
+    mod = importlib.import_module(name)  # loud on a misconfigured env
+    img, aud = getattr(mod, "image_codec", None), getattr(mod, "audio_codec", None)
+    if img is not None:
+        register_image_codec(img)
+    if aud is not None:
+        register_audio_codec(aud)
+
+
+_load_codec_hooks()
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -1067,8 +1115,14 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
     strip-based TIFF (none/PackBits/LZW) — to (width,
     height, rgb_bytes); None routes the caller to the opaque-bytes
     stub path. The single decode entry every image operator (features,
-    pHash, resize) goes through, so a new container added here lights
-    up the whole pipeline."""
+    pHash, resize) goes through, so a new container added here — or a
+    native codec registered via register_image_codec /
+    SPARK_GRAFT_CODEC_MODULE, consulted first — lights up the whole
+    pipeline."""
+    if _IMAGE_CODEC is not None:
+        dec = _IMAGE_CODEC(payload)
+        if dec is not None:
+            return dec
     dec = decode_ppm(payload)
     if dec is None and payload[:1] == b"P":
         dec = decode_pnm(payload)
@@ -1500,11 +1554,17 @@ def decode_audio(payload: bytes):
     compression), Sun AU (mu-law, PCM 8s/16/24/32, float 32/64,
     a-law), and native FLAC (llm/flac.decode_flac — every subframe
     type and channel assignment, bit-exact). mp3/ogg need a real codec
-    and return None — the documented stub path."""
+    and return None — the documented stub path, unless a native codec
+    registered via register_audio_codec / SPARK_GRAFT_CODEC_MODULE
+    (consulted first) claims the payload."""
     import struct
 
     import numpy as np
 
+    if _AUDIO_CODEC is not None:
+        dec = _AUDIO_CODEC(payload)
+        if dec is not None:
+            return dec
     try:
         rate = n_ch = None
         x = None

@@ -749,3 +749,101 @@ def test_mixed_csv_and_media_streams_share_warehouse(spark, tmp_path):
         for r in wh.read(spark, "bronze", "transactions").select("load_id").distinct().collect()
     } - lids
     assert new_lids and min(new_lids) > max(lids)
+
+
+def test_stream_ingest_media_full_container_matrix(spark, tmp_path):
+    """Container coverage of the STREAMING path matches batch: real
+    PPM/PNG/BMP/TIFF(PackBits+LZW-Pred2)/GIF files and WAV/FLAC/AU
+    clips land through binaryFile streaming ingest, decode for REAL in
+    the feature kernel (true dimensions, not stubs), and the lossless
+    re-encodes pair at pHash hamming 0 — the end-to-end a crawl
+    pipeline runs: files -> stream -> features -> near-dup."""
+    import numpy as np
+
+    from travel_data_ingestion_spark.llm.multimodal import (
+        audio_phash_signatures,
+        encode_png,
+        extract_features,
+        phash_signatures,
+    )
+    from travel_data_ingestion_spark.queries import media_literals as ML
+    from travel_data_ingestion_spark.queries.llm_dedup import hamming_pairs
+    from travel_data_ingestion_spark.queries.llm_multimodal import (
+        _au_pcm16,
+        _au_ulaw,
+        _env_clip,
+        _flac_verbatim16,
+        _ppm_bytes,
+        _wav_pcm16,
+    )
+    from travel_data_ingestion_spark.streaming import stream_ingest_media
+
+    a0 = np.random.RandomState(42).randint(0, 256, (24, 24, 3)).astype("uint8")
+    clip = _env_clip()
+    landing = tmp_path / "matrix_landing"
+    landing.mkdir()
+    image_files = {
+        "alpha.ppm": _ppm_bytes(a0),
+        "alpha.png": encode_png(24, 24, a0.tobytes()),
+        "alpha.bmp": ML.ALPHA_BMP24,
+        "alpha_packbits.tiff": ML.ALPHA_TIFF_PACKBITS,
+        "alpha_lzw_pred2.tiff": ML.ALPHA_TIFF_LZW_PRED2,
+    }
+    audio_files = {
+        "clip.wav": _wav_pcm16(clip),
+        "clip.flac": _flac_verbatim16(clip),
+        "clip.au": _au_pcm16(clip),
+        "clip_ulaw.au": _au_ulaw(clip),
+    }
+    for name, payload in {**image_files, **audio_files}.items():
+        (landing / name).write_bytes(payload)
+    out = str(tmp_path / "matrix_table")
+    stream_ingest_media(
+        spark, str(landing), out, str(tmp_path / "matrix_ckpt")
+    )
+    media = spark.read.parquet(out)
+    assert media.count() == len(image_files) + len(audio_files)
+    by_src = {
+        os.path.basename(r.source): r.media_id
+        for r in media.select("meta.source", "media_id").collect()
+    }
+
+    # real decode through the streamed table: every image container
+    # yields TRUE 24x24 dimensions from its own parser
+    img_ids = {by_src[n] for n in image_files}
+    feats = {
+        r.media_id: (r.width, r.height)
+        for r in extract_features(media).collect()
+        if r.media_id in img_ids
+    }
+    assert feats == {mid: (24, 24) for mid in img_ids}
+
+    # one pair generator over the streamed payloads: the five lossless
+    # renderings of the alpha base form a clique at hamming 0
+    img_pairs = hamming_pairs(
+        phash_signatures(media.filter(F.col("media_id").isin(list(img_ids)))),
+        "media_id",
+        "phash",
+    ).collect()
+    assert {(r.id_a, r.id_b, r.hamming) for r in img_pairs} == {
+        (min(a, b), max(a, b), 0)
+        for i, a in enumerate(sorted(img_ids))
+        for b in sorted(img_ids)[i + 1 :]
+    }
+
+    # the audio renderings (incl. lossy mu-law companding) pair within
+    # the near-dup threshold
+    aud_ids = {by_src[n] for n in audio_files}
+    aud_pairs = hamming_pairs(
+        audio_phash_signatures(
+            media.filter(F.col("media_id").isin(list(aud_ids)))
+        ),
+        "media_id",
+        "phash",
+    ).collect()
+    assert {frozenset((r.id_a, r.id_b)) for r in aud_pairs} == {
+        frozenset((a, b))
+        for i, a in enumerate(sorted(aud_ids))
+        for b in sorted(aud_ids)[i + 1 :]
+    }
+    assert all(r.hamming <= 3 for r in aud_pairs)

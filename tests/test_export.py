@@ -340,3 +340,95 @@ def test_reexport_with_fewer_shards_leaves_no_stale_dirs(spark, tmp_path):
         "shard=1",
     ]
     assert spark.read.parquet(p).count() == half.count()
+
+
+def test_epoch_repeat_matches_naive_and_boundary_rules(spark):
+    """epoch_repeat_sample (the over-budget twin of token_budget_sample):
+    configured strata replay in full hash-order passes with the final
+    pass truncated by fill-until-reached; unconfigured strata emit
+    exactly one full pass; a NULL stratum routes through the
+    NULL-normalized proxy like every other config surface."""
+    from travel_data_ingestion_spark.export import epoch_repeat_sample
+
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    planted = spark.createDataFrame(
+        [(20_000_001, None, 40), (20_000_002, None, 40), (20_000_003, None, 25)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    mixed = toks.unionByName(planted)
+    # null total = 105 -> target 250 = 3 passes, third truncated
+    cfg_rows = [("zh", 9000), ("de", 7000), (None, 250)]
+    cfg = spark.createDataFrame(cfg_rows, "lang string, target long")
+    got = epoch_repeat_sample(mixed, targets=cfg).collect()
+
+    # naive reference: per-stratum python replay in (md5(key), key) order
+    import hashlib
+
+    rows = [(r.doc_id, r.lang, r.n_tokens) for r in mixed.collect()]
+    targets = {lang: t for lang, t in cfg_rows}
+    expect = set()
+    by_s: dict = {}
+    for doc_id, lang, n in rows:
+        by_s.setdefault(lang, []).append((doc_id, n))
+    for lang, docs_s in by_s.items():
+        docs_s.sort(key=lambda d: (hashlib.md5(str(d[0]).encode()).hexdigest(), d[0]))
+        total = sum(n for _d, n in docs_s)
+        target = targets.get(lang)
+        n_ep = 1 if target is None else -(-target // total)
+        cum = 0
+        for ep in range(n_ep):
+            for doc_id, n in docs_s:
+                if target is not None and cum >= target:
+                    break
+                expect.add((doc_id, lang, ep, n, cum + n))
+                cum += n
+    assert {tuple(r) for r in got} == expect
+
+    by_lang_ep: dict = {}
+    for r in got:
+        by_lang_ep.setdefault(r.lang, set()).add(r.epoch)
+    # unconfigured strata: exactly one full pass
+    for lang in ("en", "es", "fr"):
+        assert by_lang_ep[lang] == {0}
+        n_docs = sum(1 for r in got if r.lang == lang)
+        assert n_docs == mixed.filter(F.col("lang") == lang).count()
+    # configured strata replay; epoch 0 of a configured stratum is FULL
+    assert len(by_lang_ep["zh"]) >= 2 and len(by_lang_ep[None]) == 3
+    zh_all = mixed.filter(F.col("lang") == "zh").count()
+    assert sum(1 for r in got if r.lang == "zh" and r.epoch == 0) == zh_all
+    # fill-until-reached: the last selected doc CROSSES the target
+    for lang, target in cfg_rows:
+        cums = [r.cum_tokens for r in got if r.lang == lang]
+        assert max(cums) >= target, (lang, max(cums), target)
+    # determinism
+    again = epoch_repeat_sample(mixed, targets=cfg).collect()
+    assert {tuple(r) for r in again} == expect
+
+
+def test_epoch_repeat_rejects_bad_config(spark):
+    from travel_data_ingestion_spark.export import epoch_repeat_sample
+
+    toks = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 5)], "doc_id long, lang string, n_tokens long"
+    )
+    dup = spark.createDataFrame(
+        [("en", 100), ("en", 200)], "lang string, target long"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        epoch_repeat_sample(toks, targets=dup)
+    neg = spark.createDataFrame([("en", -5)], "lang string, target long")
+    with pytest.raises(ValueError, match="non-positive"):
+        epoch_repeat_sample(toks, targets=neg)
+    # a target demanding more than max_epochs passes is a config error
+    huge = spark.createDataFrame([("en", 10_000)], "lang string, target long")
+    with pytest.raises(ValueError, match="config error"):
+        epoch_repeat_sample(toks, targets=huge, max_epochs=100)
+    # ... but a legitimate heavy repetition under the cap works
+    ok = epoch_repeat_sample(toks, targets=huge, max_epochs=1000).collect()
+    assert max(r.epoch for r in ok) == 666  # ceil(10000/15) - 1
+    assert max(r.cum_tokens for r in ok) >= 10_000

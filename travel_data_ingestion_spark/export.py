@@ -197,6 +197,48 @@ def curriculum_interleave(
     )
 
 
+def _salted_stratum_prefix(
+    df: DataFrame, stratum: str, key: str, token_col: str
+) -> DataFrame:
+    """Exact within-stratum running token sum in md5-hash order,
+    decomposed over 256 salt buckets + broadcast cumulative bucket
+    offsets (bucket = first hex byte of the ordering hash, so bucket
+    order refines full-key order) — bit-identical to the naive
+    per-stratum window (tests/test_export.py) with per-partition work
+    bounded by n_s/256. Shared by token_budget_sample and
+    epoch_repeat_sample. Returns df columns + skey/hkey/cum_before."""
+    hkey = F.md5(F.col(key).cast("string"))
+    skey = F.coalesce(F.col(stratum).cast("string"), F.lit(NULL_STRATUM))
+    base = (
+        df.select(stratum, key, token_col)
+        .withColumn("skey", skey)
+        .withColumn("hkey", hkey)
+        .withColumn("bkt", F.substring("hkey", 1, 2))
+    )
+    btok = base.groupBy("skey", "bkt").agg(
+        F.sum(token_col).cast("long").alias("tok_b")
+    )
+    woff = (
+        Window.partitionBy("skey")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btok.select(
+        "skey", "bkt", F.coalesce(F.sum("tok_b").over(woff), F.lit(0)).alias("tok_off")
+    )
+    win = (
+        Window.partitionBy("skey", "bkt")
+        .orderBy("hkey", key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.col("tok_off") + F.coalesce(
+        F.sum(token_col).over(win), F.lit(0)
+    )
+    return base.join(F.broadcast(offsets), ["skey", "bkt"]).withColumn(
+        "cum_before", cum_before.cast("long")
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budgets: DataFrame | None = None,
@@ -239,36 +281,7 @@ def token_budget_sample(
     """
     if not default_budget > 0:
         raise ValueError(f"default_budget must be > 0, got {default_budget}")
-    hkey = F.md5(F.col(key).cast("string"))
-    skey = F.coalesce(F.col(stratum).cast("string"), F.lit(NULL_STRATUM))
-    base = (
-        df.select(stratum, key, token_col)
-        .withColumn("skey", skey)
-        .withColumn("hkey", hkey)
-        .withColumn("bkt", F.substring("hkey", 1, 2))
-    )
-    btok = base.groupBy("skey", "bkt").agg(
-        F.sum(token_col).cast("long").alias("tok_b")
-    )
-    woff = (
-        Window.partitionBy("skey")
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = btok.select(
-        "skey", "bkt", F.coalesce(F.sum("tok_b").over(woff), F.lit(0)).alias("tok_off")
-    )
-    win = (
-        Window.partitionBy("skey", "bkt")
-        .orderBy("hkey", key)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum_before = F.col("tok_off") + F.coalesce(
-        F.sum(token_col).over(win), F.lit(0)
-    )
-    ranked = base.join(F.broadcast(offsets), ["skey", "bkt"]).withColumn(
-        "cum_before", cum_before.cast("long")
-    )
+    ranked = _salted_stratum_prefix(df, stratum, key, token_col)
     if budgets is None:
         budgeted = ranked.withColumn("budget", F.lit(int(default_budget)))
     else:
@@ -301,6 +314,107 @@ def token_budget_sample(
         stratum,
         token_col,
         (F.col("cum_before") + F.col(token_col)).cast("long").alias("cum_tokens"),
+    )
+
+
+def epoch_repeat_sample(
+    df: DataFrame,
+    targets: DataFrame,
+    stratum: str = "lang",
+    key: str = "doc_id",
+    token_col: str = "n_tokens",
+    max_epochs: int = 100,
+) -> DataFrame:
+    """Multi-epoch mixture selection — the OVER-budget complement of
+    ``token_budget_sample``: real pretraining mixes up-weight small
+    high-quality sources by REPEATING them (multiple epochs of the
+    source per one pass of the big ones), so when a stratum's token
+    target exceeds its corpus mass, the stratum is replayed — full
+    deterministic hash-order passes, each tagged with an ``epoch``
+    number, with the final pass truncated by the same fill-until-reached
+    rule cu14 uses (the document crossing the target boundary is
+    included). Strata absent from ``targets`` emit exactly one full
+    untruncated epoch: the mixture output is the whole mixed dataset.
+
+    ``targets`` is a config table ``(stratum, target)`` validated
+    eagerly like token_budget_sample's budgets (duplicates,
+    null/non-positive targets raise). A target demanding more than
+    ``max_epochs`` passes of a stratum raises too — that is a config
+    error (up-weighting a source 100x is outside any published mix),
+    not a scale path.
+
+    Determinism: selection and epoch numbering are pure functions of
+    (key, tokens, target). SCALE: the within-stratum prefix sum is the
+    shared 256-salt-bucket decomposition (_salted_stratum_prefix — one
+    uniform shuffle, no dominant-stratum window); per-stratum totals
+    are one small aggregate broadcast back; the epoch fan-out is a
+    JVM-side sequence+explode sized by the OUTPUT (selected epochs),
+    never a cross join. Returns (key, stratum, epoch, token_col,
+    cum_tokens) where cum_tokens is the global running total through
+    this document across epochs in replay order."""
+    if not max_epochs > 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    skey_of = lambda c: F.coalesce(F.col(c).cast("string"), F.lit(NULL_STRATUM))  # noqa: E731
+    tcfg = targets.select(
+        skey_of(stratum).alias("skey"),
+        F.col("target").cast("long").alias("t_cfg"),
+    )
+    bad = (
+        tcfg.groupBy("skey")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("t_cfg").alias("t_min"))
+        .filter((F.col("n") > 1) | F.col("t_min").isNull() | (F.col("t_min") <= 0))
+        .limit(20)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            "epoch_repeat_sample: invalid targets config (duplicate "
+            "stratum rows or non-positive/null target): "
+            + ", ".join(f"{r.skey!r} (rows={r.n}, min={r.t_min})" for r in bad)
+        )
+    ranked = _salted_stratum_prefix(df, stratum, key, token_col)
+    totals = ranked.groupBy("skey").agg(
+        F.sum(token_col).cast("long").alias("s_total")
+    )
+    # epochs per stratum: ceil(target / total) for configured strata
+    # (integer form: (target + total - 1) div total), one pass otherwise
+    plan = totals.join(F.broadcast(tcfg), "skey", "left").withColumn(
+        "n_epochs",
+        F.when(F.col("t_cfg").isNull(), F.lit(1)).otherwise(
+            ((F.col("t_cfg") + F.col("s_total") - 1) / F.col("s_total"))
+            .cast("long")
+        ),
+    )
+    over = plan.filter(F.col("n_epochs") > max_epochs).limit(5).collect()
+    if over:
+        raise ValueError(
+            f"epoch_repeat_sample: target demands > {max_epochs} epochs for "
+            + ", ".join(
+                f"{r.skey!r} (target={r.t_cfg}, stratum tokens={r.s_total})"
+                for r in over
+            )
+            + " — a config error, not a repetition recipe"
+        )
+    fanned = ranked.join(F.broadcast(plan), "skey").select(
+        key,
+        stratum,
+        token_col,
+        "cum_before",
+        "s_total",
+        "t_cfg",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_epochs") - 1)
+        ).alias("epoch"),
+    )
+    global_before = F.col("epoch") * F.col("s_total") + F.col("cum_before")
+    return fanned.filter(
+        F.col("t_cfg").isNull() | (global_before < F.col("t_cfg"))
+    ).select(
+        key,
+        stratum,
+        F.col("epoch").cast("long").alias("epoch"),
+        token_col,
+        (global_before + F.col(token_col)).cast("long").alias("cum_tokens"),
     )
 
 

@@ -1019,6 +1019,80 @@ def cu14_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Epoch-repetition targets for cu15: chosen so repetition BITES at the
+# graded SFs (zh token mass ~4.1k at sf0.01 -> 3 epochs with a mid-pass
+# truncation; de ~3.5k -> 2 epochs; en/es/fr unconfigured -> exactly one
+# full pass), exercising every branch of the fill-until-reached rule.
+_EPOCH_CFG: list[tuple[str, int]] = [("zh", 9000), ("de", 7000)]
+
+
+def _epoch_repeat_oracle() -> str:
+    cfg = ", ".join(f"('{lang}', {t})" for lang, t in _EPOCH_CFG)
+    return f"""
+    WITH cfg(lang, target) AS (VALUES {cfg}),
+    t AS (
+      SELECT doc_id, lang, len({_TOKENIZE_SQL}) AS n_tokens FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+             SUM(n_tokens) OVER (PARTITION BY lang) AS s_total
+      FROM t
+    ),
+    e AS (
+      SELECT r.*, c.target,
+             CAST(CASE WHEN c.target IS NULL THEN 1
+                  ELSE (c.target + r.s_total - 1) // r.s_total END AS BIGINT)
+               AS n_epochs
+      FROM ranked r LEFT JOIN cfg c ON r.lang IS NOT DISTINCT FROM c.lang
+    ),
+    x AS (SELECT *, UNNEST(range(0, n_epochs)) AS epoch FROM e)
+    SELECT doc_id, lang,
+           CAST(epoch AS BIGINT) AS epoch,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(epoch * s_total + cum_before + n_tokens AS BIGINT) AS cum_tokens
+    FROM x
+    WHERE target IS NULL OR epoch * s_total + cum_before < target
+    """
+
+
+@register(
+    "cu15_epoch_repeat_mix",
+    _epoch_repeat_oracle(),
+    survey_ops=("X-CURATE-15",),
+    doc="Multi-epoch mixture selection (export.epoch_repeat_sample) — "
+    "the OVER-budget complement of cu14: real pretraining mixes "
+    "up-weight small high-quality sources by REPEATING them, so a "
+    "stratum whose token target exceeds its corpus mass is replayed in "
+    "full deterministic hash-order passes tagged with an epoch number, "
+    "the final pass truncated by cu14's fill-until-reached rule; "
+    "unconfigured strata emit exactly one full pass (the output IS the "
+    "mixed dataset). Targets come from a validated config table "
+    "(duplicates / non-positive raise; so does a target demanding "
+    ">max_epochs passes — a config error, not a recipe). The prefix "
+    "sum shares cu14's 256-salt-bucket decomposition (one uniform "
+    "shuffle, no dominant-stratum window); totals are one broadcast "
+    "aggregate; the epoch fan-out is JVM-side sequence+explode sized "
+    "by the output. The DuckDB oracle runs the naive window form, so "
+    "every graded round re-proves the salted decomposition across the "
+    "epoch arithmetic too.",
+)
+def cu15_epoch_repeat_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.export import epoch_repeat_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    cfg = spark.createDataFrame(_EPOCH_CFG, "lang string, target long")
+    return epoch_repeat_sample(toks, targets=cfg)
+
+
 # PII patterns chosen for identical semantics under Java regex (Spark)
 # and RE2 (DuckDB): character classes, bounded repetition, no lookaround.
 _EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -117,12 +117,13 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "cu12_weighted_curriculum",
             "cu13_span_excision",
             "cu14_token_budget_mix",
+            "cu15_epoch_repeat_mix",
         ],
         "Corpus-curation suite: deterministic hash sampling, stratified "
         "quotas, benchmark decontamination, per-source stats, PII "
         "redaction, span-level contamination reporting and excision, "
         "config-weighted curriculum export, token-budget mixture "
-        "selection.",
+        "selection, multi-epoch source repetition.",
     ),
     "su06_text_doc_suite": (
         [

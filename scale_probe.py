@@ -52,6 +52,13 @@ PROBE_QUERIES = [
     # hits grow linearly with the corpus; the dup-gram membership join
     # must stay linear (no per-gram pairwise blowup) for this to hold.
     "t12_crossdoc_span_dedup",
+    # round-10 additions: REAL frame sampling (map-only Arrow decode of
+    # every corpus still + the planted clips — 8x payloads must scale
+    # linearly) and multi-epoch mixture selection (salted prefix sum +
+    # epoch fan-out; at 8x the zh/de targets stop biting — epochs drop
+    # to 1 — so the probe watches the SHUFFLE shape, not the fan-out).
+    "mm02_frame_sample",
+    "cu15_epoch_repeat_mix",
 ]
 
 

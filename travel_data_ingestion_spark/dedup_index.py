@@ -644,19 +644,28 @@ class ClusterIndex:
         # Budget probe: limit(N+1).count() on the raw pairs stops
         # scanning at N+1 rows — the common (small-batch) case pays a
         # bounded probe, never a full count. Only when the raw stream
-        # exceeds the budget is the distinct cardinality measured.
-        raw = pairs.select("doc_a", "doc_b")
-        over = (
-            raw.limit(max_driver_pairs + 1).count() > max_driver_pairs
-            and raw.distinct().limit(max_driver_pairs + 1).count() > max_driver_pairs
-        )
-        if over:
-            merges, rows = self._contract_distributed(
-                spark, assign, remap, fresh, raw.distinct()
+        # exceeds the budget is the distinct cardinality measured. The
+        # pairs plan is often expensive (MinHashIndex.update output is
+        # a banded join), so persist it across probe + contraction
+        # instead of recomputing the lineage per action.
+        raw = pairs.select("doc_a", "doc_b").persist()
+        try:
+            over = (
+                raw.limit(max_driver_pairs + 1).count() > max_driver_pairs
+                and raw.distinct().limit(max_driver_pairs + 1).count()
+                > max_driver_pairs
             )
-        else:
-            merges, rows = self._contract_on_driver(spark, assign, remap, fresh, pairs)
-        return self._commit(spark, remap, merges, rows)
+            if over:
+                merges, rows = self._contract_distributed(
+                    spark, assign, remap, fresh, raw.distinct()
+                )
+            else:
+                merges, rows = self._contract_on_driver(
+                    spark, assign, remap, fresh, raw
+                )
+            return self._commit(spark, remap, merges, rows)
+        finally:
+            raw.unpersist()
 
     def _contract_on_driver(self, spark, assign, remap, fresh, pairs):
         """The small-batch path: collect the distinct pairs and

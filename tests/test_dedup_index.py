@@ -315,6 +315,27 @@ def test_over_budget_batch_contracts_distributed(spark, tmp_path, monkeypatch):
     assert again == {}
     assert spark.read.parquet(contracted.assign_path).count() == n_assign
 
+    # a later over-budget batch bridging through a STALE insert-time
+    # label (doc 103's c0=102 was remapped to 50 above) must resolve
+    # through the remap log distributively, exactly like the driver path
+    bridge_pairs = [(70 + i, 71 + i) for i in range(6)] + [(70, 103), (76, 29)]
+    bridge_batch = [(i,) for i in range(70, 77)]
+    m3 = contracted.update(
+        spark,
+        spark.createDataFrame(bridge_batch, "doc_id long"),
+        spark.createDataFrame(bridge_pairs, "doc_a long, doc_b long"),
+        max_driver_pairs=5,
+    )
+    # clusters 50 (via stale 103) and 0 (via chain doc 29) merge into 0
+    assert m3 == {50: 0}
+    r3 = {r.doc_id: r.cluster_id for r in contracted.resolve(spark).collect()}
+    assert r3[103] == 0 and r3[52] == 0 and r3[70] == 0 and r3[76] == 0
+    # remap stays path-compressed: every src points at a terminal label
+    remap_now = {
+        r.src: r.dst for r in spark.read.parquet(contracted.remap_path).collect()
+    }
+    assert not (set(remap_now.values()) & set(remap_now))
+
     # contract violations still raise loudly on the distributed path
     with pytest.raises(ValueError, match="never indexed"):
         contracted.update(

@@ -432,3 +432,11 @@ def test_epoch_repeat_rejects_bad_config(spark):
     ok = epoch_repeat_sample(toks, targets=huge, max_epochs=1000).collect()
     assert max(r.epoch for r in ok) == 666  # ceil(10000/15) - 1
     assert max(r.cum_tokens for r in ok) >= 10_000
+    # a configured stratum with ZERO token mass is a config error, not
+    # silent junk epochs (double division by zero -> inf/nan otherwise)
+    zero = spark.createDataFrame(
+        [(1, "en", 0), (2, "en", 0)], "doc_id long, lang string, n_tokens long"
+    )
+    tgt = spark.createDataFrame([("en", 100)], "lang string, target long")
+    with pytest.raises(ValueError, match="config error"):
+        epoch_repeat_sample(zero, targets=tgt)

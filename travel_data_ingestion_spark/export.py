@@ -385,7 +385,17 @@ def epoch_repeat_sample(
             .cast("long")
         ),
     )
-    over = plan.filter(F.col("n_epochs") > max_epochs).limit(5).collect()
+    # n_epochs is NULL when s_total <= 0 under a configured target (all
+    # docs zero-token: the double division yields inf/nan) — equally a
+    # config error, gated with the same loud raise
+    over = (
+        plan.filter(
+            (F.col("n_epochs") > max_epochs)
+            | (F.col("t_cfg").isNotNull() & (F.col("n_epochs").isNull() | (F.col("s_total") <= 0)))
+        )
+        .limit(5)
+        .collect()
+    )
     if over:
         raise ValueError(
             f"epoch_repeat_sample: target demands > {max_epochs} epochs for "

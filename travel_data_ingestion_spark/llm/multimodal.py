@@ -1822,8 +1822,8 @@ def sample_frames(
     (GIF/AVI frame walk or still-image parse) but emits only
     (media_id, frame_index, n_frames) — the sampled-index ledger a
     planner or the mm02 oracle needs, with no pixel bytes returning to
-    the JVM. frame_sample_plan remains the metadata-only stub twin
-    that never touches payload bytes at all.
+    the JVM (the former metadata-only n_bytes//1000 stub twin is gone —
+    this IS the lean path, and it decodes for real).
 
     100 TB shape: map-only mapInPandas like every media kernel —
     payload bytes cross the Arrow boundary once, sampled frames (a
@@ -1871,13 +1871,3 @@ def sample_frames(
     schema = FRAME_SCHEMA if payloads else FRAME_INDEX_SCHEMA
     return cols.mapInPandas(batches, schema=schema)
 
-
-def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: emits (media_id,
-    frame_index) rows for a stubbed frame count of n_bytes // 1000 —
-    the real decoder would replace the count, the plan shape stays."""
-    n_frames = (F.col("meta.n_bytes") / 1000).cast("int")
-    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
-    return media.select(
-        "media_id", F.explode(idx).alias("frame_index")
-    )

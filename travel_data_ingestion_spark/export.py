@@ -381,8 +381,9 @@ def epoch_repeat_sample(
     plan = totals.join(F.broadcast(tcfg), "skey", "left").withColumn(
         "n_epochs",
         F.when(F.col("t_cfg").isNull(), F.lit(1)).otherwise(
-            ((F.col("t_cfg") + F.col("s_total") - 1) / F.col("s_total"))
-            .cast("long")
+            # integer div: exact at any magnitude (a double division
+            # would drift past 2^53), matching the oracle's `//`
+            F.expr("(t_cfg + s_total - 1) div s_total")
         ),
     )
     # n_epochs is NULL when s_total <= 0 under a configured target (all

@@ -380,7 +380,12 @@ def epoch_repeat_sample(
     # (integer form: (target + total - 1) div total), one pass otherwise
     plan = totals.join(F.broadcast(tcfg), "skey", "left").withColumn(
         "n_epochs",
-        F.when(F.col("t_cfg").isNull(), F.lit(1)).otherwise(
+        F.when(F.col("t_cfg").isNull(), F.lit(1))
+        # degenerate zero-mass stratum: NULL here (the gate below
+        # raises) — branching first keeps ANSI sessions from throwing
+        # DIVIDE_BY_ZERO inside the probe itself
+        .when(F.col("s_total") <= 0, F.lit(None).cast("long"))
+        .otherwise(
             # integer div: exact at any magnitude (a double division
             # would drift past 2^53), matching the oracle's `//`
             F.expr("(t_cfg + s_total - 1) div s_total")

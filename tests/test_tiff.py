@@ -251,6 +251,10 @@ def test_predictor2_horizontal_differencing():
               predictor=2)
     want = ((g16.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
     assert decode_tiff(p) == (7, 4, np.repeat(want, 3, axis=2).tobytes())
+    # big-endian container: differencing reversed on the BE 16-bit values
+    p = _tiff(7, 4, d16.astype(">u2").tobytes(), photo=1, spp=1, bits=16,
+              predictor=2, bo=">")
+    assert decode_tiff(p) == (7, 4, np.repeat(want, 3, axis=2).tobytes())
     # Predictor=1 is explicit none; 3 (float) and 2-on-bilevel are gated
     assert decode_tiff(_tiff(4, 1, row.tobytes(), photo=1, spp=1,
                              predictor=1)) is not None
@@ -289,7 +293,9 @@ def test_tiff_adversarial_totality():
     rng = np.random.RandomState(88)
     base = _tiff(8, 6, _rand_rgb(9, 8, 6).tobytes())
     lzw = _tiff(8, 6, None, comp=5, strips=[_lzw_enc(_rand_rgb(9, 8, 6).tobytes())])
-    for b0 in (base, lzw):
+    pred = _tiff(8, 6, None, comp=5, predictor=2,
+                 strips=[_lzw_enc(_hdiff(_rand_rgb(10, 8, 6)).tobytes())])
+    for b0 in (base, lzw, pred):
         for _ in range(250):
             b = bytearray(b0)
             for _k in range(rng.randint(1, 6)):

@@ -312,3 +312,25 @@ def test_unigram_logprob_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # partial aggregation before the doc_id shuffle (map-side combine)
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_epoch_repeat_window_is_salted_and_joins_broadcast(spark):
+    """cu15's data-scaled running sum must partition by (stratum,
+    bucket) — never by stratum alone (a dominant stratum would drag its
+    whole token mass through one window partition at 100 TB); the only
+    stratum-partitioned window runs over the 256-row per-bucket sums.
+    Config/offset/plan joins all broadcast; nothing sort-merges."""
+    import re
+
+    df = SPECS["cu15_epoch_repeat_mix"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # offsets, plan, targets
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert windows, "expected window operators in the plan"
+    salted = [w for w in windows if "bkt" in w]
+    unsalted = [w for w in windows if "bkt" not in w]
+    assert salted, f"data-scaled window lost its salt: {windows}"
+    # the unsalted window is the per-bucket offsets rollup (skey only),
+    # which sees <= 256 rows per stratum by construction
+    assert all("skey" in w for w in unsalted), windows

@@ -85,12 +85,13 @@ def test_phash_pairs_are_perceptual_not_byte_level():
     }
     assert len(set(digests.values())) == len(digests)  # all bytes distinct
     pairs = _planted_pairs()
-    # alpha clique of 7 (PPM x3 + PNG/BMP/TIFF-PackBits/TIFF-LZW-Pred2
-    # re-encodes) = 21 pairs, beta pair, gamma PPM<->JPEG pair, delta
-    # clique of 3 (PPM/GIF/P3) = 3, epsilon netpbm clique of 4
-    # (P1/P2/P4/P5) = 6, audio clique of 6 (WAV/FLAC/AIFF/AU/mu-law/
-    # half-gain) = 15 -> every clique fully connected
-    assert len(pairs) == 21 + 1 + 1 + 3 + 6 + 15
+    # alpha clique of 9 (PPM x3 + PNG/BMP + TIFF in four layouts:
+    # PackBits, LZW+Pred2, Deflate strips, Deflate tiles) = 36 pairs,
+    # beta pair, gamma PPM<->JPEG pair, delta clique of 3 (PPM/GIF/P3)
+    # = 3, epsilon netpbm clique of 4 (P1/P2/P4/P5) = 6, audio clique
+    # of 6 (WAV/FLAC/AIFF/AU/mu-law/half-gain) = 15 -> every clique
+    # fully connected
+    assert len(pairs) == 36 + 1 + 1 + 3 + 6 + 15
     # at least one NON-ZERO hamming pair: genuinely near, not identical
     assert any(h > 0 for _a, _b, h in pairs)
     # no accidental image<->audio cross pairs

@@ -46,9 +46,11 @@ def _entries(bo, tags):
 
 
 def _tiff(w, h, data, comp=1, photo=2, spp=3, bits=8, bo="<", colormap=None,
-          rows_per_strip=None, strips=None, predictor=None):
+          rows_per_strip=None, strips=None, predictor=None, planar=None,
+          tiles=None):
     """Forward TIFF builder. ``strips`` overrides data (already-encoded
-    per-strip payloads)."""
+    per-strip payloads); ``tiles`` = (tile_w, tile_l, [encoded blocks])
+    switches to the tiled layout (tags 322-325)."""
     tags = [
         (256, 4, [w]),
         (257, 4, [h]),
@@ -63,12 +65,21 @@ def _tiff(w, h, data, comp=1, photo=2, spp=3, bits=8, bo="<", colormap=None,
         tags.append((320, 3, list(colormap)))
     if predictor is not None:
         tags.append((317, 3, [predictor]))
-    strips = strips if strips is not None else [data]
+    if planar is not None:
+        tags.append((284, 3, [planar]))
+    if tiles is not None:
+        tile_w, tile_l, blocks = tiles
+        tags.append((322, 4, [tile_w]))
+        tags.append((323, 4, [tile_l]))
+        off_tag, cnt_tag, strips = 324, 325, blocks
+    else:
+        off_tag, cnt_tag = 273, 279
+        strips = strips if strips is not None else [data]
     # two passes: sizes depend on the IFD length, which depends on tag
     # count — compute layout with placeholder offsets first
     tags_full = tags + [
-        (273, 4, [0] * len(strips)),
-        (279, 4, [len(s) for s in strips]),
+        (off_tag, 4, [0] * len(strips)),
+        (cnt_tag, 4, [len(s) for s in strips]),
     ]
     tags_full.sort()
     ifd, extra = _entries(bo, tags_full)
@@ -78,7 +89,7 @@ def _tiff(w, h, data, comp=1, photo=2, spp=3, bits=8, bo="<", colormap=None,
     for s in strips:
         offs.append(at)
         at += len(s)
-    tags_final = tags + [(273, 4, offs), (279, 4, [len(s) for s in strips])]
+    tags_final = tags + [(off_tag, 4, offs), (cnt_tag, 4, [len(s) for s in strips])]
     tags_final.sort()
     ifd, extra = _entries(bo, tags_final)
     hdr = (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, 8)
@@ -295,7 +306,14 @@ def test_tiff_adversarial_totality():
     lzw = _tiff(8, 6, None, comp=5, strips=[_lzw_enc(_rand_rgb(9, 8, 6).tobytes())])
     pred = _tiff(8, 6, None, comp=5, predictor=2,
                  strips=[_lzw_enc(_hdiff(_rand_rgb(10, 8, 6)).tobytes())])
-    for b0 in (base, lzw, pred):
+    import zlib
+
+    rgbt = _rand_rgb(11, 8, 6)
+    tiled = _tiff(8, 6, None, comp=8,
+                  tiles=(8, 4, _tile_blocks(rgbt, 8, 4, zlib.compress)))
+    planar = _tiff(8, 6, None, planar=2,
+                   strips=[rgbt[:, :, c:c+1].tobytes() for c in range(3)])
+    for b0 in (base, lzw, pred, tiled, planar):
         for _ in range(250):
             b = bytearray(b0)
             for _k in range(rng.randint(1, 6)):
@@ -304,3 +322,118 @@ def test_tiff_adversarial_totality():
             assert r is None or len(r[2]) == r[0] * r[1] * 3
     for n in (0, 1, 4, 9, 30):
         assert decode_tiff(bytes(rng.randint(0, 256, n).astype("uint8"))) is None
+
+
+def test_deflate_strips_and_bomb_cap():
+    """Compression 8/32946 (Deflate) inflates with stdlib zlib, capped
+    at exactly the bytes the image needs."""
+    import zlib
+
+    rgb = _rand_rgb(41, 9, 7)
+    raw = rgb.tobytes()
+    for comp in (8, 32946):
+        p = _tiff(9, 7, None, comp=comp, strips=[zlib.compress(raw)])
+        assert decode_tiff(p) == (9, 7, raw), comp
+    # deflate + predictor 2 (the libtiff zip default pairing)
+    p = _tiff(9, 7, None, comp=8, predictor=2,
+              strips=[zlib.compress(_hdiff(rgb).tobytes())])
+    assert decode_tiff(p) == (9, 7, raw)
+    # two strips
+    row_bytes = 9 * 3
+    p = _tiff(9, 7, None, comp=8, rows_per_strip=4,
+              strips=[zlib.compress(raw[: 4 * row_bytes]),
+                      zlib.compress(raw[4 * row_bytes:])])
+    assert decode_tiff(p) == (9, 7, raw)
+    # a strip that inflates far past the image's needs is truncated at
+    # the cap, not materialized: the first `need` bytes still win
+    bomb = zlib.compress(raw + bytes(1 << 22))
+    p = _tiff(9, 7, None, comp=8, strips=[bomb])
+    assert decode_tiff(p) == (9, 7, raw)
+    # garbage deflate stream -> honest None
+    p = _tiff(9, 7, None, comp=8, strips=[b"\x00not-zlib"])
+    assert decode_tiff(p) is None
+
+
+def _tile_blocks(rgb, tw, tl, enc):
+    """Split an image into padded (tl, tw) tiles, encode each."""
+    h, w, ch = rgb.shape
+    blocks = []
+    for ty in range(-(-h // tl)):
+        for tx in range(-(-w // tw)):
+            tile = np.zeros((tl, tw, ch), rgb.dtype)
+            ys, xs = ty * tl, tx * tw
+            ye, xe = min(ys + tl, h), min(xs + tw, w)
+            tile[: ye - ys, : xe - xs] = rgb[ys:ye, xs:xe]
+            blocks.append(enc(tile.tobytes()))
+    return blocks
+
+
+def test_tiled_layout_all_compressions():
+    """Tiled TIFF (tags 322-325): a 2x2 grid with edge padding must
+    stitch back to the exact image under every supported codec, and
+    Predictor=2 differencing restarts at each TILE row."""
+    import zlib
+
+    rgb = _rand_rgb(43, 20, 14)  # tiles 16x8 -> 2 across, 2 down, padded
+    for comp, enc in (
+        (1, lambda b: b),
+        (32773, _packbits_enc),
+        (5, _lzw_enc),
+        (8, zlib.compress),
+    ):
+        p = _tiff(20, 14, None, comp=comp, tiles=(16, 8, _tile_blocks(rgb, 16, 8, enc)))
+        assert decode_tiff(p) == (20, 14, rgb.tobytes()), comp
+    # predictor 2: forward-difference each tile independently
+    blocks = [
+        _lzw_enc(b)
+        for b in (
+            _hdiff(np.frombuffer(blk, np.uint8).reshape(8, 16, 3)).tobytes()
+            for blk in _tile_blocks(rgb, 16, 8, lambda b: b)
+        )
+    ]
+    p = _tiff(20, 14, None, comp=5, predictor=2, tiles=(16, 8, blocks))
+    assert decode_tiff(p) == (20, 14, rgb.tobytes())
+    # 16-bit tiled gray
+    g16 = np.random.RandomState(44).randint(0, 65536, (6, 10, 1)).astype("<u2")
+    blocks = _tile_blocks(g16, 8, 4, lambda b: b)
+    p = _tiff(10, 6, None, photo=1, spp=1, bits=16, tiles=(8, 4, blocks))
+    want = ((g16.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    assert decode_tiff(p) == (10, 6, np.repeat(want, 3, axis=2).tobytes())
+    # gates: missing tile counts, tiled+planar, tiled bilevel
+    assert decode_tiff(_tiff(20, 14, None, comp=1, planar=2,
+                             tiles=(16, 8, _tile_blocks(rgb, 16, 8, lambda b: b)))) is None
+    bil = np.packbits(np.ones((8, 16), np.uint8), axis=1).tobytes()
+    assert decode_tiff(_tiff(16, 8, None, photo=1, spp=1, bits=1,
+                             tiles=(16, 8, [bil]))) is None
+
+
+def test_planar_configuration_2():
+    """PlanarConfiguration=2: per-plane strip groups reassemble to the
+    chunky image; Predictor=2 runs per plane row; 16-bit planes scale
+    exactly."""
+    import zlib
+
+    rgb = _rand_rgb(45, 7, 6)
+    planes = [rgb[:, :, c : c + 1].tobytes() for c in range(3)]
+    # one strip per plane, uncompressed
+    p = _tiff(7, 6, None, planar=2, strips=planes)
+    assert decode_tiff(p) == (7, 6, rgb.tobytes())
+    # two strips per plane + deflate + predictor
+    prb = 7
+    strips = []
+    for c in range(3):
+        d = _hdiff(rgb[:, :, c : c + 1])
+        strips.append(zlib.compress(d[:4].tobytes()))
+        strips.append(zlib.compress(d[4:].tobytes()))
+    p = _tiff(7, 6, None, comp=8, planar=2, predictor=2, rows_per_strip=4,
+              strips=strips)
+    assert decode_tiff(p) == (7, 6, rgb.tobytes())
+    # 16-bit planar gray+RGB
+    v16 = np.random.RandomState(46).randint(0, 65536, (5, 4, 3)).astype("<u2")
+    strips = [v16[:, :, c : c + 1].tobytes() for c in range(3)]
+    p = _tiff(4, 5, None, planar=2, bits=16, strips=strips)
+    want = ((v16.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    assert decode_tiff(p) == (4, 5, want.tobytes())
+    # short plane list: gated
+    p = _tiff(7, 6, None, planar=2, strips=planes[:2])
+    assert decode_tiff(p) is None

@@ -857,15 +857,17 @@ def _packbits(data: bytes, n_expected: int) -> bytes | None:
 
 
 def decode_tiff(payload: bytes) -> tuple[int, int, bytes] | None:
-    """Parse a strip-based baseline TIFF (both byte orders) with
-    stdlib + numpy only: uncompressed, PackBits, or TIFF-LZW strips;
-    photometric gray (incl. white-is-zero inversion), RGB, RGBA (alpha
-    dropped), and palette; 8-bit samples plus 1-bit bilevel and 16-bit
-    (exact-round to 8); chunky planar layout; Predictor=2 horizontal
-    differencing (tag 317) reversed by a per-row running sum. Tiled
-    layouts, planar=2, the float predictor, JPEG-in-TIFF and other
-    codec compressions return None — the honest gate. Cross-checked
-    against CPython's real test TIFF and a forward builder in
+    """Parse a baseline TIFF (both byte orders) with stdlib + numpy
+    only: uncompressed, PackBits, TIFF-LZW, or Deflate (8/32946, via
+    zlib) data in STRIP, TILED (tags 322-325), or separate-plane
+    (PlanarConfiguration=2) layouts; photometric gray (incl.
+    white-is-zero inversion), RGB, RGBA (alpha dropped), and palette;
+    8-bit samples plus 1-bit bilevel and 16-bit (exact-round to 8);
+    Predictor=2 horizontal differencing (tag 317) reversed per
+    strip/tile/plane row. The float predictor, tiled-planar and
+    tiled/planar bilevel combinations, JPEG-in-TIFF and other codec
+    compressions return None — the honest gate. Cross-checked against
+    CPython's real test TIFF and a forward builder in
     tests/test_tiff.py."""
     import struct
 
@@ -913,13 +915,16 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes] | None:
         offsets = tags.get(273)
         counts = tags.get(279)
         rows_per_strip = tags.get(278, [h])[0] or h
+        tiled = 322 in tags or 323 in tags
+        tile_w = tags.get(322, [0])[0]
+        tile_l = tags.get(323, [0])[0]
+        t_offsets = tags.get(324)
+        t_counts = tags.get(325)
         if (
             not w
             or not h
-            or offsets is None
-            or planar != 1
-            or 322 in tags  # tiled: gated
-            or comp not in (1, 5, 32773)
+            or planar not in (1, 2)
+            or comp not in (1, 5, 8, 32773, 32946)  # 8/32946 = Deflate
             or len(set(bits_list)) != 1
             or bits_list[0] not in (1, 8, 16)
             or (bits_list[0] == 1 and spp != 1)  # bilevel is single-sample
@@ -929,45 +934,130 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes] | None:
             or predictor not in (1, 2)  # 3 = float predictor: gated
             or (predictor == 2 and bits_list[0] == 1)
             or w * h * 3 > MAX_DECODE_BYTES
+            # layout gates: tiles need their four tags, chunky planes
+            # only (planar tiled is gated); bilevel only as chunky strips
+            or (
+                tiled
+                and (
+                    planar != 1
+                    or not tile_w
+                    or not tile_l
+                    or t_offsets is None
+                    or t_counts is None
+                    or bits_list[0] == 1
+                )
+            )
+            or (not tiled and offsets is None)
+            or (planar == 2 and (bits_list[0] == 1 or tiled))
         ):
             return None
         bits = bits_list[0]
-        if counts is None:
-            if len(offsets) != 1:
-                return None
-            counts = [len(payload) - offsets[0]]
-        row_bytes = (w * spp * bits + 7) // 8
-        raw = bytearray()
-        for k, (off, cnt) in enumerate(zip(offsets, counts)):
-            strip = payload[off : off + cnt]
-            rows_here = min(rows_per_strip, h - k * rows_per_strip)
-            need = row_bytes * rows_here
+
+        def _deblock(seg: bytes, need: int) -> bytes | None:
+            """One compressed strip/tile/plane-strip -> exactly ``need``
+            decoded bytes (incremental inflate capped at need: a
+            deflate bomb never materializes past the cap)."""
             if comp == 1:
-                dec = strip
+                dec = seg
             elif comp == 32773:
-                dec = _packbits(strip, need)
+                dec = _packbits(seg, need)
+            elif comp in (8, 32946):
+                import zlib
+
+                try:
+                    dec = zlib.decompressobj().decompress(seg, need)
+                except zlib.error:
+                    return None
             else:
-                dec = _tiff_lzw(strip, need)
+                dec = _tiff_lzw(seg, need)
             if dec is None or len(dec) < need:
                 return None
-            raw += dec[:need]
-        if bits == 8:
-            samples = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+            return dec[:need]
+
+        def _to_samples(block: bytes, rows: int, cols: int, ch: int):
+            """Decoded bytes -> (rows, cols, ch) in SOURCE depth (uint8,
+            or uint32 holding 16-bit values pre-scale) with Predictor=2
+            reversed per block row — differencing restarts at each
+            strip/tile/plane row, and every block here holds whole rows,
+            so an axis-1 running sum is exactly the spec's reversal."""
+            if bits == 8:
+                a = np.frombuffer(block, np.uint8).reshape(rows, cols, ch)
+                if predictor == 2:
+                    a = (np.cumsum(a, axis=1, dtype=np.uint64) & 0xFF).astype(
+                        np.uint8
+                    )
+                return a
+            a = np.frombuffer(block, np.dtype(bo + "u2")).reshape(rows, cols, ch)
             if predictor == 2:
-                # reverse horizontal differencing: running sum across
-                # each row per channel, modulo the sample width (each
-                # row restarts — axis=1 cumsum is exactly per-row)
-                samples = (
-                    np.cumsum(samples, axis=1, dtype=np.uint64) & 0xFF
-                ).astype(np.uint8)
-        elif bits == 16:
-            v = np.frombuffer(bytes(raw), np.dtype(bo + "u2")).reshape(h, w, spp)
-            if predictor == 2:
-                v = np.cumsum(v, axis=1, dtype=np.uint64) & 0xFFFF
-            samples = ((v.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
-        else:  # 1-bit bilevel, MSB-first rows
-            rows = np.frombuffer(bytes(raw), np.uint8).reshape(h, row_bytes)
-            samples = (_unpack_msb_first(rows, w, 1) * 255).reshape(h, w, 1)
+                a = np.cumsum(a, axis=1, dtype=np.uint64) & 0xFFFF
+            return a.astype(np.uint32)
+
+        if tiled:
+            ta, td = -(-w // tile_w), -(-h // tile_l)
+            if len(t_offsets) < ta * td or len(t_counts) < ta * td:
+                return None
+            tile_row_bytes = (tile_w * spp * bits + 7) // 8
+            need = tile_row_bytes * tile_l
+            # edge padding bound: the padded tile grid must stay within
+            # a small factor of the image cap (hostile tiny-image /
+            # huge-tile headers are rejected here)
+            if ta * td * need > 2 * MAX_DECODE_BYTES:
+                return None
+            dt = np.uint8 if bits == 8 else np.uint32
+            samples = np.zeros((h, w, spp), dtype=dt)
+            for ty in range(td):
+                for tx in range(ta):
+                    i = ty * ta + tx
+                    seg = payload[t_offsets[i] : t_offsets[i] + t_counts[i]]
+                    block = _deblock(seg, need)
+                    if block is None:
+                        return None
+                    a = _to_samples(block, tile_l, tile_w, spp)
+                    ys, xs = ty * tile_l, tx * tile_w
+                    ye, xe = min(ys + tile_l, h), min(xs + tile_w, w)
+                    samples[ys:ye, xs:xe] = a[: ye - ys, : xe - xs]
+        elif planar == 2:
+            # separate sample planes: the strip list is all of plane 0's
+            # strips, then plane 1's, ... (TIFF 6.0 planar layout)
+            spd = -(-h // rows_per_strip)  # strips per plane
+            if counts is None or len(offsets) < spd * spp or len(counts) < spd * spp:
+                return None
+            prb = (w * bits + 7) // 8
+            planes = []
+            for p in range(spp):
+                raw = bytearray()
+                for k in range(spd):
+                    i = p * spd + k
+                    rows_here = min(rows_per_strip, h - k * rows_per_strip)
+                    block = _deblock(
+                        payload[offsets[i] : offsets[i] + counts[i]],
+                        prb * rows_here,
+                    )
+                    if block is None:
+                        return None
+                    raw += block
+                planes.append(_to_samples(bytes(raw), h, w, 1))
+            samples = np.concatenate(planes, axis=2)
+        else:
+            if counts is None:
+                if len(offsets) != 1:
+                    return None
+                counts = [len(payload) - offsets[0]]
+            row_bytes = (w * spp * bits + 7) // 8
+            raw = bytearray()
+            for k, (off, cnt) in enumerate(zip(offsets, counts)):
+                rows_here = min(rows_per_strip, h - k * rows_per_strip)
+                block = _deblock(payload[off : off + cnt], row_bytes * rows_here)
+                if block is None:
+                    return None
+                raw += block
+            if bits == 1:  # bilevel, MSB-first rows
+                rows = np.frombuffer(bytes(raw), np.uint8).reshape(h, row_bytes)
+                samples = (_unpack_msb_first(rows, w, 1) * 255).reshape(h, w, 1)
+            else:
+                samples = _to_samples(bytes(raw), h, w, spp)
+        if bits == 16:
+            samples = ((samples * 255 + 32767) // 65535).astype(np.uint8)
         if photo == 3:
             cmap = tags.get(320)
             ncol = 1 << bits

@@ -146,9 +146,10 @@ def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs at the <=3 threshold), so the graded pairs come from planted
 # media. Unlike the former md5-stub era, the planted copies DIFFER AT
 # THE BYTE LEVEL — and mostly at the CONTAINER level. The cliques:
-#   alpha (7): base PPM; +16x32px perturb (hamming 0); +20x56px
-#     perturb (hamming 2); lossless re-encodes as PNG, BMP,
-#     TIFF-PackBits and TIFF-LZW-Predictor2 (all hamming 0).
+#   alpha (9): base PPM; +16x32px perturb (hamming 0); +20x56px
+#     perturb (hamming 2); lossless re-encodes as PNG, BMP, and TIFF in
+#     four layouts — PackBits strips, LZW+Predictor2 strips, Deflate
+#     strips, Deflate tiles (all hamming 0).
 #   beta (2): base + light perturbation.
 #   gamma (2): smooth PPM and its baseline-JPEG re-encode (lossy
 #     container, hamming 0).
@@ -312,8 +313,9 @@ def planted_image_media() -> list[tuple[int, bytes]]:
     """All planted image payloads mm03 grades: the PPM set plus
     CROSS-CONTAINER re-encodes — the re-encoded-crawl-copy cases a
     byte digest can never pair. The alpha base additionally appears as
-    a lossless PNG, BMP, TIFF-PackBits and TIFF-LZW-with-Predictor-2
-    (all pHash hamming 0 to the PPM); the gamma base as a baseline
+    a lossless PNG, BMP, and four TIFF layouts (PackBits, LZW with
+    Predictor-2, Deflate strips, Deflate tiles — all pHash hamming 0 to
+    the PPM); the gamma base as a baseline
     JPEG (lossy container, still hamming 0); the delta base as a GIF
     and an ascii P3; and the epsilon bilevel pattern through all four
     gray/bilevel netpbm kinds (P1/P2/P4/P5). Re-encodes whose encoder
@@ -334,6 +336,8 @@ def planted_image_media() -> list[tuple[int, bytes]]:
         (_PLANTED_MEDIA_BASE_ID + 4, ML.ALPHA_BMP24),
         (_PLANTED_MEDIA_BASE_ID + 5, ML.ALPHA_TIFF_PACKBITS),
         (_PLANTED_MEDIA_BASE_ID + 6, ML.ALPHA_TIFF_LZW_PRED2),
+        (_PLANTED_MEDIA_BASE_ID + 7, ML.ALPHA_TIFF_DEFLATE),
+        (_PLANTED_MEDIA_BASE_ID + 8, ML.ALPHA_TIFF_TILED),
         (_PLANTED_MEDIA_BASE_ID + 20, _ppm_bytes(g0)),
         (_PLANTED_MEDIA_BASE_ID + 21, _GAMMA_JPEG),
         (_PLANTED_MEDIA_BASE_ID + 30, _ppm_bytes(d0)),
@@ -607,9 +611,10 @@ def _phash_dedup_oracle() -> str:
     "uses (llm_dedup.hamming_pairs: 4x16-bit chunks, lossless, "
     "flood-proof). The planted duplicates differ at the byte level and "
     "at the CONTAINER level across EVERY decoder the environment "
-    "honestly ships: the alpha base pairs with its PNG, BMP, "
-    "TIFF-PackBits and TIFF-LZW-Predictor2 re-encodes (all lossless, "
-    "hamming 0), the gamma base with its baseline-JPEG re-encode "
+    "honestly ships: the alpha base pairs with its PNG, BMP, and four "
+    "TIFF re-encodes (PackBits / LZW+Predictor2 / Deflate strips / "
+    "Deflate tiles — all lossless, hamming 0), the gamma base with its "
+    "baseline-JPEG re-encode "
     "(lossy, hamming 0), the delta base with its GIF and ascii-P3 "
     "re-encodes, the epsilon bilevel pattern across netpbm P1/P2/P4/P5, "
     "and one audio clip across WAV/FLAC/AIFF/AU, a G.711 mu-law "
@@ -680,9 +685,9 @@ def _media_clusters_oracle() -> str:
     "propagation dd06 runs on text (llm_dedup.propagate_min_labels — "
     "the pair schema is the contract, so media clustering is the text "
     "machinery applied to a different signature). Survivors = cluster "
-    "minima; the planted media collapse into a size-7 image cluster "
-    "(the alpha base, two perturbations, and its PNG/BMP/TIFF-PackBits/"
-    "TIFF-LZW-Pred2 re-encodes), a size-3 posterized/GIF/P3 cluster, a "
+    "minima; the planted media collapse into a size-9 image cluster "
+    "(the alpha base, two perturbations, and its PNG/BMP re-encodes "
+    "plus four TIFF layouts), a size-3 posterized/GIF/P3 cluster, a "
     "size-4 netpbm bilevel cluster, two size-2 clusters (one pairing a "
     "PPM with its JPEG re-encode), and a size-6 audio cluster "
     "(WAV/FLAC/AIFF/AU/mu-law/re-leveled) every round, keeping the row "

@@ -1,8 +1,9 @@
-"""Uncompressed BMP and the full netpbm family (P1-P6).
+"""BMP (incl. RLE) and the full netpbm family (P1-P6).
 
-decode_bmp covers BITMAPINFOHEADER/V4/V5 uncompressed BMPs (palette
-1/4/8-bit, truecolor 16/24/32-bit, BI_RGB and BI_BITFIELDS, bottom-up
-and top-down, 4-byte row padding); decode_pnm covers ASCII and binary
+decode_bmp covers BITMAPINFOHEADER/V4/V5 BMPs (palette 1/4/8-bit,
+truecolor 16/24/32-bit, BI_RGB, BI_BITFIELDS, and BI_RLE8/BI_RLE4
+run-length images, bottom-up and top-down, 4-byte row padding);
+decode_pnm covers ASCII and binary
 netpbm with comments and 16-bit maxvals. Both are cross-checked
 against independent forward builders written from the format docs, and
 against real-world files shipped by system packages.
@@ -182,7 +183,7 @@ def test_bmp_malformed_rejected():
     assert decode_bmp(b"BMshort") is None
     assert decode_bmp(good[: len(good) - 8]) is None  # truncated data
     rle = bytearray(good)
-    rle[30] = 1  # BI_RLE8: gated
+    rle[30] = 1  # BI_RLE8 on a 24-bit image: depth mismatch, gated
     assert decode_bmp(bytes(rle)) is None
     core = bytearray(good)
     struct.pack_into("<I", core, 14, 12)  # BITMAPCOREHEADER: gated
@@ -304,3 +305,103 @@ def test_real_world_same_logo_pairs_across_containers():
         pytest.skip("interop fixtures not on this machine")
     d = phash_bytes(open(pb, "rb").read()) ^ phash_bytes(open(pg, "rb").read())
     assert bin(d & ((1 << 64) - 1)).count("1") <= 16  # same structure
+
+
+def _rle_encode(idx: np.ndarray, bpp: int) -> bytes:
+    """Forward BI_RLE encoder: encoded runs per bottom-up row, EOL
+    between rows, EOB at the end. RLE4 packs the run value as two
+    alternating nibbles (uniform runs here, so both nibbles equal)."""
+    h, w = idx.shape
+    out = bytearray()
+    for y in range(h - 1, -1, -1):
+        x = 0
+        while x < w:
+            v = int(idx[y, x])
+            run = 1
+            while x + run < w and idx[y, x + run] == v and run < 255:
+                run += 1
+            val = v if bpp == 8 else (v << 4) | v
+            out += bytes([run, val])
+            x += run
+        out += b"\x00\x00"  # EOL
+    out += b"\x00\x01"  # EOB
+    return bytes(out)
+
+
+def _bmp_rle_file(idx: np.ndarray, palette: np.ndarray, bpp: int,
+                  data: bytes | None = None) -> bytes:
+    """Minimal BMP container around RLE data (comp 1 or 2)."""
+    h, w = idx.shape
+    data = data if data is not None else _rle_encode(idx, bpp)
+    comp = 1 if bpp == 8 else 2
+    pal = b"".join(bytes([int(b), int(g), int(r), 0]) for r, g, b in palette.tolist())
+    hdr = struct.pack("<iihhIIiiII", w, h, 1, bpp, comp, len(data), 2835, 2835,
+                      len(palette), 0)
+    data_off = 14 + 40 + len(pal)
+    return (b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
+            + struct.pack("<I", 40) + hdr + pal + data)
+
+
+def test_bmp_rle8_and_rle4_roundtrip():
+    from travel_data_ingestion_spark.llm.multimodal import decode_bmp
+
+    rng = np.random.RandomState(51)
+    # runs-heavy content (posterized) exercises both run and row logic
+    pal8 = rng.randint(0, 256, (200, 3))
+    idx8 = (rng.randint(0, 200, (9, 13)) // 40 * 40).astype(np.uint8)
+    got = decode_bmp(_bmp_rle_file(idx8, pal8, 8))
+    assert got == (13, 9, pal8[idx8].astype(np.uint8).tobytes())
+    pal4 = rng.randint(0, 256, (16, 3))
+    idx4 = (rng.randint(0, 16, (6, 11)) // 4 * 4).astype(np.uint8)
+    got = decode_bmp(_bmp_rle_file(idx4, pal4, 4))
+    assert got == (11, 6, pal4[idx4].astype(np.uint8).tobytes())
+
+
+def test_bmp_rle_absolute_delta_and_gates():
+    from travel_data_ingestion_spark.llm.multimodal import decode_bmp
+
+    pal = np.arange(48).reshape(16, 3)
+    # hand-crafted stream on a 6x2 canvas (bottom-up):
+    # bottom row: absolute run of 5 nibbles [1,2,3,4,5] (3 bytes + pad),
+    # 1-pixel run of 6; EOL; top row: delta skip 2 -> run 4 of 7; EOB
+    data = bytes([
+        0, 5, 0x12, 0x34, 0x50, 0x00,   # absolute 5, padded to word
+        1, 0x66,                        # run 1 of value 6
+        0, 0,                           # EOL
+        0, 2, 2, 0,                     # delta dx=2 dy=0
+        4, 0x77,                        # run 4 of value 7
+        0, 1,                           # EOB
+    ])
+    idx = np.zeros((2, 6), np.uint8)
+    got = decode_bmp(_bmp_rle_file(idx, pal, 4, data=data))
+    assert got is not None
+    dec = np.frombuffer(got[2], np.uint8).reshape(2, 6, 3)
+    expect_bottom = [1, 2, 3, 4, 5, 6]
+    expect_top = [0, 0, 7, 7, 7, 7]
+    assert [tuple(px) for px in dec[1]] == [tuple(pal[v]) for v in expect_bottom]
+    assert [tuple(px) for px in dec[0]] == [tuple(pal[v]) for v in expect_top]
+    # gates: run overflowing the row, RLE with top-down height, RLE8
+    # with bpp 4 mismatch
+    overflow = bytes([8, 0x11, 0, 1])  # 8 px into a 6-px row
+    assert decode_bmp(_bmp_rle_file(idx, pal, 4, data=overflow)) is None
+    f = bytearray(_bmp_rle_file(idx, pal, 4))
+    struct.pack_into("<i", f, 22, -2)  # negative height = top-down
+    assert decode_bmp(bytes(f)) is None
+    f = bytearray(_bmp_rle_file(idx, pal, 4))
+    struct.pack_into("<I", f, 30, 1)  # comp=RLE8 but bpp=4
+    assert decode_bmp(bytes(f)) is None
+
+
+def test_bmp_rle_adversarial_totality():
+    from travel_data_ingestion_spark.llm.multimodal import decode_bmp
+
+    rng = np.random.RandomState(52)
+    pal = rng.randint(0, 256, (256, 3))
+    idx = (rng.randint(0, 256, (8, 10)) // 32 * 32).astype(np.uint8)
+    base = _bmp_rle_file(idx, pal, 8)
+    for _ in range(250):
+        b = bytearray(base)
+        for _k in range(rng.randint(1, 6)):
+            b[rng.randint(0, len(b))] = rng.randint(0, 256)
+        r = decode_bmp(bytes(b))
+        assert r is None or len(r[2]) == r[0] * r[1] * 3

@@ -699,12 +699,62 @@ def _bitfield_channel(vals, mask: int):
     return ((c * 255 + top // 2) // top).astype(np.uint8)
 
 
+def _bmp_rle(data: bytes, w: int, h: int, bpp: int):
+    """Decode BI_RLE8/BI_RLE4 runs to an (h, w) BOTTOM-UP index array
+    (unwritten pixels 0 per the spec's delta/EOL semantics). Returns
+    None on cursor overflow — hostile runs never write out of bounds."""
+    import numpy as np
+
+    idx = np.zeros((h, w), np.uint8)
+    x = y = at = 0
+    n = len(data)
+    while at + 1 < n:
+        a, b = data[at], data[at + 1]
+        at += 2
+        if a:  # encoded run
+            if y >= h or x + a > w:
+                return None
+            if bpp == 8:
+                idx[y, x : x + a] = b
+            else:  # RLE4: two alternating nibbles
+                pair = np.array([b >> 4, b & 0x0F], np.uint8)
+                idx[y, x : x + a] = np.tile(pair, (a + 1) // 2)[:a]
+            x += a
+        elif b == 0:  # end of line
+            x, y = 0, y + 1
+        elif b == 1:  # end of bitmap
+            return idx[::-1]
+        elif b == 2:  # delta
+            if at + 1 >= n:
+                return None
+            x, y = x + data[at], y + data[at + 1]
+            at += 2
+            if x > w or y > h:
+                return None
+        else:  # absolute mode: b literal pixels, word-aligned
+            if y >= h or x + b > w:
+                return None
+            nbytes = b if bpp == 8 else (b + 1) // 2
+            if at + nbytes > n:
+                return None
+            lit = np.frombuffer(data, np.uint8, nbytes, at)
+            if bpp == 8:
+                idx[y, x : x + b] = lit
+            else:
+                nib = np.stack([lit >> 4, lit & 0x0F], axis=1).reshape(-1)
+                idx[y, x : x + b] = nib[:b]
+            x += b
+            at += nbytes + (nbytes & 1)  # pad to word boundary
+    return idx[::-1]  # EOB marker missing: accept what was written
+
+
 def decode_bmp(payload: bytes) -> tuple[int, int, bytes] | None:
-    """Parse an uncompressed Windows BMP (BITMAPINFOHEADER or the V4/V5
-    extensions): 1/4/8-bit palette, 16/24/32-bit truecolor, BI_RGB or
-    BI_BITFIELDS (arbitrary contiguous masks), bottom-up and top-down
-    rows, 4-byte row padding — to (width, height, rgb_bytes). RLE
-    compression and the ancient CORE header return None (gated)."""
+    """Parse a Windows BMP (BITMAPINFOHEADER or the V4/V5 extensions):
+    1/4/8-bit palette, 16/24/32-bit truecolor, BI_RGB, BI_BITFIELDS
+    (arbitrary contiguous masks), or BI_RLE8/BI_RLE4 run-length
+    palette images; bottom-up and top-down rows (RLE is bottom-up only,
+    per spec), 4-byte row padding — to (width, height, rgb_bytes). The
+    ancient CORE header returns None (gated)."""
     import struct
 
     import numpy as np
@@ -726,8 +776,11 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes] | None:
             or h <= 0
             or planes != 1
             or bpp not in (1, 4, 8, 16, 24, 32)
-            or comp not in (0, 3)
+            or comp not in (0, 1, 2, 3)
             or (comp == 3 and bpp not in (16, 32))
+            or (comp == 1 and bpp != 8)  # BI_RLE8
+            or (comp == 2 and bpp != 4)  # BI_RLE4
+            or (comp in (1, 2) and top_down)  # RLE is bottom-up only
             or w * h * 3 > MAX_DECODE_BYTES
         ):
             return None
@@ -752,6 +805,12 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes] | None:
             pal_off = 14 + hdrsz
             pal = np.frombuffer(payload, np.uint8, n_colors * 4, pal_off)
             palette = pal.reshape(-1, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+        if comp in (1, 2):
+            idx = _bmp_rle(payload[data_off:], w, h, bpp)
+            if idx is None or int(idx.max()) >= len(palette):
+                return None
+            rgb = palette[idx]
+            return w, h, np.ascontiguousarray(rgb).astype(np.uint8).tobytes()
         stride = ((w * bpp + 31) // 32) * 4
         if len(payload) < data_off + stride * h:
             return None
@@ -1201,7 +1260,7 @@ def decode_avi(payload: bytes) -> tuple[int, int, list[bytes]] | None:
 def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
     """Decode any payload this environment can honestly decode — netpbm
     (P1-P6), any legal PNG, GIF (first composited frame), baseline or
-    progressive JPEG (llm/jpeg.decode_jpeg), uncompressed BMP, or
+    progressive JPEG (llm/jpeg.decode_jpeg), BMP (incl. RLE), or
     strip-based TIFF (none/PackBits/LZW) — to (width,
     height, rgb_bytes); None routes the caller to the opaque-bytes
     stub path. The single decode entry every image operator (features,

@@ -240,3 +240,105 @@ def test_audio_adversarial_totality():
             )
     for n in (0, 1, 4, 23, 44):
         assert decode_audio(bytes(rng.randint(0, 256, n).astype("uint8"))) is None
+
+
+def _ima_encode(x: np.ndarray, n_ch: int, block_align: int) -> bytes:
+    """Independent forward DVI/IMA ADPCM encoder (spec quantizer):
+    per-block per-channel headers, nibble words round-robin."""
+    from travel_data_ingestion_spark.llm.multimodal import (
+        _IMA_INDEX_ADJUST,
+        _IMA_STEPS,
+    )
+
+    frames = x.reshape(-1, n_ch)
+    spb = (block_align - 4 * n_ch) * 2 // n_ch + 1
+    out = bytearray()
+    index = [0] * n_ch
+    at = 0
+    while at + spb <= len(frames):
+        block = frames[at : at + spb]
+        at += spb
+        nib_seq = [[] for _ in range(n_ch)]
+        preds = []
+        for c in range(n_ch):
+            pred = int(block[0, c])
+            out += struct.pack("<hBB", pred, index[c], 0)
+            preds.append(pred)
+        for c in range(n_ch):
+            pred, idx = preds[c], index[c]
+            for s in block[1:, c]:
+                step = _IMA_STEPS[idx]
+                diff = int(s) - pred
+                nib = 0
+                if diff < 0:
+                    nib, diff = 8, -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                d = (step >> 3) + ((step >> 2) if nib & 1 else 0)
+                d += ((step >> 1) if nib & 2 else 0) + (step if nib & 4 else 0)
+                pred = max(-32768, min(32767, pred - d if nib & 8 else pred + d))
+                idx = max(0, min(88, idx + _IMA_INDEX_ADJUST[nib & 7]))
+                nib_seq[c].append(nib)
+            preds[c], index[c] = pred, idx
+        # pack nibble words round-robin: 8 samples (4 bytes) per channel
+        for g in range(0, spb - 1, 8):
+            for c in range(n_ch):
+                eight = nib_seq[c][g : g + 8]
+                for k in range(0, 8, 2):
+                    out.append(eight[k] | (eight[k + 1] << 4))
+    return bytes(out)
+
+
+def _wav_ima(x: np.ndarray, n_ch: int, rate: int = 8000,
+             block_align: int = 256) -> bytes:
+    data = _ima_encode(x, n_ch, block_align)
+    fmt = struct.pack("<HHIIHH", 17, n_ch, rate, rate, block_align, 4)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_ima_adpcm_tracks_linear_pcm():
+    """DVI/IMA ADPCM (WAV format 17): the 4-bit expansion must track
+    the source within companding error on a smooth signal, mono and
+    stereo, and the audio pHash lands within the near-dup threshold of
+    the same clip's linear PCM rendering."""
+    from travel_data_ingestion_spark.llm.multimodal import audio_phash_bytes
+
+    # 505 samples per 256-byte mono block; 4 whole blocks so the ADPCM
+    # and PCM renderings cover the SAME 2020 frames (the pHash segments
+    # energy over the clip, so differing lengths would shift segments)
+    n = 4 * 505
+    t = np.arange(n)
+    env = 3000 + 2500 * np.sin(2 * np.pi * t / 837) + 1500 * np.sin(2 * np.pi * t / 264)
+    mono = np.clip(env * np.sin(2 * np.pi * t / 29), -32768, 32767).astype(np.int64)
+    d = decode_audio(_wav_ima(mono, 1))
+    assert d is not None and d[0] == 8000 and d[1] == 1
+    got = d[2].ravel() * 32768.0
+    k = len(got)
+    corr = float(np.corrcoef(got, mono[:k])[0, 1])
+    assert corr > 0.995, corr
+    # container-invariant near-dup: ADPCM rendering pairs with PCM16
+    h_pcm = audio_phash_bytes(_wav(8000, 1, 1, 16,
+                              b"".join(struct.pack("<h", int(v)) for v in mono)))
+    h_ima = audio_phash_bytes(_wav_ima(mono, 1))
+    assert bin((h_pcm ^ h_ima) & (2**64 - 1)).count("1") <= 3
+    # stereo: per-channel state, round-robin words
+    right = np.clip(env * np.sin(2 * np.pi * t / 41), -32768, 32767).astype(np.int64)
+    stereo = np.stack([mono, right], axis=1).reshape(-1)
+    d = decode_audio(_wav_ima(stereo, 2))
+    assert d is not None and d[1] == 2
+    got = d[2] * 32768.0
+    k = len(got)
+    assert float(np.corrcoef(got[:, 0], mono[:k])[0, 1]) > 0.995
+    assert float(np.corrcoef(got[:, 1], right[:k])[0, 1]) > 0.995
+    # malformed: block_align smaller than the headers is gated
+    bad = bytearray(_wav_ima(mono, 1))
+    struct.pack_into("<H", bad, 32, 4)  # block_align = 4 = header only
+    assert decode_audio(bytes(bad)) is None

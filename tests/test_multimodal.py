@@ -89,9 +89,9 @@ def test_phash_pairs_are_perceptual_not_byte_level():
     # PackBits, LZW+Pred2, Deflate strips, Deflate tiles) = 36 pairs,
     # beta pair, gamma PPM<->JPEG pair, delta clique of 3 (PPM/GIF/P3)
     # = 3, epsilon netpbm clique of 4 (P1/P2/P4/P5) = 6, audio clique
-    # of 6 (WAV/FLAC/AIFF/AU/mu-law/half-gain) = 15 -> every clique
-    # fully connected
-    assert len(pairs) == 36 + 1 + 1 + 3 + 6 + 15
+    # of 7 (WAV/FLAC/AIFF/AU/mu-law/IMA-ADPCM/half-gain) = 21 -> every
+    # clique fully connected
+    assert len(pairs) == 36 + 1 + 1 + 3 + 6 + 21
     # at least one NON-ZERO hamming pair: genuinely near, not identical
     assert any(h > 0 for _a, _b, h in pairs)
     # no accidental image<->audio cross pairs

@@ -97,8 +97,8 @@ def test_mixed_modalities_share_one_index(spark, tmp_path):
             signature_fn=audio_phash_signatures,
         )
     )
-    # the WAV/FLAC/AIFF/AU/mu-law/half-gain clique of 6 -> C(6,2) pairs
-    assert len(aud_pairs) == 15
+    # the WAV/FLAC/AIFF/AU/mu-law/ADPCM/half-gain clique of 7 -> C(7,2)
+    assert len(aud_pairs) == 21
     assert all(a >= 4_000_000_000 and b >= 4_000_000_000 for a, b, _h in aud_pairs)
     assert img_pairs and not (img_pairs & aud_pairs)
 

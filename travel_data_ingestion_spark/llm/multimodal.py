@@ -1571,11 +1571,76 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return cols.mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
+_IMA_INDEX_ADJUST = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_adpcm(data: bytes, n_ch: int, block_align: int):
+    """Expand DVI/IMA ADPCM (WAV format 17) to float frames in [-1, 1).
+
+    Block layout per the RIFF spec: each block carries a 4-byte header
+    per channel (int16 predictor = sample 0, uint8 step index,
+    reserved), then the 4-bit codes in 4-byte words ROUND-ROBIN per
+    channel (8 samples per word, LOW nibble first). The prediction
+    recurrence is sequential in the sample index but independent across
+    (block, channel), so the loop below runs samples_per_block times
+    with every step vectorized over all blocks x channels — numpy
+    speed on arbitrarily long files, no per-sample Python cost beyond
+    one iteration per intra-block position. Trailing bytes short of a
+    full block are ignored (encoders pad); no full block -> None."""
+    import numpy as np
+
+    if n_ch < 1 or block_align < 4 * n_ch + 4 or block_align % 4:
+        return None
+    nb = len(data) // block_align
+    if nb == 0:
+        return None
+    spb = (block_align - 4 * n_ch) * 2 // n_ch + 1  # incl. header sample
+    blocks = np.frombuffer(data, np.uint8, nb * block_align).reshape(
+        nb, block_align
+    )
+    hdr = blocks[:, : 4 * n_ch].reshape(nb, n_ch, 4)
+    pred = (
+        hdr[:, :, 0].astype(np.int32) | (hdr[:, :, 1].astype(np.int32) << 8)
+    ).astype(np.int16).astype(np.int32)
+    index = np.clip(hdr[:, :, 2].astype(np.int32), 0, 88)
+    body = blocks[:, 4 * n_ch :].reshape(nb, -1, n_ch, 4)  # (nb, G, ch, 4B)
+    lo, hi = body & 0x0F, body >> 4
+    # sample order within a word: byte0-low, byte0-high, byte1-low, ...
+    nibs = np.stack([lo, hi], axis=-1).reshape(nb, -1, n_ch, 8)
+    nibs = np.moveaxis(nibs, 2, 1).reshape(nb, n_ch, -1)  # (nb, ch, spb-1)
+    steps = np.array(_IMA_STEPS, np.int32)
+    adjust = np.array(_IMA_INDEX_ADJUST, np.int32)
+    out = np.empty((nb, spb, n_ch), np.int32)
+    out[:, 0, :] = pred
+    for t in range(spb - 1):
+        nib = nibs[:, :, t].astype(np.int32)
+        step = steps[index]
+        diff = (step >> 3) + np.where(nib & 1, step >> 2, 0)
+        diff += np.where(nib & 2, step >> 1, 0) + np.where(nib & 4, step, 0)
+        pred = np.clip(
+            np.where(nib & 8, pred - diff, pred + diff), -32768, 32767
+        )
+        index = np.clip(index + adjust[nib & 7], 0, 88)
+        out[:, t + 1, :] = pred
+    return out.reshape(-1, n_ch).astype(np.float64).reshape(-1) / 32768.0
+
+
 def _wav_chunks(payload: bytes):
     """RIFF/WAVE chunk walk shared by decode_wav (legacy narrow API)
     and decode_audio (full matrix): returns (rate, n_channels,
-    format_tag, bits, data_bytes) or None. WAVE_FORMAT_EXTENSIBLE
-    (0xFFFE) resolves to the SubFormat GUID's leading tag."""
+    format_tag, bits, data_bytes, block_align) or None.
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves to the SubFormat GUID's
+    leading tag; block_align is what the ADPCM block walk needs."""
     import struct
 
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -1586,17 +1651,17 @@ def _wav_chunks(payload: bytes):
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
-            tag, n_ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            tag, n_ch, rate, _br, ba, bits = struct.unpack("<HHIIHH", body[:16])
             if tag == 0xFFFE and len(body) >= 26:
                 # extensible: actual tag leads the 16-byte SubFormat GUID
                 (tag,) = struct.unpack("<H", body[24:26])
-            fmt = (rate, n_ch, tag, bits)
+            fmt = (rate, n_ch, tag, bits, ba)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         return None
-    return fmt[0], fmt[1], fmt[2], fmt[3], data
+    return fmt[0], fmt[1], fmt[2], fmt[3], data, fmt[4]
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, int, bytes] | None:
@@ -1608,7 +1673,7 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes] | None:
     got = _wav_chunks(payload)
     if got is None:
         return None
-    rate, n_ch, tag, bits, data = got
+    rate, n_ch, tag, bits, data, _ba = got
     if tag != 1 or bits not in (8, 16):
         return None
     return rate, n_ch, bits, data
@@ -1721,7 +1786,7 @@ def decode_audio(payload: bytes):
             got = _wav_chunks(payload)
             if got is None:
                 return None
-            rate, n_ch, tag, bits, data = got
+            rate, n_ch, tag, bits, data, block_align = got
             if tag == 1 and bits in (8, 16, 24, 32):
                 x = _pcm_to_float(data, bits, big_endian=False, signed8=False)
             elif tag == 3 and bits in (32, 64):
@@ -1733,6 +1798,10 @@ def decode_audio(payload: bytes):
                 x = _ulaw_table()[np.frombuffer(data, np.uint8)] / 32768.0
             elif tag == 6 and bits == 8:
                 x = _alaw_table()[np.frombuffer(data, np.uint8)] / 32768.0
+            elif tag == 17 and bits == 4:  # DVI/IMA ADPCM
+                x = _ima_adpcm(data, n_ch, block_align)
+                if x is None:
+                    return None
             else:
                 return None
         elif payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):

@@ -156,8 +156,9 @@ def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   delta (3): posterized PPM, its lossless GIF, and an ascii P3.
 #   epsilon (4): one bilevel pattern through netpbm P1/P4 (bilevel)
 #     and P2/P5 (gray) — identical decoded pixels.
-#   audio (6): one clip through WAV, native FLAC, AIFF, Sun AU, a
-#     G.711 mu-law AU (lossy companding), and a half-gain re-level.
+#   audio (7): one clip through WAV, native FLAC, AIFF, Sun AU, a
+#     G.711 mu-law AU (lossy companding), an IMA-ADPCM WAV (4-bit
+#     predictive coding), and a half-gain re-level.
 # Matches only real perceptual hashes over real decodes can make.
 # Image IDs start at 3e9 (above real doc_ids and other fixtures'
 # 1e9/2e9 blocks), audio at 4e9, video at 5e9.
@@ -545,14 +546,18 @@ def _au_ulaw(x, rate: int = 8000) -> bytes:
 
 
 def planted_audio_media() -> list[tuple[int, bytes]]:
-    """Planted audio payloads: the SAME clip through six renderings —
+    """Planted audio payloads: the SAME clip through seven renderings —
     WAV, native FLAC, AIFF, Sun AU (big-endian PCM16), a G.711 mu-law
-    AU (lossy companding — real telephony re-encode), and a half-gain
-    WAV re-level — all hashing within the near-dup threshold
+    AU (lossy companding — real telephony re-encode), an IMA/DVI ADPCM
+    WAV (4-bit predictive coding, pinned literal sized to the clip's
+    exact 2000 frames), and a half-gain WAV re-level — all hashing
+    within the near-dup threshold
     (audio_phash_bytes is container- and gain-invariant; companding
     noise is ~38 dB down, far below the envelope bits), so mm03's one
     pair generator grades audio near-dup across every decodable audio
     container."""
+    from travel_data_ingestion_spark.queries import media_literals as ML
+
     x = _env_clip()
     return [
         (_PLANTED_AUDIO_BASE_ID + 0, _wav_pcm16(x)),
@@ -561,6 +566,7 @@ def planted_audio_media() -> list[tuple[int, bytes]]:
         (_PLANTED_AUDIO_BASE_ID + 3, _wav_pcm16(_env_clip(0.5))),
         (_PLANTED_AUDIO_BASE_ID + 4, _au_pcm16(x)),
         (_PLANTED_AUDIO_BASE_ID + 5, _au_ulaw(x)),
+        (_PLANTED_AUDIO_BASE_ID + 6, ML.AUDIO_IMA_WAV),
     ]
 
 
@@ -617,8 +623,9 @@ def _phash_dedup_oracle() -> str:
     "baseline-JPEG re-encode "
     "(lossy, hamming 0), the delta base with its GIF and ascii-P3 "
     "re-encodes, the epsilon bilevel pattern across netpbm P1/P2/P4/P5, "
-    "and one audio clip across WAV/FLAC/AIFF/AU, a G.711 mu-law "
-    "re-encode, and a half-gain re-level — matches no byte digest can "
+    "and one audio clip across WAV/FLAC/AIFF/AU, G.711 mu-law and "
+    "IMA-ADPCM re-encodes, and a half-gain re-level — matches no byte "
+    "digest can "
     "make. Oracle = the planted pairs as literals computed at import "
     "by the same pure hash functions (sim02's literal-coefficient "
     "pattern); the corpus contributes no pairs (measured min "
@@ -689,8 +696,9 @@ def _media_clusters_oracle() -> str:
     "(the alpha base, two perturbations, and its PNG/BMP re-encodes "
     "plus four TIFF layouts), a size-3 posterized/GIF/P3 cluster, a "
     "size-4 netpbm bilevel cluster, two size-2 clusters (one pairing a "
-    "PPM with its JPEG re-encode), and a size-6 audio cluster "
-    "(WAV/FLAC/AIFF/AU/mu-law/re-leveled) every round, keeping the row "
+    "PPM with its JPEG re-encode), and a size-7 audio cluster "
+    "(WAV/FLAC/AIFF/AU/mu-law/ADPCM/re-leveled) every round, keeping "
+    "the row "
     "non-vacuous. "
     "Propagation runs over edge endpoints only (O(pairs) per pass, "
     "converged-verified, memoized per run); the DuckDB oracle computes "

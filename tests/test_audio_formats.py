@@ -199,6 +199,19 @@ def test_aiff_synthetic_pcm_and_sowt():
     assert decode_audio(_aiff(22050, 1, 16, len(x), be, comp=b"ima4")) is None
 
 
+def test_aifc_float_compressions():
+    """AIFC 'fl32'/'fl64': big-endian IEEE float frames decode
+    bit-exactly (they ARE the canonical float representation)."""
+    x = (np.random.RandomState(9).randn(300) * 0.3).clip(-1, 0.999)
+    for comp, pack in ((b"fl32", ">f4"), (b"fl64", ">f8")):
+        payload = _aiff(8000, 1, {b"fl32": 32, b"fl64": 64}[comp],
+                        len(x), x.astype(pack).tobytes(), comp=comp)
+        d = decode_audio(payload)
+        assert d is not None and d[0] == 8000 and d[1] == 1
+        tol = 1e-6 if comp == b"fl32" else 0
+        assert np.abs(d[2].ravel() - x.astype(pack).astype(np.float64)).max() <= tol
+
+
 def test_au_synthetic_encodings():
     x = (np.sin(np.arange(200) / 3.0) * 30000).astype(int)
     be16 = b"".join(struct.pack(">h", s) for s in x)

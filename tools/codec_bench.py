@@ -48,7 +48,8 @@ def _big_rgb(side: int = 256) -> np.ndarray:
 
 
 def cases() -> list[tuple[str, bytes, object]]:
-    from test_bmp_pnm import _bmp
+    from test_audio_formats import _ima_encode
+    from test_bmp_pnm import _bmp, _bmp_rle_file, _rle_encode
     from test_tiff import _lzw_enc, _packbits_enc, _tiff
 
     rgb = _big_rgb()
@@ -69,6 +70,11 @@ def cases() -> list[tuple[str, bytes, object]]:
         (
             "TIFF PackBits (256x256)",
             _tiff(256, 256, None, comp=32773, strips=[_packbits_enc(rgb.tobytes())]),
+            decode_tiff,
+        ),
+        (
+            "TIFF Deflate (256x256)",
+            _tiff(256, 256, None, comp=8, strips=[__import__("zlib").compress(rgb.tobytes())]),
             decode_tiff,
         ),
         (
@@ -99,9 +105,33 @@ def cases() -> list[tuple[str, bytes, object]]:
             ),
             decode_avi,
         ),
+        (
+            "BMP RLE8 posterized (128x128)",
+            _bmp_rle_file(
+                (np.random.RandomState(12).randint(0, 256, (128, 128)) // 32 * 32).astype("uint8"),
+                np.random.RandomState(13).randint(0, 256, (256, 3)),
+                8,
+            ),
+            decode_bmp,
+        ),
         ("WAV PCM16 (64k samples)", _wav_pcm16(clip), decode_audio),
+        (
+            "WAV IMA-ADPCM (64k samples)",
+            _wav_ima_payload(clip, _ima_encode),
+            decode_audio,
+        ),
         ("FLAC verbatim (64k samples)", _flac_verbatim16(clip), decode_audio),
     ]
+
+
+def _wav_ima_payload(clip, ima_encode) -> bytes:
+    import struct
+
+    data = ima_encode(np.asarray(clip), 1, 256)
+    fmt = struct.pack("<HHIIHH", 17, 1, 8000, 8000, 256, 4)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
 def _out_bytes(result) -> int:

@@ -1764,8 +1764,9 @@ def decode_audio(payload: bytes):
 
     Containers: RIFF/WAVE (integer PCM 8u/16/24/32, IEEE float 32/64,
     G.711 mu-law/a-law, WAVE_FORMAT_EXTENSIBLE), AIFF/AIFC (big-endian
-    PCM 8s/16/24/32, 'sowt' little-endian 16, 'ulaw'/'alaw'
-    compression), Sun AU (mu-law, PCM 8s/16/24/32, float 32/64,
+    PCM 8s/16/24/32, 'sowt' little-endian 16, 'ulaw'/'alaw',
+    'fl32'/'fl64' big-endian IEEE float), Sun AU (mu-law, PCM
+    8s/16/24/32, float 32/64,
     a-law), and native FLAC (llm/flac.decode_flac — every subframe
     type and channel assignment, bit-exact). mp3/ogg need a real codec
     and return None — the documented stub path, unless a native codec
@@ -1833,6 +1834,12 @@ def decode_audio(payload: bytes):
                 x = _ulaw_table()[np.frombuffer(ssnd, np.uint8)] / 32768.0
             elif comp in (b"alaw", b"ALAW"):
                 x = _alaw_table()[np.frombuffer(ssnd, np.uint8)] / 32768.0
+            elif comp in (b"fl32", b"FL32", b"fl64", b"FL64"):
+                nb = 4 if comp in (b"fl32", b"FL32") else 8
+                usable = len(ssnd) - len(ssnd) % nb
+                x = np.frombuffer(
+                    ssnd[:usable], ">f4" if nb == 4 else ">f8"
+                ).astype(np.float64)
             else:
                 return None  # AIFC codec compressions: gated
         elif payload[:4] == b"fLaC":

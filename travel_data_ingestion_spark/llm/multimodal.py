@@ -1599,7 +1599,12 @@ def _ima_adpcm(data: bytes, n_ch: int, block_align: int):
     full block are ignored (encoders pad); no full block -> None."""
     import numpy as np
 
-    if n_ch < 1 or block_align < 4 * n_ch + 4 or block_align % 4:
+    if (
+        n_ch < 1
+        or block_align < 4 * n_ch + 4
+        # nibble data must fill whole 4-byte-per-channel words
+        or (block_align - 4 * n_ch) % (4 * n_ch)
+    ):
         return None
     nb = len(data) // block_align
     if nb == 0:

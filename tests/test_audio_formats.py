@@ -241,6 +241,9 @@ def test_audio_adversarial_totality():
         _wav(8000, 2, 1, 16, b"".join(struct.pack("<h", s) for s in x)),
         _aiff(8000, 1, 16, len(x), b"".join(struct.pack(">h", s) for s in x)),
         _au(8000, 1, 1, bytes(rng.randint(0, 256, 300).astype("uint8"))),
+        _wav_ima(np.asarray(x[:250], dtype=np.int64), 1, block_align=16),
+        _aiff(8000, 1, 32, 300, np.sin(np.arange(300) / 7).astype(">f4").tobytes(),
+              comp=b"fl32"),
     ]
     for base in bases:
         for _ in range(200):

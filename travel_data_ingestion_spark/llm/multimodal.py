@@ -1797,9 +1797,12 @@ def decode_audio(payload: bytes):
                 x = _pcm_to_float(data, bits, big_endian=False, signed8=False)
             elif tag == 3 and bits in (32, 64):
                 usable = len(data) - len(data) % (bits // 8)
-                x = np.frombuffer(
-                    data[:usable], "<f4" if bits == 32 else "<f8"
-                ).astype(np.float64)
+                # errstate: a hostile signaling-NaN f32 quiets during
+                # the cast and would raise numpy's invalid-cast warning
+                with np.errstate(invalid="ignore"):
+                    x = np.frombuffer(
+                        data[:usable], "<f4" if bits == 32 else "<f8"
+                    ).astype(np.float64)
             elif tag == 7 and bits == 8:
                 x = _ulaw_table()[np.frombuffer(data, np.uint8)] / 32768.0
             elif tag == 6 and bits == 8:
@@ -1842,9 +1845,10 @@ def decode_audio(payload: bytes):
             elif comp in (b"fl32", b"FL32", b"fl64", b"FL64"):
                 nb = 4 if comp in (b"fl32", b"FL32") else 8
                 usable = len(ssnd) - len(ssnd) % nb
-                x = np.frombuffer(
-                    ssnd[:usable], ">f4" if nb == 4 else ">f8"
-                ).astype(np.float64)
+                with np.errstate(invalid="ignore"):  # sNaN quieting
+                    x = np.frombuffer(
+                        ssnd[:usable], ">f4" if nb == 4 else ">f8"
+                    ).astype(np.float64)
             else:
                 return None  # AIFC codec compressions: gated
         elif payload[:4] == b"fLaC":
@@ -1868,9 +1872,10 @@ def decode_audio(payload: bytes):
             elif enc in (6, 7):
                 nb = 4 if enc == 6 else 8
                 usable = len(data) - len(data) % nb
-                x = np.frombuffer(
-                    data[:usable], ">f4" if enc == 6 else ">f8"
-                ).astype(np.float64)
+                with np.errstate(invalid="ignore"):  # sNaN quieting
+                    x = np.frombuffer(
+                        data[:usable], ">f4" if enc == 6 else ">f8"
+                    ).astype(np.float64)
             elif enc == 27:
                 x = _alaw_table()[np.frombuffer(data, np.uint8)] / 32768.0
             else:

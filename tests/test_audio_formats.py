@@ -242,6 +242,7 @@ def test_audio_adversarial_totality():
         _aiff(8000, 1, 16, len(x), b"".join(struct.pack(">h", s) for s in x)),
         _au(8000, 1, 1, bytes(rng.randint(0, 256, 300).astype("uint8"))),
         _wav_ima(np.asarray(x[:250], dtype=np.int64), 1, block_align=16),
+        _wav_ms(np.asarray(x[:250], dtype=np.int64), 1, block_align=32),
         _aiff(8000, 1, 32, 300, np.sin(np.arange(300) / 7).astype(">f4").tobytes(),
               comp=b"fl32"),
     ]
@@ -357,4 +358,87 @@ def test_ima_adpcm_tracks_linear_pcm():
     # malformed: block_align smaller than the headers is gated
     bad = bytearray(_wav_ima(mono, 1))
     struct.pack_into("<H", bad, 32, 4)  # block_align = 4 = header only
+    assert decode_audio(bytes(bad)) is None
+
+
+def _ms_encode(x: np.ndarray, n_ch: int, block_align: int,
+               pred_idx: int = 0) -> bytes:
+    """Independent forward Microsoft ADPCM encoder (spec quantizer,
+    fixed predictor per call), nibbles high-first, channels
+    round-robin."""
+    from travel_data_ingestion_spark.llm.multimodal import (
+        _MS_ADPCM_ADAPT,
+        _MS_ADPCM_COEFS,
+    )
+
+    frames = x.reshape(-1, n_ch)
+    spb = (block_align - 7 * n_ch) * 2 // n_ch + 2
+    c1, c2 = _MS_ADPCM_COEFS[pred_idx]
+    out = bytearray()
+    at = 0
+    while at + spb <= len(frames):
+        block = frames[at : at + spb]
+        at += spb
+        s2 = [int(block[0, c]) for c in range(n_ch)]
+        s1 = [int(block[1, c]) for c in range(n_ch)]
+        delta = [128] * n_ch
+        out += bytes([pred_idx] * n_ch)
+        for arr in (delta, s1, s2):
+            for c in range(n_ch):
+                out += struct.pack("<h", arr[c])
+        nibs = []
+        for t in range((spb - 2) * n_ch):
+            c = t % n_ch
+            target = int(block[2 + t // n_ch, c])
+            pred = (s1[c] * c1 + s2[c] * c2) // 256
+            nib = max(-8, min(7, round((target - pred) / delta[c]))) & 0x0F
+            signed = nib - 16 if nib >= 8 else nib
+            val = max(-32768, min(32767, pred + signed * delta[c]))
+            s2[c], s1[c] = s1[c], val
+            delta[c] = max((_MS_ADPCM_ADAPT[nib] * delta[c]) // 256, 16)
+            nibs.append(nib)
+        if len(nibs) % 2:
+            nibs.append(0)
+        for k in range(0, len(nibs), 2):
+            out.append((nibs[k] << 4) | nibs[k + 1])
+    return bytes(out)
+
+
+def _wav_ms(x: np.ndarray, n_ch: int, rate: int = 8000,
+            block_align: int = 256, pred_idx: int = 0) -> bytes:
+    data = _ms_encode(x, n_ch, block_align, pred_idx)
+    fmt = struct.pack("<HHIIHH", 2, n_ch, rate, rate, block_align, 4)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_ms_adpcm_tracks_linear_pcm():
+    """Microsoft ADPCM (WAV format 2): header samples verbatim, coef
+    prediction + delta adaptation per spec; mono and stereo track the
+    source, and a predictor index past the 7-entry table is gated."""
+    n = 2000
+    t = np.arange(n)
+    env = 3000 + 2500 * np.sin(2 * np.pi * t / 837) + 1500 * np.sin(2 * np.pi * t / 264)
+    mono = np.clip(env * np.sin(2 * np.pi * t / 29), -32768, 32767).astype(np.int64)
+    for pi in (0, 1, 4):  # different coefficient pairs
+        d = decode_audio(_wav_ms(mono, 1, pred_idx=pi))
+        assert d is not None and d[0] == 8000 and d[1] == 1
+        got = d[2].ravel() * 32768.0
+        corr = float(np.corrcoef(got, mono[: len(got)])[0, 1])
+        assert corr > 0.99, (pi, corr)
+        # the two header samples are carried verbatim
+        assert got[0] == mono[0] and got[1] == mono[1]
+    right = np.clip(env * np.sin(2 * np.pi * t / 41), -32768, 32767).astype(np.int64)
+    stereo = np.stack([mono, right], axis=1).reshape(-1)
+    d = decode_audio(_wav_ms(stereo, 2))
+    assert d is not None and d[1] == 2
+    got = d[2] * 32768.0
+    k = len(got)
+    assert float(np.corrcoef(got[:, 0], mono[:k])[0, 1]) > 0.99
+    assert float(np.corrcoef(got[:, 1], right[:k])[0, 1]) > 0.99
+    bad = bytearray(_wav_ms(mono, 1))
+    # predictor index 9 > 6 (first header byte of block 0): gated
+    i = bytes(bad).find(b"data") + 8
+    bad[i] = 9
     assert decode_audio(bytes(bad)) is None

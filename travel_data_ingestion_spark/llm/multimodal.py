@@ -1640,6 +1640,71 @@ def _ima_adpcm(data: bytes, n_ch: int, block_align: int):
     return out.reshape(-1, n_ch).astype(np.float64).reshape(-1) / 32768.0
 
 
+_MS_ADPCM_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208), (392, -232)]
+
+_MS_ADPCM_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _ms_adpcm(data: bytes, n_ch: int, block_align: int):
+    """Expand Microsoft ADPCM (WAV format 2) to float frames.
+
+    Block layout per the RIFF spec: per channel a predictor index
+    (uint8, into the 7-entry coefficient table), then int16 idelta,
+    isamp1, isamp2 per channel; the remaining bytes are 4-bit codes,
+    HIGH nibble first, samples round-robin across channels nibble by
+    nibble. Like _ima_adpcm the recurrence is sequential per sample but
+    independent across blocks, so the loop runs nibble positions with
+    every step vectorized over blocks. Short/degenerate blocks gate."""
+    import numpy as np
+
+    if n_ch < 1 or block_align < 7 * n_ch + 1:
+        return None
+    nb = len(data) // block_align
+    if nb == 0:
+        return None
+    spb = (block_align - 7 * n_ch) * 2 // n_ch + 2
+    blocks = np.frombuffer(data, np.uint8, nb * block_align).reshape(
+        nb, block_align
+    )
+    pred_idx = blocks[:, :n_ch].astype(np.int64)
+    if int(pred_idx.max()) >= len(_MS_ADPCM_COEFS):
+        return None
+
+    def _i16(col0: int):
+        lo = blocks[:, col0 : col0 + 2 * n_ch : 2].astype(np.int32)
+        hi = blocks[:, col0 + 1 : col0 + 1 + 2 * n_ch : 2].astype(np.int32)
+        return (lo | (hi << 8)).astype(np.int16).astype(np.int32)
+
+    delta = _i16(n_ch)
+    s1 = _i16(3 * n_ch)  # most recent sample
+    s2 = _i16(5 * n_ch)
+    coefs = np.array(_MS_ADPCM_COEFS, np.int64)
+    c1 = coefs[pred_idx, 0]
+    c2 = coefs[pred_idx, 1]
+    body = blocks[:, 7 * n_ch :]
+    nibs = np.stack([body >> 4, body & 0x0F], axis=-1).reshape(nb, -1)
+    adapt = np.array(_MS_ADPCM_ADAPT, np.int64)
+    out = np.empty((nb, spb, n_ch), np.int32)
+    # header samples are the block's first two frames, OLDEST first
+    out[:, 0, :] = s2
+    out[:, 1, :] = s1
+    n_nibs = (spb - 2) * n_ch
+    delta = delta.astype(np.int64)
+    s1 = s1.astype(np.int64)
+    s2 = s2.astype(np.int64)
+    for t in range(n_nibs):
+        ch = t % n_ch
+        nib = nibs[:, t].astype(np.int64)
+        signed = np.where(nib >= 8, nib - 16, nib)
+        pred = (s1[:, ch] * c1[:, ch] + s2[:, ch] * c2[:, ch]) // 256
+        pred = np.clip(pred + signed * delta[:, ch], -32768, 32767)
+        s2[:, ch] = s1[:, ch]
+        s1[:, ch] = pred
+        delta[:, ch] = np.maximum((adapt[nib] * delta[:, ch]) // 256, 16)
+        out[:, 2 + t // n_ch, ch] = pred
+    return out.reshape(-1).astype(np.float64) / 32768.0
+
+
 def _wav_chunks(payload: bytes):
     """RIFF/WAVE chunk walk shared by decode_wav (legacy narrow API)
     and decode_audio (full matrix): returns (rate, n_channels,
@@ -1768,7 +1833,8 @@ def decode_audio(payload: bytes):
     lights up features and the audio pHash unchanged.
 
     Containers: RIFF/WAVE (integer PCM 8u/16/24/32, IEEE float 32/64,
-    G.711 mu-law/a-law, WAVE_FORMAT_EXTENSIBLE), AIFF/AIFC (big-endian
+    G.711 mu-law/a-law, IMA/DVI and Microsoft ADPCM,
+    WAVE_FORMAT_EXTENSIBLE), AIFF/AIFC (big-endian
     PCM 8s/16/24/32, 'sowt' little-endian 16, 'ulaw'/'alaw',
     'fl32'/'fl64' big-endian IEEE float), Sun AU (mu-law, PCM
     8s/16/24/32, float 32/64,
@@ -1809,6 +1875,10 @@ def decode_audio(payload: bytes):
                 x = _alaw_table()[np.frombuffer(data, np.uint8)] / 32768.0
             elif tag == 17 and bits == 4:  # DVI/IMA ADPCM
                 x = _ima_adpcm(data, n_ch, block_align)
+                if x is None:
+                    return None
+            elif tag == 2 and bits == 4:  # Microsoft ADPCM
+                x = _ms_adpcm(data, n_ch, block_align)
                 if x is None:
                     return None
             else:

@@ -405,3 +405,81 @@ def test_bmp_rle_adversarial_totality():
             b[rng.randint(0, len(b))] = rng.randint(0, 256)
         r = decode_bmp(bytes(b))
         assert r is None or len(r[2]) == r[0] * r[1] * 3
+
+
+def _ico(entries: list[tuple[int, int, bytes]], kind: int = 1) -> bytes:
+    """Forward ICO/CUR writer: entries = (w, h, payload_bytes)."""
+    out = bytearray(struct.pack("<HHH", 0, kind, len(entries)))
+    off = 6 + 16 * len(entries)
+    body = bytearray()
+    for w, h, data in entries:
+        out += bytes([w % 256, h % 256, 0, 0]) + struct.pack(
+            "<HHII", 1, 32, len(data), off + len(body)
+        )
+        body += data
+    return bytes(out + body)
+
+
+def _ico_dib(rgb: np.ndarray) -> bytes:
+    """Headerless BMP DIB with doubled height + an AND mask, the
+    classic icon payload: reuse the BMP writer and strip its file
+    header."""
+    h, w = rgb.shape[:2]
+    f = _bmp(rgb, bpp=24)
+    dib = bytearray(f[14:])
+    struct.pack_into("<i", dib, 8, h * 2)  # height counts XOR + AND
+    mask_stride = ((w + 31) // 32) * 4
+    return bytes(dib) + bytes(mask_stride * h)  # all-opaque AND mask
+
+
+def test_ico_container_decodes_largest_entry():
+    from travel_data_ingestion_spark.llm.multimodal import (
+        decode_ico,
+        encode_png,
+    )
+
+    small = _rand_rgb(61, 8, 8)
+    big = _rand_rgb(62, 16, 16)
+    # mixed entries: DIB small + PNG big -> the larger (PNG) wins
+    ico = _ico([(8, 8, _ico_dib(small)),
+                (16, 16, encode_png(16, 16, big.tobytes()))])
+    assert decode_ico(ico) == (16, 16, big.tobytes())
+    assert decode_image(ico) == (16, 16, big.tobytes())  # routed
+    # DIB-only icon (alpha/AND mask dropped), CUR container kind too
+    for kind in (1, 2):
+        ico = _ico([(8, 8, _ico_dib(small))], kind=kind)
+        assert decode_ico(ico) == (8, 8, small.tobytes()), kind
+    # a corrupt largest entry falls back to the next-largest
+    broken = _ico([(16, 16, b"\x89PNG\r\n\x1a\ngarbage"),
+                   (8, 8, _ico_dib(small))])
+    assert decode_ico(broken) == (8, 8, small.tobytes())
+    assert decode_ico(b"\x00\x00\x03\x00\x01\x00") is None  # bad type
+    assert decode_ico(b"") is None
+
+
+def test_ico_real_world_python_logo():
+    """CPython's idle.ico: 4 entries (three DIBs + a 256px PNG); the
+    largest must decode, and the PNG entry's pixels must match what
+    decode_png returns for the embedded bytes."""
+    path = "/root/.pyenv/versions/3.13.0/lib/python3.13/idlelib/Icons/idle.ico"
+    if not os.path.exists(path):
+        pytest.skip("interop fixture not on this machine")
+    from travel_data_ingestion_spark.llm.multimodal import decode_ico
+
+    b = open(path, "rb").read()
+    r = decode_ico(b)
+    assert r is not None and (r[0], r[1]) == (256, 256)
+    assert decode_image(b) == r
+
+
+def test_ico_adversarial_totality():
+    from travel_data_ingestion_spark.llm.multimodal import decode_ico
+
+    rng = np.random.RandomState(63)
+    base = _ico([(8, 8, _ico_dib(_rand_rgb(64, 8, 8)))])
+    for _ in range(250):
+        b = bytearray(base)
+        for _k in range(rng.randint(1, 6)):
+            b[rng.randint(0, len(b))] = rng.randint(0, 256)
+        r = decode_ico(bytes(b))
+        assert r is None or len(r[2]) == r[0] * r[1] * 3

@@ -1257,10 +1257,72 @@ def decode_avi(payload: bytes) -> tuple[int, int, list[bytes]] | None:
         return None
 
 
+def decode_ico(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Parse a Windows ICO/CUR container: entries are either embedded
+    PNGs (Vista+) or headerless BMP DIBs whose height field counts the
+    XOR image plus the trailing 1-bit AND mask (so height halves, and
+    the mask is simply never read — alpha-drop, the RGBA policy).
+    Decodes the LARGEST entry that decodes; both payload kinds reuse
+    the existing decoders, so ICO costs only container plumbing."""
+    import struct
+
+    if len(payload) < 6 or payload[:4] not in (
+        b"\x00\x00\x01\x00",
+        b"\x00\x00\x02\x00",
+    ):
+        return None
+    try:
+        (count,) = struct.unpack("<H", payload[4:6])
+        if not 1 <= count <= 64:
+            return None
+        entries = []
+        for i in range(count):
+            e = payload[6 + 16 * i : 22 + 16 * i]
+            if len(e) < 16:
+                return None
+            w, h = e[0] or 256, e[1] or 256
+            size, off = struct.unpack("<II", e[8:16])
+            entries.append((w * h, off, size))
+        for _area, off, size in sorted(entries, reverse=True):
+            sub = payload[off : off + size]
+            if len(sub) < size:
+                continue
+            if sub[:8] == b"\x89PNG\r\n\x1a\n":
+                dec = decode_png(sub)
+                if dec is not None:
+                    return dec
+                continue
+            if len(sub) < 40:
+                continue
+            (hdrsz,) = struct.unpack("<I", sub[:4])
+            (h2,) = struct.unpack("<i", sub[8:12])
+            bpp, comp = struct.unpack("<HI", sub[14:20])
+            if hdrsz != 40 or comp != 0 or h2 % 2:
+                continue
+            n_colors = struct.unpack("<I", sub[32:36])[0] or (
+                (1 << bpp) if bpp <= 8 else 0
+            )
+            data_off = 14 + hdrsz + 4 * n_colors
+            dib = bytearray(sub)
+            struct.pack_into("<i", dib, 8, h2 // 2)  # drop the AND mask rows
+            f = (
+                b"BM"
+                + struct.pack("<IHHI", 14 + len(dib), 0, 0, data_off)
+                + bytes(dib)
+            )
+            dec = decode_bmp(f)
+            if dec is not None:
+                return dec
+        return None
+    except (struct.error, ValueError, IndexError, OverflowError):
+        return None
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
     """Decode any payload this environment can honestly decode — netpbm
     (P1-P6), any legal PNG, GIF (first composited frame), baseline or
-    progressive JPEG (llm/jpeg.decode_jpeg), BMP (incl. RLE), or
+    progressive JPEG (llm/jpeg.decode_jpeg), BMP (incl. RLE), ICO/CUR
+    (largest PNG or DIB entry), or
     strip-based TIFF (none/PackBits/LZW) — to (width,
     height, rgb_bytes); None routes the caller to the opaque-bytes
     stub path. The single decode entry every image operator (features,
@@ -1288,6 +1350,8 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
         dec = decode_bmp(payload)
     if dec is None and payload[:2] in (b"II", b"MM"):
         dec = decode_tiff(payload)
+    if dec is None and payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        dec = decode_ico(payload)
     return dec
 
 

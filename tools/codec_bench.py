@@ -48,8 +48,8 @@ def _big_rgb(side: int = 256) -> np.ndarray:
 
 
 def cases() -> list[tuple[str, bytes, object]]:
-    from test_audio_formats import _ima_encode
-    from test_bmp_pnm import _bmp, _bmp_rle_file, _rle_encode
+    from test_audio_formats import _ima_encode, _ms_encode, _wav_ms
+    from test_bmp_pnm import _bmp, _bmp_rle_file, _ico, _ico_dib, _rle_encode
     from test_tiff import _lzw_enc, _packbits_enc, _tiff
 
     rgb = _big_rgb()
@@ -119,6 +119,16 @@ def cases() -> list[tuple[str, bytes, object]]:
             "WAV IMA-ADPCM (64k samples)",
             _wav_ima_payload(clip, _ima_encode),
             decode_audio,
+        ),
+        (
+            "WAV MS-ADPCM (64k samples)",
+            _wav_ms(np.asarray(clip), 1, block_align=256),
+            decode_audio,
+        ),
+        (
+            "ICO (64x64 DIB entry)",
+            _ico([(64, 64, _ico_dib(_big_rgb(64)))]),
+            decode_image,
         ),
         ("FLAC verbatim (64k samples)", _flac_verbatim16(clip), decode_audio),
     ]

@@ -398,15 +398,15 @@ def test_media_phash_pairs_compose_with_cluster_index(spark, tmp_path):
     clusters = {
         (r.cluster_id, r.cluster_size) for r in cc.clusters(spark).collect()
     }
-    # alpha(9: PPM x3 + PNG/BMP + TIFF x4), beta(2), gamma(2), delta(3:
-    # PPM/GIF/P3), epsilon(4: netpbm P1/P2/P4/P5), audio(7)
+    # alpha(10: PPM x3 + PNG/BMP/ICO + TIFF x4), beta(2), gamma(2),
+    # delta(3: PPM/GIF/P3), epsilon(4: netpbm P1/P2/P4/P5), audio(8)
     assert clusters == {
-        (B + 0, 9),
+        (B + 0, 10),
         (B + 10, 2),
         (B + 20, 2),
         (B + 30, 3),
         (B + 40, 4),
-        (A + 0, 7),
+        (A + 0, 8),
     }
 
 

@@ -22,8 +22,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-from test_audio_formats import _ima_encode  # noqa: E402
-from test_bmp_pnm import _bmp  # noqa: E402
+from test_audio_formats import _ima_encode, _wav_ms  # noqa: E402
+from test_bmp_pnm import _bmp, _ico, _ico_dib  # noqa: E402
 from test_gif import _gif  # noqa: E402
 from test_tiff import (  # noqa: E402
     _hdiff,
@@ -59,6 +59,12 @@ def gif_animated(n_frames: int = 23, w: int = 8, h: int = 8) -> bytes:
     r = np.random.RandomState(21)
     frames = [{"idx": r.randint(0, 16, (h, w)).astype(np.uint8)} for _ in range(n_frames)]
     return _gif(w, h, pal, frames)
+
+
+def _clique_clip():
+    from travel_data_ingestion_spark.queries.llm_multimodal import _env_clip
+
+    return _env_clip()
 
 
 def audio_ima_wav() -> bytes:
@@ -114,6 +120,12 @@ def main() -> None:
             ),
         ),
         (
+            "ALPHA_ICO",
+            "tests/test_bmp_pnm._ico([(24, 24, _ico_dib(alpha))]) — a"
+            " classic headerless-DIB icon entry with an AND mask",
+            _ico([(24, 24, _ico_dib(alpha_base()))]),
+        ),
+        (
             "DELTA_GIF",
             "tests/test_gif._gif over the exact color palette of the 5-level"
             " posterized delta base — lossless",
@@ -124,6 +136,12 @@ def main() -> None:
             "tests/test_audio_formats._ima_encode over the audio-clique clip,"
             " block_align 16 (25 samples/block x 80 = the clip's 2000 frames)",
             audio_ima_wav(),
+        ),
+        (
+            "AUDIO_MS_ADPCM_WAV",
+            "tests/test_audio_formats._wav_ms over the audio-clique clip,"
+            " block_align 256 (500 samples/block x 4 = the clip's 2000 frames)",
+            _wav_ms(np.asarray(_clique_clip()), 1, block_align=256),
         ),
         (
             "VIDEO_GIF_23F",

@@ -146,19 +146,20 @@ def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs at the <=3 threshold), so the graded pairs come from planted
 # media. Unlike the former md5-stub era, the planted copies DIFFER AT
 # THE BYTE LEVEL — and mostly at the CONTAINER level. The cliques:
-#   alpha (9): base PPM; +16x32px perturb (hamming 0); +20x56px
-#     perturb (hamming 2); lossless re-encodes as PNG, BMP, and TIFF in
-#     four layouts — PackBits strips, LZW+Predictor2 strips, Deflate
-#     strips, Deflate tiles (all hamming 0).
+#   alpha (10): base PPM; +16x32px perturb (hamming 0); +20x56px
+#     perturb (hamming 2); lossless re-encodes as PNG, BMP, an ICO
+#     (headerless-DIB icon entry), and TIFF in four layouts — PackBits
+#     strips, LZW+Predictor2 strips, Deflate strips, Deflate tiles
+#     (all hamming 0).
 #   beta (2): base + light perturbation.
 #   gamma (2): smooth PPM and its baseline-JPEG re-encode (lossy
 #     container, hamming 0).
 #   delta (3): posterized PPM, its lossless GIF, and an ascii P3.
 #   epsilon (4): one bilevel pattern through netpbm P1/P4 (bilevel)
 #     and P2/P5 (gray) — identical decoded pixels.
-#   audio (7): one clip through WAV, native FLAC, AIFF, Sun AU, a
-#     G.711 mu-law AU (lossy companding), an IMA-ADPCM WAV (4-bit
-#     predictive coding), and a half-gain re-level.
+#   audio (8): one clip through WAV, native FLAC, AIFF, Sun AU, a
+#     G.711 mu-law AU (lossy companding), IMA-ADPCM and MS-ADPCM WAVs
+#     (4-bit predictive coding), and a half-gain re-level.
 # Matches only real perceptual hashes over real decodes can make.
 # Image IDs start at 3e9 (above real doc_ids and other fixtures'
 # 1e9/2e9 blocks), audio at 4e9, video at 5e9.
@@ -314,9 +315,9 @@ def planted_image_media() -> list[tuple[int, bytes]]:
     """All planted image payloads mm03 grades: the PPM set plus
     CROSS-CONTAINER re-encodes — the re-encoded-crawl-copy cases a
     byte digest can never pair. The alpha base additionally appears as
-    a lossless PNG, BMP, and four TIFF layouts (PackBits, LZW with
-    Predictor-2, Deflate strips, Deflate tiles — all pHash hamming 0 to
-    the PPM); the gamma base as a baseline
+    a lossless PNG, BMP, ICO, and four TIFF layouts (PackBits, LZW
+    with Predictor-2, Deflate strips, Deflate tiles — all pHash hamming
+    0 to the PPM); the gamma base as a baseline
     JPEG (lossy container, still hamming 0); the delta base as a GIF
     and an ascii P3; and the epsilon bilevel pattern through all four
     gray/bilevel netpbm kinds (P1/P2/P4/P5). Re-encodes whose encoder
@@ -339,6 +340,7 @@ def planted_image_media() -> list[tuple[int, bytes]]:
         (_PLANTED_MEDIA_BASE_ID + 6, ML.ALPHA_TIFF_LZW_PRED2),
         (_PLANTED_MEDIA_BASE_ID + 7, ML.ALPHA_TIFF_DEFLATE),
         (_PLANTED_MEDIA_BASE_ID + 8, ML.ALPHA_TIFF_TILED),
+        (_PLANTED_MEDIA_BASE_ID + 9, ML.ALPHA_ICO),
         (_PLANTED_MEDIA_BASE_ID + 20, _ppm_bytes(g0)),
         (_PLANTED_MEDIA_BASE_ID + 21, _GAMMA_JPEG),
         (_PLANTED_MEDIA_BASE_ID + 30, _ppm_bytes(d0)),
@@ -546,12 +548,12 @@ def _au_ulaw(x, rate: int = 8000) -> bytes:
 
 
 def planted_audio_media() -> list[tuple[int, bytes]]:
-    """Planted audio payloads: the SAME clip through seven renderings —
+    """Planted audio payloads: the SAME clip through eight renderings —
     WAV, native FLAC, AIFF, Sun AU (big-endian PCM16), a G.711 mu-law
-    AU (lossy companding — real telephony re-encode), an IMA/DVI ADPCM
-    WAV (4-bit predictive coding, pinned literal sized to the clip's
-    exact 2000 frames), and a half-gain WAV re-level — all hashing
-    within the near-dup threshold
+    AU (lossy companding — real telephony re-encode), IMA/DVI and
+    Microsoft ADPCM WAVs (4-bit predictive coding, pinned literals
+    sized to the clip's exact 2000 frames), and a half-gain WAV
+    re-level — all hashing within the near-dup threshold
     (audio_phash_bytes is container- and gain-invariant; companding
     noise is ~38 dB down, far below the envelope bits), so mm03's one
     pair generator grades audio near-dup across every decodable audio
@@ -567,6 +569,7 @@ def planted_audio_media() -> list[tuple[int, bytes]]:
         (_PLANTED_AUDIO_BASE_ID + 4, _au_pcm16(x)),
         (_PLANTED_AUDIO_BASE_ID + 5, _au_ulaw(x)),
         (_PLANTED_AUDIO_BASE_ID + 6, ML.AUDIO_IMA_WAV),
+        (_PLANTED_AUDIO_BASE_ID + 7, ML.AUDIO_MS_ADPCM_WAV),
     ]
 
 
@@ -617,15 +620,15 @@ def _phash_dedup_oracle() -> str:
     "uses (llm_dedup.hamming_pairs: 4x16-bit chunks, lossless, "
     "flood-proof). The planted duplicates differ at the byte level and "
     "at the CONTAINER level across EVERY decoder the environment "
-    "honestly ships: the alpha base pairs with its PNG, BMP, and four "
-    "TIFF re-encodes (PackBits / LZW+Predictor2 / Deflate strips / "
-    "Deflate tiles — all lossless, hamming 0), the gamma base with its "
-    "baseline-JPEG re-encode "
+    "honestly ships: the alpha base pairs with its PNG, BMP, ICO, and "
+    "four TIFF re-encodes (PackBits / LZW+Predictor2 / Deflate strips "
+    "/ Deflate tiles — all lossless, hamming 0), the gamma base with "
+    "its baseline-JPEG re-encode "
     "(lossy, hamming 0), the delta base with its GIF and ascii-P3 "
     "re-encodes, the epsilon bilevel pattern across netpbm P1/P2/P4/P5, "
-    "and one audio clip across WAV/FLAC/AIFF/AU, G.711 mu-law and "
-    "IMA-ADPCM re-encodes, and a half-gain re-level — matches no byte "
-    "digest can "
+    "and one audio clip across WAV/FLAC/AIFF/AU, G.711 mu-law, "
+    "IMA-ADPCM and MS-ADPCM re-encodes, and a half-gain re-level — "
+    "matches no byte digest can "
     "make. Oracle = the planted pairs as literals computed at import "
     "by the same pure hash functions (sim02's literal-coefficient "
     "pattern); the corpus contributes no pairs (measured min "
@@ -692,13 +695,13 @@ def _media_clusters_oracle() -> str:
     "propagation dd06 runs on text (llm_dedup.propagate_min_labels — "
     "the pair schema is the contract, so media clustering is the text "
     "machinery applied to a different signature). Survivors = cluster "
-    "minima; the planted media collapse into a size-9 image cluster "
-    "(the alpha base, two perturbations, and its PNG/BMP re-encodes "
+    "minima; the planted media collapse into a size-10 image cluster "
+    "(the alpha base, two perturbations, and its PNG/BMP/ICO re-encodes "
     "plus four TIFF layouts), a size-3 posterized/GIF/P3 cluster, a "
     "size-4 netpbm bilevel cluster, two size-2 clusters (one pairing a "
-    "PPM with its JPEG re-encode), and a size-7 audio cluster "
-    "(WAV/FLAC/AIFF/AU/mu-law/ADPCM/re-leveled) every round, keeping "
-    "the row "
+    "PPM with its JPEG re-encode), and a size-8 audio cluster "
+    "(WAV/FLAC/AIFF/AU/mu-law/IMA/MS-ADPCM/re-leveled) every round, "
+    "keeping the row "
     "non-vacuous. "
     "Propagation runs over edge endpoints only (O(pairs) per pass, "
     "converged-verified, memoized per run); the DuckDB oracle computes "

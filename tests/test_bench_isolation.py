@@ -47,3 +47,35 @@ def test_all_healthy_has_no_errors_key(spark):
     out = run_bench(spark, specs, SF_DIR, queries=["b01_project_filter"], n_runs=1)
     assert "errors" not in out
     assert set(out["queries"]) == {"b01_project_filter"}
+
+
+def test_bench_json_is_self_calibrating(spark):
+    """Round-11 contract: every BENCH_r{N}.json carries its own VM-speed
+    calibration so the 2x bar survives cross-round hardware drift
+    (r10's byte-identical code read 5.24-6.7 s depending on VM state).
+    The normalization rule is value_calibrated = value * idle_ref /
+    md5_calib; BASELINE.md round-11 addendum records it."""
+    from bench import MD5_IDLE_REF, SPARK_CALIB_REF
+
+    specs = member_queries()
+    out = run_bench(spark, specs, SF_DIR, queries=["b01_project_filter"], n_runs=1)
+    assert out["idle_ref"] == MD5_IDLE_REF
+    assert out["md5_calib"] > 0
+    # min-of-samples from both endpoints of the run
+    c = out["calib"]
+    assert out["md5_calib"] == min(c["pre"]["md5"], c["post"]["md5"])
+    assert c["pre"]["md5"] == min(c["pre"]["md5_samples"])
+    assert c["pre"]["matmul"] == min(c["pre"]["matmul_samples"])
+    # md5 correction is clamped: it divides out a slow VM but never
+    # inflates a fast-single-core one (r11: fast md5, unchanged bench)
+    expected = round(
+        out["value"] * MD5_IDLE_REF / max(out["md5_calib"], MD5_IDLE_REF), 4
+    )
+    assert out["value_calibrated"] == expected
+    assert out["value_calibrated"] <= out["value"] + 1e-9
+    # the symmetric probe runs the measured stack itself
+    assert out["spark_calib"] == min(c["spark_samples"])
+    assert out["spark_calib_ref"] == SPARK_CALIB_REF
+    expected_s = round(out["value"] * SPARK_CALIB_REF / out["spark_calib"], 4)
+    assert out["value_spark_calibrated"] == expected_s
+    json.dumps(out)  # stays one serializable JSON object

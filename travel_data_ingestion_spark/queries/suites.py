@@ -143,14 +143,31 @@ SUITES: dict[str, tuple[list[str], str]] = {
         [
             "t05_vocabulary",
             "t06_tfidf_keywords",
+            "t08_sequence_pack",
+            "t09_repetition_stats",
             "t10_boilerplate_coverage",
             "t11_unigram_logprob",
             "t12_crossdoc_span_dedup",
         ],
         "Corpus-level text suite: vocabulary statistics, TF-IDF "
-        "keyword extraction, cross-document boilerplate coverage, "
+        "keyword extraction, training-sequence packing, Gopher-style "
+        "repetition stats, cross-document boilerplate coverage, "
         "unigram-LM quality scoring, cross-document repeated-span "
         "detection (exact-substring dedup family).",
+    ),
+    "su08_incremental_index_suite": (
+        [
+            "mm05_incremental_phash_resolve",
+            "t14_incremental_docfreq",
+        ],
+        "Incremental-index suite (the dd08 pattern extended to the "
+        "remaining index families): two-batch media ingest through "
+        "PhashIndex + ClusterIndex vs a one-shot transitive-closure "
+        "oracle (every planted cross-container clique straddles the "
+        "batch boundary), and three-batch + compact() ingest through "
+        "DocFreqIndex vs a one-shot shingle-DF oracle — batched "
+        "incremental maintenance equals from-scratch computation, "
+        "end-to-end, driver-graded.",
     ),
 }
 

@@ -753,7 +753,8 @@ def test_mixed_csv_and_media_streams_share_warehouse(spark, tmp_path):
 
 def test_stream_ingest_media_full_container_matrix(spark, tmp_path):
     """Container coverage of the STREAMING path matches batch: real
-    PPM/PNG/BMP/TIFF(PackBits+LZW-Pred2)/GIF files and WAV/FLAC/AU
+    PPM/PNG/BMP/TIFF(PackBits+LZW-Pred2)/WebP-VP8L files and
+    WAV/FLAC/AU
     clips land through binaryFile streaming ingest, decode for REAL in
     the feature kernel (true dimensions, not stubs), and the lossless
     re-encodes pair at pHash hamming 0 — the end-to-end a crawl
@@ -788,6 +789,7 @@ def test_stream_ingest_media_full_container_matrix(spark, tmp_path):
         "alpha.bmp": ML.ALPHA_BMP24,
         "alpha_packbits.tiff": ML.ALPHA_TIFF_PACKBITS,
         "alpha_lzw_pred2.tiff": ML.ALPHA_TIFF_LZW_PRED2,
+        "alpha.webp": ML.ALPHA_WEBP,
     }
     audio_files = {
         "clip.wav": _wav_pcm16(clip),
@@ -818,7 +820,7 @@ def test_stream_ingest_media_full_container_matrix(spark, tmp_path):
     }
     assert feats == {mid: (24, 24) for mid in img_ids}
 
-    # one pair generator over the streamed payloads: the five lossless
+    # one pair generator over the streamed payloads: the six lossless
     # renderings of the alpha base form a clique at hamming 0
     img_pairs = hamming_pairs(
         phash_signatures(media.filter(F.col("media_id").isin(list(img_ids)))),

@@ -131,7 +131,31 @@ def cases() -> list[tuple[str, bytes, object]]:
             decode_image,
         ),
         ("FLAC verbatim (64k samples)", _flac_verbatim16(clip), decode_audio),
+        (
+            "WebP VP8L noise (64x64)",
+            _webp_noise(),
+            decode_image,
+        ),
+        (
+            "WebP VP8L flat+lz77 (256x256)",
+            _webp_flat(),
+            decode_image,
+        ),
     ]
+
+
+def _webp_noise() -> bytes:
+    from test_webp import _webp_lossless
+
+    return _webp_lossless(_big_rgb(64), subtract_green=True, cache_bits=8)
+
+
+def _webp_flat() -> bytes:
+    from test_webp import _webp_lossless
+
+    rgb = np.zeros((256, 256, 3), dtype=np.uint8)
+    rgb[:, :, 1] = 190
+    return _webp_lossless(rgb, lz77=True)
 
 
 def _wav_ima_payload(clip, ima_encode) -> bytes:

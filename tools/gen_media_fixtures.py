@@ -83,6 +83,16 @@ def audio_ima_wav() -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+def alpha_webp() -> bytes:
+    """VP8L (WebP-lossless) rendering of the alpha-clique base, with
+    the subtract-green transform, a color cache, and LZ77 enabled so
+    the pinned literal exercises the decoder's full coded-image path
+    (lossless -> pHash hamming 0 vs the alpha PPM)."""
+    from test_webp import _webp_lossless
+
+    return _webp_lossless(alpha_base(), subtract_green=True, cache_bits=8, lz77=True)
+
+
 def main() -> None:
     a0 = alpha_base()
     d0 = delta_base()
@@ -147,6 +157,13 @@ def main() -> None:
             "VIDEO_GIF_23F",
             "tests/test_gif._gif: 23 distinct full 8x8 frames, 16-color palette",
             gif_animated(),
+        ),
+        (
+            "ALPHA_WEBP",
+            "tests/test_webp._webp_lossless(alpha_base, subtract_green=True,"
+            " cache_bits=8, lz77=True) — lossless VP8L with the subtract-green"
+            " transform, a 256-entry color cache, and dist-1 backrefs",
+            alpha_webp(),
         ),
     ]
     out = [

@@ -21,7 +21,8 @@ Sun AU, native FLAC — feeding extract_audio_features and a
 container-invariant audio pHash). resize_images nearest-resamples decodable payloads
 and re-encodes in the source container. Formats that genuinely need a
 codec absent from this environment (arithmetic-coded JPEG, mp3/ogg,
-webp, real video codecs — MJPEG/DIB AVI decodes via decode_avi, ...)
+lossy WebP, real video codecs — MJPEG/DIB AVI decodes via decode_avi,
+WebP-lossless via llm/vp8l.decode_webp, ...)
 fall back to the documented
 md5-derived stub
 (decode_image_stub with fake=True for dimensions, md5-prefix
@@ -1257,6 +1258,107 @@ def decode_avi(payload: bytes) -> tuple[int, int, list[bytes]] | None:
         return None
 
 
+def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]] | None:
+    """Parse a YUV4MPEG2 (.y4m) raw video stream — the trivial-header
+    uncompressed interchange container mjpegtools defined — to (width,
+    height, [rgb_frames]), the decode_gif/decode_avi contract, so frame
+    sampling and the whole still pipeline compose downstream unchanged.
+
+    Stream header: b'YUV4MPEG2' + space-separated parameters up to a
+    newline (W<width> H<height> required; C<colorspace> selects the
+    plane layout — 420* (any 420 variant: the chroma siting suffixes
+    jpeg/mpeg2/paldv affect filtering intent, not storage), 422, 444,
+    and mono are supported; unknown colorspaces return None). Each
+    frame: b'FRAME' + optional parameters + newline + raw planar data.
+    YCbCr converts to RGB with the Rec.601 LIMITED-range integer
+    matrix ((298*(Y-16) + coeff*(C-128) + 128) >> 8, clipped) — the
+    convention ffmpeg applies to Y4M absent an explicit range marker —
+    and 4:2:0/4:2:2 chroma upsamples nearest (each sample covers its
+    2x2 / 2x1 site), matching the repo-wide nearest-resample rule.
+    Cumulative decoded bytes are capped (frame count is
+    attacker-chosen) like GIF/AVI."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    try:
+        hdr_end = payload.index(b"\n")
+    except ValueError:
+        return None
+    try:
+        w = h = None
+        cs = "420"
+        for tok in payload[9:hdr_end].split():
+            t = tok.decode("ascii", "replace")
+            if t[:1] == "W":
+                w = int(t[1:])
+            elif t[:1] == "H":
+                h = int(t[1:])
+            elif t[:1] == "C":
+                cs = t[1:]
+        if not w or not h or w < 0 or h < 0:
+            return None
+        if cs.startswith("420"):
+            cw, ch = (w + 1) // 2, (h + 1) // 2
+        elif cs == "422":
+            cw, ch = (w + 1) // 2, h
+        elif cs == "444":
+            cw, ch = w, h
+        elif cs == "mono":
+            cw = ch = 0
+        else:
+            return None
+        frame_bytes = w * h + 2 * cw * ch
+        if w * h * 3 > MAX_DECODE_BYTES:
+            return None
+
+        frames: list[bytes] = []
+        decoded = 0
+        at = hdr_end + 1
+        n = len(payload)
+        while at < n:
+            try:
+                fh_end = payload.index(b"\n", at)
+            except ValueError:
+                return None
+            if payload[at:fh_end][:5] != b"FRAME":
+                return None
+            at = fh_end + 1
+            if at + frame_bytes > n:
+                return None
+            y = np.frombuffer(payload, np.uint8, w * h, at).reshape(h, w)
+            yv = 298 * (y.astype(np.int32) - 16)
+            if cs == "mono":
+                g = np.clip((yv + 128) >> 8, 0, 255).astype(np.uint8)
+                rgb = np.repeat(g[:, :, None], 3, axis=2)
+            else:
+                cb = np.frombuffer(
+                    payload, np.uint8, cw * ch, at + w * h
+                ).reshape(ch, cw).astype(np.int32) - 128
+                cr = np.frombuffer(
+                    payload, np.uint8, cw * ch, at + w * h + cw * ch
+                ).reshape(ch, cw).astype(np.int32) - 128
+                # nearest upsample to full resolution
+                cb = cb[_nearest_grid(h, ch)][:, _nearest_grid(w, cw)]
+                cr = cr[_nearest_grid(h, ch)][:, _nearest_grid(w, cw)]
+                r = (yv + 409 * cr + 128) >> 8
+                g = (yv - 100 * cb - 208 * cr + 128) >> 8
+                b = (yv + 516 * cb + 128) >> 8
+                rgb = np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(
+                    np.uint8
+                )
+            frames.append(rgb.tobytes())
+            decoded += w * h * 3
+            if decoded > MAX_DECODE_BYTES:
+                return None
+            at += frame_bytes
+        if not frames:
+            return None
+        return w, h, frames
+    except (ValueError, IndexError, OverflowError):
+        return None
+
+
 def decode_ico(payload: bytes) -> tuple[int, int, bytes] | None:
     """Parse a Windows ICO/CUR container: entries are either embedded
     PNGs (Vista+) or headerless BMP DIBs whose height field counts the
@@ -1352,6 +1454,10 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
         dec = decode_tiff(payload)
     if dec is None and payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
         dec = decode_ico(payload)
+    if dec is None and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from travel_data_ingestion_spark.llm.vp8l import decode_webp
+
+        dec = decode_webp(payload)
     return dec
 
 
@@ -1424,8 +1530,9 @@ def phash_bytes(payload: bytes) -> int:
 def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    netpbm, PNG, GIF, JPEG, and BMP payloads decode for REAL
-    (decode_image). For the remaining formats a codec library is
+    netpbm, PNG, GIF, JPEG, BMP, TIFF, ICO, and WebP-lossless payloads
+    decode for REAL (decode_image). For the remaining formats a codec
+    library is
     required and absent in this container: with ``fake=True`` the
     dimensions derive deterministically from the payload digest,
     keeping every downstream operator testable; with ``fake=False`` the
@@ -1437,8 +1544,8 @@ def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
         raise NotImplementedError(
             "decoding this image format requires a codec library (e.g. "
             "Pillow); not available in this environment (netpbm, PNG, "
-            "GIF, baseline/progressive JPEG, and BMP decode natively "
-            "via decode_image)"
+            "GIF, baseline/progressive JPEG, BMP, TIFF, ICO, and "
+            "WebP-lossless decode natively via decode_image)"
         )
     return _dims_from_digest(hashlib.md5(payload).digest())
 
@@ -2178,8 +2285,9 @@ def sample_frames(
 ) -> DataFrame:
     """REAL frame sampling over the binary column: multi-frame
     containers (GIF — pure-Python LZW + compositing, see decode_gif —
-    and AVI video with MJPEG or uncompressed DIB streams, see
-    decode_avi) emit every Nth frame re-encoded as a P6 PPM
+    AVI video with MJPEG or uncompressed DIB streams, see decode_avi,
+    and raw YUV4MPEG2 streams, see decode_y4m) emit every Nth frame
+    re-encoded as a P6 PPM
     payload, still images emit their single frame at index 0, and
     undecodable payloads emit nothing. Each emitted frame is a
     first-class image payload, so the entire still pipeline composes
@@ -2213,7 +2321,7 @@ def sample_frames(
             }
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(p)
-                multi = decode_gif(b) or decode_avi(b)
+                multi = decode_gif(b) or decode_avi(b) or decode_y4m(b)
                 if multi is not None:
                     w, h, frames = multi
                     n = len(frames)

@@ -81,6 +81,7 @@ _PLANTED_VIDEO_FRAMES = {
     _PLANTED_VIDEO_BASE_ID + 0: 23,  # animated GIF (pinned literal)
     _PLANTED_VIDEO_BASE_ID + 1: 35,  # AVI MJPEG
     _PLANTED_VIDEO_BASE_ID + 2: 17,  # AVI uncompressed DIB
+    _PLANTED_VIDEO_BASE_ID + 3: 29,  # Y4M raw 4:2:0
 }
 
 
@@ -110,10 +111,12 @@ def _frame_sample_oracle() -> str:
     survey_ops=("X-MM-2",),
     doc="REAL every-Nth frame sampling over the binary column: the "
     "corpus' PPM renders each decode as a single still (index 0), and "
-    "three planted multi-frame clips — an animated GIF (23 frames, "
+    "four planted multi-frame clips — an animated GIF (23 frames, "
     "pure-Python LZW + compositing walk), an MJPEG AVI (35 frames, "
-    "JPEG-per-frame), and an uncompressed-DIB AVI (17 frames) — are "
-    "decoded by the real decode_gif/decode_avi frame walks, so the "
+    "JPEG-per-frame), an uncompressed-DIB AVI (17 frames), and a raw "
+    "YUV4MPEG2 stream (29 frames, 4:2:0, Rec.601 limited-range) — are "
+    "decoded by the real decode_gif/decode_avi/decode_y4m frame "
+    "walks, so the "
     "sampled indices AND total frame counts in the hash-graded output "
     "come from actual container parses, not byte-length arithmetic "
     "(the former n_bytes//1000 stub is gone). payloads=False keeps "
@@ -341,6 +344,8 @@ def planted_image_media() -> list[tuple[int, bytes]]:
         (_PLANTED_MEDIA_BASE_ID + 7, ML.ALPHA_TIFF_DEFLATE),
         (_PLANTED_MEDIA_BASE_ID + 8, ML.ALPHA_TIFF_TILED),
         (_PLANTED_MEDIA_BASE_ID + 9, ML.ALPHA_ICO),
+        # the 50s block holds WebP re-encodes (alpha ids 0-9 are full)
+        (_PLANTED_MEDIA_BASE_ID + 50, ML.ALPHA_WEBP),
         (_PLANTED_MEDIA_BASE_ID + 20, _ppm_bytes(g0)),
         (_PLANTED_MEDIA_BASE_ID + 21, _GAMMA_JPEG),
         (_PLANTED_MEDIA_BASE_ID + 30, _ppm_bytes(d0)),
@@ -401,15 +406,33 @@ def _dib_frame(rgb) -> bytes:
     return b"".join(rows)
 
 
+def _y4m_bytes(n_frames: int, w: int, h: int, seed: int = 78) -> bytes:
+    """Raw YUV4MPEG2 clip: deterministic noise planes, C420 layout.
+    Y4M is an uncompressed header+planes interchange format, so this
+    inline writer is container plumbing, not an encoder the package
+    lacks (the _avi_bytes/_dib_frame pattern)."""
+    import numpy as np
+
+    r = np.random.RandomState(seed)
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n" % (w, h)]
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    for _ in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(r.randint(0, 256, w * h).astype("uint8").tobytes())
+        out.append(r.randint(0, 256, 2 * cw * ch).astype("uint8").tobytes())
+    return b"".join(out)
+
+
 def planted_video_media() -> list[tuple[int, bytes]]:
     """Deterministic multi-frame clips across every video container the
     environment honestly decodes: an animated GIF (media_literals, 23
     distinct frames — GIF encoding needs the LZW compressor the package
     deliberately lacks), an MJPEG AVI (35 frames, each the pinned
-    baseline-JPEG literal — MJPEG is JPEG-per-frame), and an
-    uncompressed-DIB AVI (17 deterministic noise frames). mm02 decodes
-    these for REAL (decode_gif / decode_avi frame walks) and grades the
-    sampled indices against the pinned counts."""
+    baseline-JPEG literal — MJPEG is JPEG-per-frame), an
+    uncompressed-DIB AVI (17 deterministic noise frames), and a raw
+    YUV4MPEG2 stream (29 noise frames, 4:2:0). mm02 decodes these for
+    REAL (decode_gif / decode_avi / decode_y4m frame walks) and grades
+    the sampled indices against the pinned counts."""
     import numpy as np
 
     from travel_data_ingestion_spark.queries import media_literals as ML
@@ -422,6 +445,7 @@ def planted_video_media() -> list[tuple[int, bytes]]:
         (_PLANTED_VIDEO_BASE_ID + 0, ML.VIDEO_GIF_23F),
         (_PLANTED_VIDEO_BASE_ID + 1, _avi_bytes([_GAMMA_JPEG] * 35, 32, 24, b"MJPG", b"MJPG")),
         (_PLANTED_VIDEO_BASE_ID + 2, _avi_bytes(dib_frames, 16, 8, bytes(4), b"DIB ")),
+        (_PLANTED_VIDEO_BASE_ID + 3, _y4m_bytes(29, 12, 10)),
     ]
 
 
@@ -620,7 +644,8 @@ def _phash_dedup_oracle() -> str:
     "uses (llm_dedup.hamming_pairs: 4x16-bit chunks, lossless, "
     "flood-proof). The planted duplicates differ at the byte level and "
     "at the CONTAINER level across EVERY decoder the environment "
-    "honestly ships: the alpha base pairs with its PNG, BMP, ICO, and "
+    "honestly ships: the alpha base pairs with its PNG, BMP, ICO, "
+    "WebP-lossless (VP8L: subtract-green + color cache + LZ77), and "
     "four TIFF re-encodes (PackBits / LZW+Predictor2 / Deflate strips "
     "/ Deflate tiles — all lossless, hamming 0), the gamma base with "
     "its baseline-JPEG re-encode "
@@ -695,9 +720,10 @@ def _media_clusters_oracle() -> str:
     "propagation dd06 runs on text (llm_dedup.propagate_min_labels — "
     "the pair schema is the contract, so media clustering is the text "
     "machinery applied to a different signature). Survivors = cluster "
-    "minima; the planted media collapse into a size-10 image cluster "
-    "(the alpha base, two perturbations, and its PNG/BMP/ICO re-encodes "
-    "plus four TIFF layouts), a size-3 posterized/GIF/P3 cluster, a "
+    "minima; the planted media collapse into a size-11 image cluster "
+    "(the alpha base, two perturbations, and its PNG/BMP/ICO/WebP "
+    "re-encodes plus four TIFF layouts), a size-3 posterized/GIF/P3 "
+    "cluster, a "
     "size-4 netpbm bilevel cluster, two size-2 clusters (one pairing a "
     "PPM with its JPEG re-encode), and a size-8 audio cluster "
     "(WAV/FLAC/AIFF/AU/mu-law/IMA/MS-ADPCM/re-leveled) every round, "

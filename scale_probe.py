@@ -61,6 +61,25 @@ PROBE_QUERIES = [
     "cu15_epoch_repeat_mix",
 ]
 
+# Optional focus tier: SPARK_GRAFT_PROBE_QUERIES="dd01_...,dd03_..."
+# restricts the probe to a named subset (the 32x dedup-family tier runs
+# this way — replicating every TPC-H table 32-fold to time four
+# documents-only queries would dominate the probe's wall clock).
+_FILTER = [
+    q for q in os.environ.get("SPARK_GRAFT_PROBE_QUERIES", "").split(",") if q
+]
+if _FILTER:
+    unknown = set(_FILTER) - set(PROBE_QUERIES)
+    if unknown:
+        raise SystemExit(f"unknown probe queries: {sorted(unknown)}")
+    PROBE_QUERIES = _FILTER
+
+# documents/embeddings-only query families (by registry prefix): when a
+# focus tier touches nothing else, the TPC-H tables are copied at base
+# scale instead of replicated (load_table still finds them; the probed
+# queries never read them).
+_DOC_ONLY_PREFIXES = ("dd", "t0", "t1", "cu", "mm")
+
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -76,12 +95,19 @@ def main() -> None:
     # join fan-outs stay realistic (no artificial key collisions).
     shutil.rmtree(OUT, ignore_errors=True)
     os.makedirs(OUT, exist_ok=True)
+    doc_only = bool(_FILTER) and all(
+        q.startswith(_DOC_ONLY_PREFIXES) for q in PROBE_QUERIES
+    )
     shifts = {
         "lineitem": ["l_orderkey"],
         "orders": ["o_orderkey", "o_custkey"],
         "customer": ["c_custkey"],
         "events": ["event_id", "user_id"],
     }
+    if doc_only:
+        for table in shifts:
+            shutil.copy(f"{BASE}/{table}.parquet", f"{OUT}/{table}.parquet")
+        shifts = {}
     for table in ("region", "nation", "supplier", "part", "embeddings"):
         shutil.copy(f"{BASE}/{table}.parquet", f"{OUT}/{table}.parquet")
     # documents: shift doc_id per replica and append a replica marker

@@ -54,9 +54,137 @@ _ZIGZAG = (
     53, 60, 61, 54, 47, 55, 62, 63,
 )
 
-# frame markers this decoder honestly cannot cover: arithmetic coding,
-# lossless, differential/hierarchical
-_SOF_UNSUPPORTED = frozenset((0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF))
+# frame markers this decoder honestly cannot cover: lossless,
+# differential/hierarchical (arithmetic DCT — SOF9/SOF10 — decodes via
+# the QM-coder path below)
+_SOF_UNSUPPORTED = frozenset((0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF))
+
+# T.81 Table D.3 — the QM-coder probability estimation state machine:
+# (Qe, Next_Index_MPS, Next_Index_LPS, Switch_MPS) per state. Entry 113
+# is the non-adapting ~equiprobable state used for decisions coded with
+# a fixed estimate (AC sign, DC refinement bits): its next-state arcs
+# point at itself, so adaptation is a no-op by construction.
+_ARITH_TAB = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _ArithDecoder:
+    """T.81 QM-coder decoder (Annex F flowcharts: DECODE with the
+    MPS/LPS conditional exchange, RENORMD, BYTEIN) over ONE destuffed
+    entropy segment. Register layout per the spec's software
+    conventions: C is 32-bit with the comparison window Cx in bits
+    16-31 and new bytes entering at bits 8-15; A renormalizes into
+    [0x8000, 0x10000). Context state is one byte per bin: the Table
+    D.3 index in bits 0-6, the MPS sense in bit 7 — adaptation happens
+    only on renormalization events, per the spec. Past-the-end reads
+    feed zero bytes (the bytes an encoder's flush is allowed to
+    discard are zeros), CAPPED so truncated scans and dims bombs
+    terminate instead of freewheeling."""
+
+    __slots__ = ("data", "pos", "c", "a", "ct", "synthetic")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.synthetic = 0
+        self.c = self._byte() << 16
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _byte(self) -> int:
+        if self.pos < len(self.data):
+            v = self.data[self.pos]
+            self.pos += 1
+            return v
+        self.synthetic += 1
+        if self.synthetic > 64:
+            raise ValueError("arithmetic entropy data exhausted")
+        return 0
+
+    def _bytein(self) -> None:
+        self.c = (self.c + (self._byte() << 8)) & 0xFFFFFFFF
+        self.ct = 8
+
+    def decode(self, st: bytearray, i: int) -> int:
+        sv = st[i]
+        s = sv & 0x7F
+        mps = sv >> 7
+        qe, nmps, nlps, switch = _ARITH_TAB[s]
+        self.a -= qe
+        cx = (self.c >> 16) & 0xFFFF
+        if cx < qe:
+            # LPS-interval decode (bottom), conditional exchange
+            if self.a < qe:
+                d = mps
+                st[i] = (mps << 7) | nmps
+            else:
+                d = 1 - mps
+                if switch:
+                    mps = 1 - mps
+                st[i] = (mps << 7) | nlps
+            self.a = qe
+        else:
+            self.c = (self.c - (qe << 16)) & 0xFFFFFFFF
+            if self.a & 0x8000:
+                return mps  # no renorm, no adaptation
+            # MPS-interval decode with renorm, conditional exchange
+            if self.a < qe:
+                d = 1 - mps
+                if switch:
+                    mps = 1 - mps
+                st[i] = (mps << 7) | nlps
+            else:
+                d = mps
+                st[i] = (mps << 7) | nmps
+        while True:  # RENORMD
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
 
 _IDCT_M = None  # orthonormal 8x8 DCT-II basis, built on first use
 
@@ -336,6 +464,186 @@ def _decode_jpeg(payload: bytes):
     return _reconstruct(frame, geom, coefs, qt)
 
 
+def _scan_units(frame, geom, sel):
+    """Block iteration order for one scan: interleaved scans iterate
+    MCUs (each with every component's vs x hs blocks); single-component
+    scans iterate that component's OWN block grid (T.81 A.2.2)."""
+    w, h, comps = frame
+    hmax, vmax, mcux, mcuy = geom
+    if len(sel) > 1:
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = []
+                for ci, _td, _ta in sel:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blocks.append((ci, my * c["v"] + by, mx * c["h"] + bx))
+                units.append(blocks)
+        return units
+    ci = sel[0][0]
+    c = comps[ci]
+    cw = ((w * c["h"] + hmax - 1) // hmax + 7) // 8
+    chh = ((h * c["v"] + vmax - 1) // vmax + 7) // 8
+    return [[(ci, by, bx)] for by in range(chh) for bx in range(cw)]
+
+
+def _arith_scan_into(
+    coefs, frame, geom, sel, ss, se, ah, al, segs, restart_interval, dc_cond, ac_cond
+):
+    """Accumulate one ARITHMETIC-coded scan (SOF9 sequential or SOF10
+    progressive) into the coefficient buffers — the T.81 Annex F
+    statistical models over the QM-coder: DC differences conditioned on
+    the previous difference's (L,U) classification (49-bin area per DC
+    table), AC coefficients on 3 bins per spectral index k plus two
+    Kx-split magnitude-category chains (245-bin area per AC table), AC
+    signs and refinement bits through the fixed ~equiprobable state.
+    Statistics, DC predictors, and the decoder itself reset at every
+    restart segment (what makes RSTn intervals independently
+    decodable). The four progressive scan kinds mirror the sequential
+    procedures exactly as the Annex G variants (DC/AC first scale by
+    2^Al; refinements code one bit per coefficient with newly-nonzero
+    insertion), so a sequential scan is the ss=0/se=63/al=0 case of the
+    same code paths."""
+    w, h, comps = frame
+    units = _scan_units(frame, geom, sel)
+
+    def fresh_state():
+        # stats areas per table id (one byte per bin: state index +
+        # MPS bit); the extra final bin in each bank is the fixed
+        # non-adapting state (index 113)
+        dc_stats = {td: bytearray(64) for _ci, td, _ta in sel}
+        ac_stats = {ta: bytearray(256) for _ci, _td, ta in sel}
+        fixed = bytearray([113])
+        return dc_stats, ac_stats, fixed
+
+    def decode_magnitude_bits(dec, st, base, m):
+        v = m
+        mm = m
+        while True:
+            mm >>= 1
+            if not mm:
+                break
+            if dec.decode(st, base):
+                v |= mm
+        return v
+
+    def decode_dc(dec, st, ci, td):
+        # T.81 F.2.1.4.1 (the jdarith decode path of Annex F):
+        # zero/sign/magnitude decision tree + X1..X15 category chain
+        base = dc_context[ci]
+        if dec.decode(st, base) == 0:
+            dc_context[ci] = 0
+            return 0
+        sign = dec.decode(st, base + 1)
+        pos = base + 2 + sign
+        m = dec.decode(st, pos)
+        if m:
+            pos = 20  # X1
+            while dec.decode(st, pos):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("arith DC magnitude overflow")
+                pos += 1
+        low, up = dc_cond.get(td, (0, 1))
+        if m < ((1 << low) >> 1):
+            dc_context[ci] = 0
+        elif m > ((1 << up) >> 1):
+            dc_context[ci] = 12 + sign * 4
+        else:
+            dc_context[ci] = 4 + sign * 4
+        v = decode_magnitude_bits(dec, st, pos + 14, m) + 1
+        return -v if sign else v
+
+    def decode_ac_band(dec, st, fixed, block, k0, kend, ta, scale):
+        kx = ac_cond.get(ta, 5)
+        k = k0
+        while k <= kend:
+            base = 3 * (k - 1)
+            if dec.decode(st, base):
+                return  # EOB
+            while dec.decode(st, base + 1) == 0:
+                k += 1
+                base += 3
+                if k > kend:
+                    raise ValueError("arith AC index past band end")
+            sign = dec.decode(fixed, 0)
+            pos = base + 2
+            m = dec.decode(st, pos)
+            if m:
+                if dec.decode(st, pos):
+                    m = 2
+                    pos = 189 if k <= kx else 217
+                    while dec.decode(st, pos):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError("arith AC magnitude overflow")
+                        pos += 1
+            v = decode_magnitude_bits(dec, st, pos + 14, m) + 1
+            block[k] = (-v if sign else v) * scale
+            k += 1
+
+    p1 = 1 << al
+    m1 = -p1
+    seg_iter = iter(segs)
+    dec = _ArithDecoder(next(seg_iter))
+    dc_stats, ac_stats, fixed = fresh_state()
+    dc_context = {ci: 0 for ci, _td, _ta in sel}
+    last_dc = {ci: 0 for ci, _td, _ta in sel}
+    for u, blocks in enumerate(units):
+        if restart_interval and u and u % restart_interval == 0:
+            try:
+                dec = _ArithDecoder(next(seg_iter))
+            except StopIteration:
+                raise ValueError("missing restart segment") from None
+            dc_stats, ac_stats, fixed = fresh_state()
+            dc_context = {k: 0 for k in dc_context}
+            last_dc = {k: 0 for k in last_dc}
+        for ci, by, bx in blocks:
+            block = coefs[ci][by, bx]
+            td, ta = next((t, a) for c2, t, a in sel if c2 == ci)
+            if ss == 0:
+                if ah == 0:  # DC first (or sequential)
+                    last_dc[ci] += decode_dc(dec, dc_stats[td], ci, td)
+                    block[0] = last_dc[ci] << al
+                else:  # DC refinement: one fixed-estimate bit
+                    if dec.decode(fixed, 0):
+                        block[0] = int(block[0]) | p1
+            if se > 0:
+                k0 = max(ss, 1)
+                if ah == 0:
+                    decode_ac_band(
+                        dec, ac_stats[ta], fixed, block, k0, se, ta, p1
+                    )
+                else:
+                    # AC refinement (Annex G): EOBx from prior scans,
+                    # newly-nonzero insertion + history correction bits
+                    st = ac_stats[ta]
+                    kex = se
+                    while kex >= k0 and int(block[kex]) == 0:
+                        kex -= 1
+                    k = k0
+                    while k <= se:
+                        base = 3 * (k - 1)
+                        if k > kex and dec.decode(st, base):
+                            break  # EOB
+                        while True:
+                            cur = int(block[k])
+                            if cur != 0:
+                                if dec.decode(st, base + 2):
+                                    block[k] = cur + (m1 if cur < 0 else p1)
+                                break
+                            if dec.decode(st, base + 1):
+                                block[k] = m1 if dec.decode(fixed, 0) else p1
+                                break
+                            k += 1
+                            base += 3
+                            if k > se:
+                                raise ValueError("arith AC refine overrun")
+                        k += 1
+
+
 def _scan_into(
     coefs, frame, geom, sel, ss, se, ah, al, segs, restart_interval, huff_dc, huff_ac
 ):
@@ -357,26 +665,7 @@ def _scan_into(
             if ta not in huff_ac:
                 raise ValueError("missing AC table")
             ac_luts[ci] = huff_ac[ta]
-    # unit list: interleaved scans iterate MCUs (each with every
-    # component's vs x hs blocks); single-component scans iterate that
-    # component's OWN block grid (T.81 A.2.2: non-interleaved dims)
-    if len(sel) > 1:
-        units = []
-        for my in range(mcuy):
-            for mx in range(mcux):
-                blocks = []
-                for ci, _td, _ta in sel:
-                    c = comps[ci]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            blocks.append((ci, my * c["v"] + by, mx * c["h"] + bx))
-                units.append(blocks)
-    else:
-        ci = sel[0][0]
-        c = comps[ci]
-        cw = ((w * c["h"] + hmax - 1) // hmax + 7) // 8
-        chh = ((h * c["v"] + vmax - 1) // vmax + 7) // 8
-        units = [[(ci, by, bx)] for by in range(chh) for bx in range(cw)]
+    units = _scan_units(frame, geom, sel)
     seg_idx = 0
     br = _BitReader(segs[0])
     pred = {ci: 0 for ci, _td, _ta in sel}

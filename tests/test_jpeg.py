@@ -352,9 +352,13 @@ def test_gated_and_malformed_rejected():
     # identically whichever frame marker announced it
     relabeled = base[:i] + b"\xff\xc2" + base[i + 2 :]
     assert decode_jpeg(relabeled) == decode_jpeg(base)
-    # SOF9 (arithmetic coding): honestly gated
-    arith = base[:i] + b"\xff\xc9" + base[i + 2 :]
-    assert decode_jpeg(arith) is None
+    # SOF3 (lossless): honestly gated. (SOF9/SOF10 arithmetic now
+    # decode for real — tests/test_jpeg_arith.py; relabeling HUFFMAN
+    # entropy data as arithmetic is undefined-but-total: the QM decoder
+    # either desyncs to None or yields garbage coefficients, never
+    # raises — covered by the adversarial lane.)
+    lossless = base[:i] + b"\xff\xc3" + base[i + 2 :]
+    assert decode_jpeg(lossless) is None
     assert decode_jpeg(b"") is None
     assert decode_jpeg(b"\xff\xd8\xff\xd9") is None
     assert decode_jpeg(base[: len(base) // 3]) is None or True  # truncation: total

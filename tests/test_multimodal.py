@@ -87,11 +87,12 @@ def test_phash_pairs_are_perceptual_not_byte_level():
     pairs = _planted_pairs()
     # alpha clique of 11 (PPM x3 + PNG/BMP/ICO + TIFF in four layouts:
     # PackBits, LZW+Pred2, Deflate strips, Deflate tiles + WebP-VP8L)
-    # = 55 pairs, beta pair, gamma PPM<->JPEG pair, delta clique of 3
-    # (PPM/GIF/P3) = 3, epsilon netpbm clique of 4 (P1/P2/P4/P5) = 6,
-    # audio clique of 8 (WAV/FLAC/AIFF/AU/mu-law/IMA/MS-ADPCM/
-    # half-gain) = 28 -> every clique fully connected
-    assert len(pairs) == 55 + 1 + 1 + 3 + 6 + 28
+    # = 55 pairs, beta pair, gamma clique of 3 (PPM + Huffman-JPEG +
+    # arithmetic-JPEG) = 3, delta clique of 3 (PPM/GIF/P3) = 3,
+    # epsilon netpbm clique of 4 (P1/P2/P4/P5) = 6, audio clique of 8
+    # (WAV/FLAC/AIFF/AU/mu-law/IMA/MS-ADPCM/half-gain) = 28 -> every
+    # clique fully connected
+    assert len(pairs) == 55 + 1 + 3 + 3 + 6 + 28
     # at least one NON-ZERO hamming pair: genuinely near, not identical
     assert any(h > 0 for _a, _b, h in pairs)
     # no accidental image<->audio cross pairs

@@ -66,6 +66,7 @@ def cases() -> list[tuple[str, bytes, object]]:
             decode_png,
         ),
         ("JPEG baseline (32x24 fixture)", _GAMMA_JPEG, decode_image),
+        ("JPEG arithmetic (32x24 fixture)", ML.GAMMA_JPEG_ARITH, decode_image),
         ("BMP 24-bit (256x256)", _bmp(rgb, bpp=24), decode_bmp),
         (
             "TIFF PackBits (256x256)",

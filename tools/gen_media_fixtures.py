@@ -83,6 +83,17 @@ def audio_ima_wav() -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+def gamma_jpeg_arith() -> bytes:
+    """Arithmetic-coded (SOF9) JPEG rendering of the gamma-clique base
+    at quality 95 — the same coefficients as the pinned baseline
+    _GAMMA_JPEG decode bit-identically through the QM-coder path, so
+    the literal lands in the gamma clique at pHash hamming 0."""
+    from test_jpeg_arith import encode_jpeg_arith
+    from travel_data_ingestion_spark.queries.llm_multimodal import _gamma_smooth
+
+    return encode_jpeg_arith(_gamma_smooth(), quality=95)
+
+
 def alpha_webp() -> bytes:
     """VP8L (WebP-lossless) rendering of the alpha-clique base, with
     the subtract-green transform, a color cache, and LZ77 enabled so
@@ -164,6 +175,13 @@ def main() -> None:
             " cache_bits=8, lz77=True) — lossless VP8L with the subtract-green"
             " transform, a 256-entry color cache, and dist-1 backrefs",
             alpha_webp(),
+        ),
+        (
+            "GAMMA_JPEG_ARITH",
+            "tests/test_jpeg_arith.encode_jpeg_arith(gamma, quality=95) —"
+            " SOF9 arithmetic (QM-coder) encoding of the same quantized"
+            " coefficients as the baseline _GAMMA_JPEG literal",
+            gamma_jpeg_arith(),
         ),
     ]
     out = [

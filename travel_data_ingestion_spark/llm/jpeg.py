@@ -1,26 +1,34 @@
 """JPEG decode with stdlib + numpy only — no codec library.
 
 Honest scope (everything else returns None -> the documented opaque
-stub path in llm/multimodal): Huffman-coded DCT JPEG, sequential
-baseline (SOF0/SOF1) AND progressive (SOF2 — spectral selection and
-successive approximation, DC and AC refinement scans), 8-bit samples,
-1 or 3 components, sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0 /
-4:4:0 and grayscale), 8- and 16-bit quantization tables, restart
-markers, 0xFF byte stuffing, tables redefined between scans.
-Arithmetic-coded, lossless, hierarchical, 12-bit, and CMYK streams are
-gated, not guessed at.
+stub path in llm/multimodal): DCT JPEG with EITHER entropy coder —
+Huffman sequential baseline (SOF0/SOF1), Huffman progressive (SOF2 —
+spectral selection and successive approximation, DC and AC refinement
+scans), and ARITHMETIC-coded sequential (SOF9) and progressive (SOF10)
+via the T.81 QM-coder with its Annex F statistical models and DAC
+conditioning tables — 8-bit samples, 1 or 3 components, sampling
+factors 1-2 (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 and grayscale), 8- and
+16-bit quantization tables, restart markers, 0xFF byte stuffing,
+tables redefined between scans. Lossless, hierarchical, 12-bit, and
+CMYK streams are gated, not guessed at.
 
 Implemented from ITU-T T.81 (Annex F sequential / Annex G progressive
 procedures — the AC refinement loop is the G.1.2.3 algorithm also used
-by libjpeg's decode_mcu_AC_refine). Both modes decode through ONE
+by libjpeg's decode_mcu_AC_refine; the arithmetic path follows the
+Annex D/F QM-coder flowcharts and Table D.3, the same procedures
+libjpeg's public jdarith.c implements). Both modes decode through ONE
 path: every scan accumulates into per-component quantized-coefficient
 buffers, then dequantize + vectorized IDCT + upsample + YCbCr->RGB run
 once at the end — a baseline image is simply a single scan covering
 the whole band. The test suite cross-checks against an independent
-forward encoder written from the same spec (progressive re-encodings
-of identical coefficients must decode BIT-IDENTICALLY to the baseline
-encoding) plus real-world files from other encoders
-(tests/test_jpeg.py). Reference parity note: the reference pipeline
+forward encoder written from the same spec (progressive AND arithmetic
+re-encodings of identical coefficients must decode BIT-IDENTICALLY to
+the baseline encoding) plus real-world files from other encoders
+(tests/test_jpeg.py). Honesty note on the arithmetic path: no
+third-party arithmetic-coded JPEG exists in this container, so its
+evidence is the spec-dual round-trip (independent forward QM-coder in
+tests/test_jpeg_arith.py) plus structural parity with the published
+procedures — the same evidence standard as FLAC. Reference parity note: the reference pipeline
 has no media path at all (SURVEY §2 K-ops are tabular); this module
 belongs to the LLM-pipeline extension surface, where crawl payloads
 are overwhelmingly JPEG.
@@ -345,6 +353,9 @@ def _decode_jpeg(payload: bytes):
     geom = None
     restart_interval = 0
     decoded_any_scan = False
+    arith = False
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: Tb -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: Tb -> Kx
     n = len(payload)
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
@@ -389,9 +400,12 @@ def _decode_jpeg(payload: bytes):
                     return None
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffLUT(counts, symbols)
                 b += 17 + total
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential) / SOF2 (progressive)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 (sequential) / SOF2 (progressive) Huffman;
+            # SOF9 (sequential) / SOF10 (progressive) arithmetic
             if frame is not None:
                 return None  # multi-frame: out of scope
+            arith = marker in (0xC9, 0xCA)
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8 or nc not in (1, 3) or not w or not h:
                 return None
@@ -420,6 +434,23 @@ def _decode_jpeg(payload: bytes):
             ]
         elif marker in _SOF_UNSUPPORTED:
             return None  # the honest gate
+        elif marker == 0xCC:  # DAC: arithmetic conditioning tables
+            b = 0
+            while b + 2 <= len(body):
+                tc, tb = body[b] >> 4, body[b] & 15
+                cs = body[b + 1]
+                b += 2
+                if tc == 0:  # DC: L in low nibble, U in high (L <= U)
+                    low, up = cs & 15, cs >> 4
+                    if low > up or up > 15:
+                        return None
+                    dc_cond[tb] = (low, up)
+                elif tc == 1:  # AC: Kx in 1..63
+                    if not 1 <= cs <= 63:
+                        return None
+                    ac_cond[tb] = cs
+                else:
+                    return None
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
@@ -443,20 +474,16 @@ def _decode_jpeg(payload: bytes):
             if ss > 0 and ns != 1:
                 return None  # AC scans are single-component (T.81 G.1)
             segs, pos = _extract_scan_data(payload, pos)
-            _scan_into(
-                coefs,
-                frame,
-                geom,
-                sel,
-                ss,
-                se,
-                ah,
-                al,
-                segs,
-                restart_interval,
-                huff_dc,
-                huff_ac,
-            )
+            if arith:
+                _arith_scan_into(
+                    coefs, frame, geom, sel, ss, se, ah, al, segs,
+                    restart_interval, dc_cond, ac_cond,
+                )
+            else:
+                _scan_into(
+                    coefs, frame, geom, sel, ss, se, ah, al, segs,
+                    restart_interval, huff_dc, huff_ac,
+                )
             decoded_any_scan = True
         # APPn / COM / DNL / anything else with a length: skipped
     if frame is None or not decoded_any_scan:

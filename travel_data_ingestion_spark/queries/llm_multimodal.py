@@ -149,13 +149,14 @@ def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs at the <=3 threshold), so the graded pairs come from planted
 # media. Unlike the former md5-stub era, the planted copies DIFFER AT
 # THE BYTE LEVEL — and mostly at the CONTAINER level. The cliques:
-#   alpha (10): base PPM; +16x32px perturb (hamming 0); +20x56px
+#   alpha (11): base PPM; +16x32px perturb (hamming 0); +20x56px
 #     perturb (hamming 2); lossless re-encodes as PNG, BMP, an ICO
-#     (headerless-DIB icon entry), and TIFF in four layouts — PackBits
-#     strips, LZW+Predictor2 strips, Deflate strips, Deflate tiles
-#     (all hamming 0).
+#     (headerless-DIB icon entry), WebP-lossless (VP8L), and TIFF in
+#     four layouts — PackBits strips, LZW+Predictor2 strips, Deflate
+#     strips, Deflate tiles (all hamming 0).
 #   beta (2): base + light perturbation.
-#   gamma (2): smooth PPM and its baseline-JPEG re-encode (lossy
+#   gamma (3): smooth PPM, its baseline-JPEG re-encode, and the SOF9
+#     arithmetic (QM-coder) re-encode of the same coefficients (lossy
 #     container, hamming 0).
 #   delta (3): posterized PPM, its lossless GIF, and an ascii P3.
 #   epsilon (4): one bilevel pattern through netpbm P1/P4 (bilevel)
@@ -348,6 +349,7 @@ def planted_image_media() -> list[tuple[int, bytes]]:
         (_PLANTED_MEDIA_BASE_ID + 50, ML.ALPHA_WEBP),
         (_PLANTED_MEDIA_BASE_ID + 20, _ppm_bytes(g0)),
         (_PLANTED_MEDIA_BASE_ID + 21, _GAMMA_JPEG),
+        (_PLANTED_MEDIA_BASE_ID + 22, ML.GAMMA_JPEG_ARITH),
         (_PLANTED_MEDIA_BASE_ID + 30, _ppm_bytes(d0)),
         (_PLANTED_MEDIA_BASE_ID + 31, ML.DELTA_GIF),
         (_PLANTED_MEDIA_BASE_ID + 32, _p3_ascii(d0)),
@@ -648,8 +650,8 @@ def _phash_dedup_oracle() -> str:
     "WebP-lossless (VP8L: subtract-green + color cache + LZ77), and "
     "four TIFF re-encodes (PackBits / LZW+Predictor2 / Deflate strips "
     "/ Deflate tiles — all lossless, hamming 0), the gamma base with "
-    "its baseline-JPEG re-encode "
-    "(lossy, hamming 0), the delta base with its GIF and ascii-P3 "
+    "its baseline-JPEG AND SOF9-arithmetic (QM-coder) re-encodes "
+    "(lossy container, hamming 0), the delta base with its GIF and ascii-P3 "
     "re-encodes, the epsilon bilevel pattern across netpbm P1/P2/P4/P5, "
     "and one audio clip across WAV/FLAC/AIFF/AU, G.711 mu-law, "
     "IMA-ADPCM and MS-ADPCM re-encodes, and a half-gain re-level — "
@@ -724,8 +726,9 @@ def _media_clusters_oracle() -> str:
     "(the alpha base, two perturbations, and its PNG/BMP/ICO/WebP "
     "re-encodes plus four TIFF layouts), a size-3 posterized/GIF/P3 "
     "cluster, a "
-    "size-4 netpbm bilevel cluster, two size-2 clusters (one pairing a "
-    "PPM with its JPEG re-encode), and a size-8 audio cluster "
+    "size-4 netpbm bilevel cluster, a size-3 gamma cluster (a PPM "
+    "with its Huffman- and arithmetic-JPEG re-encodes), a size-2 beta "
+    "cluster, and a size-8 audio cluster "
     "(WAV/FLAC/AIFF/AU/mu-law/IMA/MS-ADPCM/re-leveled) every round, "
     "keeping the row "
     "non-vacuous. "

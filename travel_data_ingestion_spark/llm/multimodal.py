@@ -20,9 +20,10 @@ integer PCM / IEEE float / G.711 mu-law+a-law / extensible, AIFF/AIFC,
 Sun AU, native FLAC — feeding extract_audio_features and a
 container-invariant audio pHash). resize_images nearest-resamples decodable payloads
 and re-encodes in the source container. Formats that genuinely need a
-codec absent from this environment (arithmetic-coded JPEG, mp3/ogg,
-lossy WebP, real video codecs — MJPEG/DIB AVI decodes via decode_avi,
-WebP-lossless via llm/vp8l.decode_webp, ...)
+codec absent from this environment (mp3/ogg, lossy WebP, real video
+codecs — MJPEG/DIB AVI and raw Y4M decode via decode_avi/decode_y4m,
+WebP-lossless via llm/vp8l.decode_webp, arithmetic JPEG via
+llm/jpeg.decode_jpeg, ...)
 fall back to the documented
 md5-derived stub
 (decode_image_stub with fake=True for dimensions, md5-prefix

@@ -54,8 +54,19 @@ def main() -> int:
             return "nan" if math.isnan(v) else repr(round(v, 9))
         return str(v)
 
+    heap_log = os.environ.get("SPARK_MIRROR_HEAP_LOG") == "1"
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+
     fails = []
     for name in sorted(qs):
+        if heap_log:
+            spark.sparkContext._jvm.System.gc()
+            print(
+                f"[heap] before {name}: "
+                f"{(rt.totalMemory() - rt.freeMemory()) / 1e6:.0f} MB "
+                f"(max {rt.maxMemory() / 1e6:.0f})",
+                flush=True,
+            )
         try:
             df = qs[name](spark, sf)
             cols = df.columns

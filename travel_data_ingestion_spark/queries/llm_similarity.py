@@ -667,3 +667,200 @@ def sim07_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(codes_ok))
         .orderBy(F.asc("l2_sq"), F.asc("vec_id"))
     )
+
+
+# sim08's output, memoized per (application, session, sf_dir) like
+# llm_dedup._DD08_CACHE: the incremental build writes scratch parquet
+# (frozen books + code partitions), so repeated invocations in one
+# grading run reuse the first build.
+_SIM08_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_SIM08_CACHE_CAP = 4
+
+
+@register(
+    "sim08_incremental_pq_resolve",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+      SELECT v.vec_id,
+             ROUND(list_sum(list_transform(
+               range(1, len(v.e) + 1), i -> (v.e[i] - q.qe[i]) * (v.e[i] - q.qe[i])
+             )), 4) AS l2_sq
+      FROM v CROSS JOIN q
+      WHERE v.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id, l2_sq,
+           TRUE AS batched_equals_oneshot,
+           TRUE AS codes_exactly_once,
+           TRUE AS search_matches_direct
+    FROM scored
+    ORDER BY l2_sq ASC, vec_id ASC
+    LIMIT 10
+    """,
+    survey_ops=("X-SIM-8",),
+    doc="Incremental IVF-PQ maintenance, graded end-to-end (the dd08 "
+    "pattern for the ANN index family — with mm05/t14 this makes every "
+    "incremental index driver-graded): PQIndex.build trains and "
+    "FREEZES the codebooks + coarse centroids on the even-vec_id half "
+    "of the corpus, then PQIndex.update ingests the odd half — codes "
+    "land exactly once per vec_id (the anti-join ledger), partitioned "
+    "by inverted list. Output = sim07's SQL-expressible exact-L2 "
+    "top-10 ground truth plus three witnesses the oracle pins as "
+    "literal TRUEs, each a ONE-ROW aggregate collected at query "
+    "construction (bounded control-plane actions — keeping them "
+    "in-plan would union three members' broadcast-heavy plans into "
+    "one execution and overflow a default-memory grading session): "
+    "(1) the two-batch code table equals one-shot "
+    "encoding of the FULL corpus under the same frozen books — value "
+    "equality per vec_id on (list_id, pq_code), the invariant that "
+    "makes the schedule irrelevant; (2) exactly one code per corpus "
+    "vector; (3) PQIndex.search (driver-side probe selection + "
+    "list_id partition pruning) returns exactly the direct ADC top-10 "
+    "over the probed lists' one-shot codes. tests/test_ann_index.py "
+    "pins the same invariants plus the PartitionFilters plan gate; "
+    "this row makes the continuous-embedding-ingest story hash-graded. "
+    "At 100 TB: update cost is O(batch), search reads nprobe/nlist of "
+    "the code partitions at ~4 bytes/vector.",
+)
+def sim08_incremental_pq_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from travel_data_ingestion_spark.ann_index import _CODES_SCHEMA, NPROBE, PQIndex
+    from travel_data_ingestion_spark.pq import adc_topk
+    from travel_data_ingestion_spark.session import session_token
+
+    key = (spark.sparkContext.applicationId, session_token(spark), sf_dir)
+    memo = _SIM08_CACHE.get(key)
+    if memo is not None:
+        return memo
+
+    scratch = tempfile.mkdtemp(prefix="sim08_pq_index_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+
+    # A grading session runs 40+ queries in ONE driver JVM (often at
+    # the default 1g), and Spark's ContextCleaner only reclaims dead
+    # broadcast/shuffle/codegen state when a driver GC actually runs —
+    # spark.cleaner.periodicGC.interval defaults to 30 MINUTES, longer
+    # than the whole run. This query's KMeans + PQ builds are the
+    # heap high-water mark of the registry, so request one collection
+    # up front; without it they OOM a default-memory session at
+    # ~query 38 of 50 (measured via tools/driver_mirror.py).
+    spark.sparkContext._jvm.System.gc()
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    idx = PQIndex(f"{scratch}/pq")
+    idx.build(spark, emb.filter(F.col("vec_id") % 2 == 0))
+    idx.update(spark, emb.filter(F.col("vec_id") % 2 == 1))
+
+    books, centers = idx.load_books(spark)
+    stored = spark.read.schema(_CODES_SCHEMA).parquet(idx.codes_path)
+    # One-shot encoding of the FULL corpus under the same frozen books,
+    # MATERIALIZED to scratch once and read back: both witnesses below
+    # consume it, and composing the ADC literal-lookup expression
+    # directly over the argmin encode expression (instead of over a
+    # plain scan) generated a codegen stage large enough to OOM a
+    # default-memory grading session.
+    oneshot_path = f"{scratch}/oneshot"
+    idx._encode_batch(emb, books, centers).write.parquet(oneshot_path)
+    oneshot = spark.read.schema(_CODES_SCHEMA).parquet(oneshot_path)
+
+    # witness 1+2: stored == one-shot, exactly once per corpus vector.
+    # Each witness reduces to ONE row and is collected at construction
+    # (bounded control-plane actions, the ClusterIndex budget pattern);
+    # returning them as literals keeps the graded plan small — the
+    # suite UNIONs three members' plans into one execution, and an
+    # in-plan broadcast per witness measurably overflows the plain
+    # 1g-driver grading session the mirror reproduces.
+    cmp = (
+        stored.select(
+            "vec_id",
+            F.col("list_id").alias("s_list"),
+            F.col("pq_code").alias("s_code"),
+        )
+        .join(
+            oneshot.select(
+                "vec_id",
+                F.col("list_id").alias("o_list"),
+                F.col("pq_code").alias("o_code"),
+            ),
+            "vec_id",
+            "full_outer",
+        )
+        .agg(
+            # coalesce(False): a vec_id present on only one side is a
+            # NULL comparison, which min() would IGNORE — it must fail
+            F.min(
+                F.coalesce(
+                    (F.col("s_list") == F.col("o_list"))
+                    & (F.col("s_code") == F.col("o_code")),
+                    F.lit(False),
+                )
+            ).alias("batched_equals_oneshot"),
+        )
+    )
+    n_corpus = emb.agg(F.count(F.lit(1)).alias("n_corpus"))
+    n_stored = stored.agg(
+        F.count(F.lit(1)).alias("n_codes"),
+        F.count_distinct("vec_id").alias("n_ids"),
+    )
+    once = n_stored.crossJoin(F.broadcast(n_corpus)).select(
+        (
+            (F.col("n_codes") == F.col("n_corpus"))
+            & (F.col("n_ids") == F.col("n_corpus"))
+        ).alias("codes_exactly_once")
+    )
+
+    # witness 3: the index's pruned search == direct ADC over the same
+    # probed lists of the one-shot codes (exact, not a recall floor).
+    # Both sides are top-10 rows — collected and compared driver-side;
+    # joining the two ADC plans instead (each carrying M literal
+    # lookup tables over an argmin encode expression) produced a
+    # codegen-heavy stage that OOM'd a default-1g grading session.
+    query = list(emb.filter(F.col("vec_id") == QUERY_VEC_ID).first().e)
+    probes = sorted(
+        range(len(centers)),
+        key=lambda i: (sum((q - c) ** 2 for q, c in zip(query, centers[i])), i),
+    )[:NPROBE]
+    got = {
+        (r.vec_id, round(r.adc_dist, 4))
+        for r in idx.search(spark, query, k=10, nprobe=NPROBE).collect()
+    }
+    want = {
+        (r.vec_id, round(r.adc_dist, 4))
+        for r in adc_topk(
+            oneshot.filter(F.col("list_id").isin(probes)), books, query, k=10
+        ).collect()
+    }
+    # the query vector itself is indexed (PQIndex holds the whole
+    # corpus), so both sides include it — set equality is the contract
+    search_ok_v = got == want
+
+    batched_ok = bool(cmp.first()[0])
+    once_ok = bool(once.first()[0])
+
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
+    l2_sq = F.aggregate(
+        F.zip_with("e", "qe", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, z: a + z,
+    )
+    out = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(l2_sq, 4).alias("l2_sq"))
+        .orderBy(F.asc("l2_sq"), F.asc("vec_id"))
+        .limit(10)
+        .withColumn("batched_equals_oneshot", F.lit(batched_ok))
+        .withColumn("codes_exactly_once", F.lit(once_ok))
+        .withColumn("search_matches_direct", F.lit(search_ok_v))
+        .orderBy(F.asc("l2_sq"), F.asc("vec_id"))
+    )
+    while len(_SIM08_CACHE) >= _SIM08_CACHE_CAP:
+        _SIM08_CACHE.pop(next(iter(_SIM08_CACHE)))
+    _SIM08_CACHE[key] = out
+    return out

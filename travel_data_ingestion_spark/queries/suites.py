@@ -161,10 +161,13 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "t14_incremental_docfreq",
         ],
         "Incremental-index suite (the dd08 pattern extended to the "
-        "remaining index families): two-batch media ingest through "
-        "PhashIndex + ClusterIndex vs a one-shot transitive-closure "
-        "oracle (every planted cross-container clique straddles the "
-        "batch boundary), and three-batch + compact() ingest through "
+        "media and text index families; the ANN family's equivalent "
+        "row is the DIRECT sim08 query — folding its KMeans + PQ "
+        "plans into this union measurably overflowed a default-1g "
+        "grading session): two-batch media ingest through PhashIndex "
+        "+ ClusterIndex vs a one-shot transitive-closure oracle "
+        "(every planted cross-container clique straddles the batch "
+        "boundary), and three-batch + compact() ingest through "
         "DocFreqIndex vs a one-shot shingle-DF oracle — batched "
         "incremental maintenance equals from-scratch computation, "
         "end-to-end, driver-graded.",

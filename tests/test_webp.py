@@ -791,3 +791,128 @@ def test_decode_image_dispatch():
     # raw PPM of the same pixels
     ppm = b"P6\n24 24\n255\n" + rgb.tobytes()
     assert phash_bytes(payload) == phash_bytes(ppm)
+
+
+def test_predictor_multi_block_modes():
+    """size_bits=2 -> 4-px predictor blocks: a 8x4 image gets a 2x1
+    block grid with DIFFERENT modes (H in the left block, V in the
+    right), proving block selection by (x >> bits, y >> bits)."""
+    w, h = 8, 4
+    r = np.random.RandomState(77)
+    target = [
+        0xFF000000 | (int(v[0]) << 16) | (int(v[1]) << 8) | int(v[2])
+        for v in r.randint(0, 256, (w * h, 3))
+    ]
+    modes = [1, 2]  # block 0: L, block 1: T
+
+    def predict(i):
+        x, y = i % w, i // w
+        if x == 0 and y == 0:
+            return 0xFF000000
+        if y == 0:
+            return target[i - 1]
+        if x == 0:
+            return target[i - w]
+        mode = modes[x >> 2]
+        return target[i - 1] if mode == 1 else target[i - w]
+
+    residuals = []
+    for i in range(w * h):
+        pred = predict(i)
+        res = 0
+        for s in (24, 16, 8, 0):
+            res |= ((((target[i] >> s) & 0xFF) - ((pred >> s) & 0xFF)) & 0xFF) << s
+        residuals.append(res)
+
+    bw = _BW()
+    bw.put(0x2F, 8)
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(1, 1)  # transform present
+    bw.put(0, 2)  # predictor
+    bw.put(0, 3)  # size_bits = 2 -> 4-px blocks -> 2x1 block image
+    _write_plain_image(bw, [0xFF000000 | (m << 8) for m in modes])
+    bw.put(0, 1)  # end transforms
+    _write_plain_image(bw, residuals, width=w, level0=True)
+    dec = decode_vp8l_stream(bw.bytes())
+    assert dec is not None
+    expect = b"".join(
+        bytes([(p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF]) for p in target
+    )
+    assert dec[2] == expect
+
+
+def test_chained_subtract_green_then_predictor():
+    """Two transforms in one stream (read order: predictor, subtract
+    green; decoder applies inverses last-read-first): the encoder
+    forward-applies subtract-green THEN predicts in that domain, so
+    correct decoding proves the inverse ordering."""
+    w, h = 6, 5
+    r = np.random.RandomState(99)
+    target = [
+        0xFF000000 | (int(v[0]) << 16) | (int(v[1]) << 8) | int(v[2])
+        for v in r.randint(0, 256, (w * h, 3))
+    ]
+    # forward subtract-green
+    sg = []
+    for p in target:
+        g = (p >> 8) & 0xFF
+        sg.append(
+            (p & 0xFF00FF00)
+            | (((((p >> 16) & 0xFF) - g) & 0xFF) << 16)
+            | ((((p & 0xFF) - g) & 0xFF))
+        )
+    # forward predictor (mode 1 = L everywhere) in the sg domain
+    residuals = []
+    for i in range(w * h):
+        x, y = i % w, i // w
+        if x == 0 and y == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = sg[i - 1]
+        elif x == 0:
+            pred = sg[i - w]
+        else:
+            pred = sg[i - 1]
+        res = 0
+        for s in (24, 16, 8, 0):
+            res |= ((((sg[i] >> s) & 0xFF) - ((pred >> s) & 0xFF)) & 0xFF) << s
+        residuals.append(res)
+
+    bw = _BW()
+    bw.put(0x2F, 8)
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(1, 1)
+    bw.put(0, 2)  # predictor (read first -> inverted LAST)
+    bw.put(7, 3)  # one whole-image block
+    _write_plain_image(bw, [0xFF000000 | (1 << 8)])  # mode 1 = L
+    bw.put(1, 1)
+    bw.put(2, 2)  # subtract green (read second -> inverted FIRST)
+    bw.put(0, 1)  # end transforms
+    _write_plain_image(bw, residuals, width=w, level0=True)
+    dec = decode_vp8l_stream(bw.bytes())
+    assert dec is not None
+    expect = b"".join(
+        bytes([(p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF]) for p in target
+    )
+    assert dec[2] == expect
+
+
+def test_resize_webp_reencodes_lossless_ppm(spark):
+    """resize_images treats WebP like the other lossless non-PNG
+    containers: decoded for real, resampled, re-encoded as P6 PPM."""
+    from travel_data_ingestion_spark.llm.multimodal import decode_ppm, resize_images
+
+    rgb = _rand_rgb(31, 24, 24)
+    media = spark.createDataFrame(
+        [(1, bytearray(_webp_lossless(rgb)))], "media_id long, payload binary"
+    )
+    row = resize_images(media, 12, 12).collect()[0]
+    assert row.resized and (row.width, row.height) == (12, 12)
+    dec = decode_ppm(bytes(row.payload))
+    assert dec is not None and (dec[0], dec[1]) == (12, 12)

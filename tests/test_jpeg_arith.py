@@ -44,7 +44,7 @@ class _QMEncoder:
         sv = st[i]
         s = sv & 0x7F
         mps = sv >> 7
-        qe, nmps, nlps, switch = _ARITH_TAB[s]
+        qe, nlps, nmps, switch = _ARITH_TAB[s]
         self.a -= qe
         if d == mps:
             if self.a & 0x8000:
@@ -378,12 +378,17 @@ def encode_jpeg_arith_progressive(
 
 
 def test_arith_tab_structure():
-    """Structural invariants of the Table D.3 transcription: 113
-    adaptive states + the fixed state; every arc in range; Qe values
-    below the renorm threshold; SWITCH only on states whose LPS arc
-    can flip the sense (the spec marks exactly the chain heads)."""
+    """Structural invariants of the Table D.3 transcription — stored in
+    the spec's own column order (Qe, Next_Index_LPS, Next_Index_MPS,
+    Switch): 113 adaptive states + the fixed state; every arc in range;
+    Qe values below the renorm threshold; SWITCH only on states whose
+    LPS arc can flip the sense (the spec marks exactly the chain
+    heads). ASYMMETRIC rows are pinned on purpose: rows whose NLPS and
+    NMPS differ are the only rows that can detect a column swap in the
+    decode()/encode() unpack (a swap once shipped — adaptation ran
+    backwards while the shared-table round-trip stayed green)."""
     assert len(_ARITH_TAB) == 114
-    for i, (qe, nmps, nlps, sw) in enumerate(_ARITH_TAB):
+    for i, (qe, nlps, nmps, sw) in enumerate(_ARITH_TAB):
         assert 0 < qe < 0x8000
         assert 0 <= nmps < 114 and 0 <= nlps < 114
         assert sw in (0, 1)
@@ -393,10 +398,51 @@ def test_arith_tab_structure():
     assert _ARITH_TAB[14][0] == 0x5A7F and _ARITH_TAB[14][3] == 1
     assert _ARITH_TAB[112] == (0x59EB, 112, 111, 1)
     assert _ARITH_TAB[113] == (0x5A1D, 113, 113, 0)
+    # asymmetric-arc pins, per published Table D.3: state 1 is
+    # Qe=0x2586 with NLPS=14 (bail to the long chain) and NMPS=2
+    # (continue the fast attack); state 2 and the fast-attack terminal
+    # 13 (Qe=0x0001, NLPS=12, NMPS=13=self) likewise
+    assert _ARITH_TAB[1] == (0x2586, 14, 2, 0)
+    assert _ARITH_TAB[2] == (0x1114, 16, 3, 0)
+    assert _ARITH_TAB[13] == (0x0001, 12, 13, 0)
     # switch states are exactly the six chain heads + state 0
     assert [i for i, r in enumerate(_ARITH_TAB) if r[3]] == [
         0, 14, 36, 64, 80, 88, 95, 105, 110, 112,
     ]
+    # direction of adaptation: walking the NMPS arcs from state 0 must
+    # ride the fast-attack chain 0->1->...->13 (monotonically shrinking
+    # Qe to the 0x0001 floor within 14 steps). Under the historical
+    # column swap this walk reads the LPS column and Qe GROWS.
+    s, qe_prev = 0, _ARITH_TAB[0][0]
+    for _ in range(14):
+        s = _ARITH_TAB[s][2]
+        assert _ARITH_TAB[s][0] <= qe_prev
+        qe_prev = _ARITH_TAB[s][0]
+    assert s == 13 and _ARITH_TAB[13][0] == 0x0001
+
+
+def test_qm_coder_adapts_toward_skew():
+    """Adaptation DIRECTION, pinned independently of the table/unpack
+    consistency between encoder and decoder: 20k all-MPS decisions in
+    one context must compress to essentially nothing (the estimator
+    rides NMPS arcs down to Qe=0x0001 ~= 2^-15 probability), and the
+    decoder must reproduce them. With the MPS/LPS columns swapped the
+    stream is ~20 kbits; correct adaptation lands under 20 bytes."""
+    from travel_data_ingestion_spark.llm.jpeg import _ArithDecoder
+
+    enc = _QMEncoder()
+    st = bytearray(1)
+    for _ in range(20000):
+        enc.encode(st, 0, 0)
+    payload = enc.flush()
+    assert len(payload) < 20, len(payload)
+    dec = _ArithDecoder(payload)
+    st2 = bytearray(1)
+    assert all(dec.decode(st2, 0) == 0 for _ in range(20000))
+    # the context must have ridden the fast-attack chain to (or next to)
+    # the Qe-floor terminal — state 12's Qe=0x0003 renorms only every
+    # ~11k decisions, so the final hop to 13 depends on the run length
+    assert (st[0] & 0x7F) in (12, 13) and st2[0] == st[0]
 
 
 def test_qm_coder_roundtrip_random_decisions():

@@ -46,6 +46,21 @@ def test_frame_walk_all_colorspaces(cs):
     assert all(len(f) == w * h * 3 for f in frames)
 
 
+@pytest.mark.parametrize("cs", ["420p10", "420p12", "420p16", "422p10", "444p10", "444alpha"])
+def test_high_bit_depth_variants_rejected_by_name(cs):
+    """ffmpeg's 16-bit-plane colorspaces (C420p10 et al.) must be
+    rejected by EXACT colorspace-name gate, not by accidental
+    frame-size misalignment: build a payload whose byte length would
+    parse cleanly under the 8-bit layout and assert None anyway."""
+    w, h = 12, 10
+    r = np.random.RandomState(11)
+    # frame body sized for the 8-bit layout of the base colorspace —
+    # the adversarial best case for a misparse
+    base = cs[:3]
+    payload = _y4m([_planes(r, w, h, base) for _ in range(3)], w, h, cs)
+    assert decode_y4m(payload) is None
+
+
 def test_rec601_limited_range_conversion():
     """The integer conversion tracks the float Rec.601 limited-range
     matrix within rounding (<= 1 count per channel), and pins the

@@ -67,8 +67,12 @@ _ZIGZAG = (
 # the QM-coder path below)
 _SOF_UNSUPPORTED = frozenset((0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF))
 
-# T.81 Table D.3 — the QM-coder probability estimation state machine:
-# (Qe, Next_Index_MPS, Next_Index_LPS, Switch_MPS) per state. Entry 113
+# T.81 Table D.3 — the QM-coder probability estimation state machine,
+# transcribed in the spec's own column order:
+# (Qe, Next_Index_LPS, Next_Index_MPS, Switch_MPS) per state. E.g.
+# state 1 = (0x2586, NLPS=14, NMPS=2, 0): an MPS renorm moves DOWN the
+# fast-attack chain toward smaller Qe (1->2), an LPS renorm bails to
+# state 14 — the asymmetric arcs tests/test_jpeg_arith.py pins. Entry 113
 # is the non-adapting ~equiprobable state used for decisions coded with
 # a fixed estimate (AC sign, DC refinement bits): its next-state arcs
 # point at itself, so adaptation is a no-op by construction.
@@ -157,7 +161,7 @@ class _ArithDecoder:
         sv = st[i]
         s = sv & 0x7F
         mps = sv >> 7
-        qe, nmps, nlps, switch = _ARITH_TAB[s]
+        qe, nlps, nmps, switch = _ARITH_TAB[s]
         self.a -= qe
         cx = (self.c >> 16) & 0xFFFF
         if cx < qe:

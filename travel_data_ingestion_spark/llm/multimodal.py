@@ -1299,7 +1299,11 @@ def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]] | None:
                 cs = t[1:]
         if not w or not h or w < 0 or h < 0:
             return None
-        if cs.startswith("420"):
+        # exact 8-bit colorspace sets only: ffmpeg's high-bit-depth
+        # variants (C420p10/p12/p16, C422p10, ...) carry 16-bit planes
+        # that would misparse as 8-bit — reject them by name, not by
+        # accidental frame-size misalignment
+        if cs in ("420", "420jpeg", "420mpeg2", "420paldv"):
             cw, ch = (w + 1) // 2, (h + 1) // 2
         elif cs == "422":
             cw, ch = (w + 1) // 2, h

@@ -8,7 +8,28 @@ scale-up; superlinear growth flags a shuffle or skew problem.
 
 Usage: python scale_probe.py [multiplier] [out_dir]
        python scale_probe.py simskew [multiplier]   # dominant-label KNN probe
+       python scale_probe.py density [multiplier]   # constant-duplicate-density tier
 Writes one JSON line like bench.py.
+
+The default documents replication makes every replica a NEAR-dup of
+its base doc — a duplicate-HEAVY stress shape whose true pair output
+grows quadratically in the multiplier, so dedup ratios there must be
+read per emitted pair. `density` mode instead holds duplicate density
+constant as the corpus scales (the real crawl shape): replica 0 is the
+untouched base corpus (its natural near-dups are the fixed-size
+planted population) and every other replica is FRESH filler — each
+token position is perturbed with a replica-salted substitute when
+(pos % 4 == 0) or a position hash says so (~62% of positions), which
+(a) leaves no 5 consecutive original tokens, so zero crawl-scale
+5-gram spans survive for t12 — substitutes are doc-salted too, since
+docs sharing a base phrase must not share its perturbation — (b) caps
+original-token runs at 3, so
+3-shingle Jaccard vs ANY other doc stays far below the 0.35 threshold
+(no dd02/dd03 pairs), and (c) churns >half the distinct unigrams, so
+SimHash hamming lands far above 3 (no dd04 pairs). True pair output is
+therefore ~constant at every multiplier — the time-vs-linear-budget
+ratio reads directly, no output-growth footnote — and the probe
+records each query's output row count at both scales to prove it.
 """
 
 from __future__ import annotations
@@ -20,8 +41,12 @@ import sys
 import time
 
 SIMSKEW = len(sys.argv) > 1 and sys.argv[1] == "simskew"
-MULT = int(sys.argv[2 if SIMSKEW else 1]) if len(sys.argv) > (2 if SIMSKEW else 1) else (4 if SIMSKEW else 10)
-OUT = sys.argv[2] if (not SIMSKEW and len(sys.argv) > 2) else "/tmp/scale_probe"
+DENSITY = len(sys.argv) > 1 and sys.argv[1] == "density"
+_MODAL = SIMSKEW or DENSITY
+MULT = int(sys.argv[2 if _MODAL else 1]) if len(sys.argv) > (2 if _MODAL else 1) else (4 if _MODAL else 10)
+OUT = sys.argv[2] if (not _MODAL and len(sys.argv) > 2) else (
+    "/tmp/scale_probe_density" if DENSITY else "/tmp/scale_probe"
+)
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 PROBE_QUERIES = [
@@ -117,11 +142,45 @@ def main() -> None:
     # grows with the planted near-dup groups.
     docs = load_table(spark, BASE, "documents")
     max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    def _fresh_filler_text(r: int) -> F.Column:
+        """Replica-salted token perturbation for density mode (see
+        module docstring): substitute the token at position i whenever
+        i % 4 == 0 (hard break — no 5 original tokens in a row) or a
+        (doc, position, replica) hash is odd. Substitutes hash the doc
+        id too (docs sharing a base phrase must NOT share its
+        perturbation, else filler manufactures new cross-doc spans) but
+        draw from a bounded vocabulary (99991 values), so at scale the
+        filler keeps a document-frequency tail by birthday collision —
+        buckets still see load, it just never verifies into pairs."""
+        salt = F.lit(r * 7919)
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        pert = F.transform(
+            toks,
+            lambda t, i: F.when(
+                (F.pmod(i, F.lit(4)) != 0)
+                & (F.pmod(F.xxhash64(F.col("doc_id"), i, salt), F.lit(2)) == 0),
+                t,
+            ).otherwise(
+                F.concat(
+                    F.lit("q"),
+                    F.pmod(
+                        F.xxhash64(t, i, salt, F.col("doc_id")), F.lit(99991)
+                    ).cast("string"),
+                )
+            ),
+        )
+        return F.array_join(pert, " ")
+
     doc_reps = []
     for r in range(MULT):
         rep = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * max_doc))
         if r > 0:
-            rep = rep.withColumn("text", F.concat(F.col("text"), F.lit(f" rep{r}")))
+            rep = rep.withColumn(
+                "text",
+                _fresh_filler_text(r)
+                if DENSITY
+                else F.concat(F.col("text"), F.lit(f" rep{r}")),
+            )
         doc_reps.append(rep)
     out_docs = doc_reps[0]
     for rep in doc_reps[1:]:
@@ -190,10 +249,11 @@ def main() -> None:
             """Run the df's OWN QueryExecution to completion (all
             columns — no count()-side Catalyst pruning distorting the
             probe, and the AdaptiveSparkPlan inside it finalizes so the
-            fingerprint sees AQE's runtime decisions)."""
+            fingerprint sees AQE's runtime decisions). Returns the
+            output row count — density mode's constant-output claim is
+            recorded from it."""
             jqe = df._jdf.queryExecution()
-            jqe.toRdd().count()
-            return jqe
+            return jqe.toRdd().count()
 
         for name in PROBE_QUERIES:  # warm codegen
             _materialize(specs[name].fn(spark, sf_dir))
@@ -205,6 +265,7 @@ def main() -> None:
             # an outlier is attributable (stable fingerprint + high
             # gc_ms = churn; fingerprint drift = plan regression)
             reps, gcs, fps, aqe_fps = [], [], [], []
+            n_out = None
             for _ in range(3):
                 df = specs[name].fn(spark, sf_dir)
                 jqe = df._jdf.queryExecution()
@@ -213,7 +274,7 @@ def main() -> None:
                 fps.append(_plan_fingerprint(jqe))
                 g0 = _gc_millis()
                 t0 = time.perf_counter()
-                _materialize(df)
+                n_out = _materialize(df)
                 reps.append(round(time.perf_counter() - t0, 4))
                 gcs.append(_gc_millis() - g0)
                 # AQE-final fp AFTER execution: runtime re-planning is
@@ -226,6 +287,7 @@ def main() -> None:
                 "gc_ms": gcs,
                 "plan_fp": fps,
                 "aqe_fp": aqe_fps,
+                "rows_out": n_out,
             }
         return t, detail
 
@@ -238,10 +300,13 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "scale_probe_time_ratio",
+                "mode": "constant_duplicate_density" if DENSITY else "near_dup_replicas",
                 "multiplier": MULT,
                 "base_sec": base_t,
                 "scaled_sec": scaled_t,
                 "ratio_vs_linear_budget": ratios,
+                "rows_out_base": {n: base_d[n]["rows_out"] for n in PROBE_QUERIES},
+                "rows_out_scaled": {n: scaled_d[n]["rows_out"] for n in PROBE_QUERIES},
                 "base_detail": base_d,
                 "scaled_detail": scaled_d,
                 "note": "ratio <= multiplier means sublinear-or-linear "

@@ -712,19 +712,29 @@ def e01_latest_batch_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ops=("E-02",),
     doc="Recency dedup to one row per key (reference: "
     "sp_full_travel_costs.sql:21-24 and sp_travel_tax_report.sql:35,57,69 "
-    "QUALIFY ROW_NUMBER()=1). event_id desc tiebreak pins determinism.",
+    "QUALIFY ROW_NUMBER()=1). event_id desc tiebreak pins determinism. "
+    "Because every output column rides the ordering tuple, the QUALIFY "
+    "collapses to MAX(struct(ts, event_id)) per key — a hash aggregate "
+    "with a MAP-SIDE partial combine, so at scale only one pre-reduced "
+    "row per key crosses the wire instead of every event through an "
+    "Exchange+Sort+Window. The full-row form (arbitrary surviving "
+    "columns) stays in compat.qualify_dedup_latest, which the gold "
+    "reports exercise under oracle tr01/tr02.",
 )
 def e02_dedup_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from travel_data_ingestion_spark.compat import qualify_dedup_latest
-
     ev = load_table(spark, sf_dir, "events")
-    return qualify_dedup_latest(
-        ev, ["user_id", "event_type"], [F.col("ts").desc(), F.col("event_id").desc()]
-    ).select(
-        "user_id",
-        "event_type",
-        "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+    # max over the lexicographic (ts, event_id) struct == the ROW_NUMBER
+    # ts DESC, event_id DESC winner (no NULLs in either column; exact
+    # tie would imply identical output values anyway)
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.max(F.struct("ts", "event_id")).alias("latest"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("latest.event_id").alias("event_id"),
+            F.date_format("latest.ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        )
     )
 
 
@@ -1203,9 +1213,13 @@ def j01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id
     """,
     survey_ops=("J-02", "E-02"),
-    doc="Sessionization via lag + gap cumsum (30-minute inactivity gap) — "
-    "the batch twin of streaming session_window. Single shuffle on "
-    "user_id shared by both windows.",
+    doc="Sessionization via lag + session-start sum (30-minute inactivity "
+    "gap) — the batch twin of streaming session_window. The oracle's "
+    "gap-cumsum session_id is a per-user RUNNING count of session "
+    "starts, so COUNT(DISTINCT session_id) == SUM(new_session): the "
+    "second window pass and the COUNT(DISTINCT) expand-aggregate both "
+    "drop, leaving ONE Exchange(user_id)+Sort feeding the lag window "
+    "and a same-partitioning final aggregate (no second shuffle).",
 )
 def j02_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1214,13 +1228,11 @@ def j02_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_session = F.when(
         prev.isNull() | (F.unix_micros(F.col("ts")) - prev > 1800000000), 1
     ).otherwise(0)
-    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sessions = ev.withColumn("new_session", new_session).withColumn(
-        "session_id", F.sum("new_session").over(wc)
-    )
-    return sessions.groupBy("user_id").agg(
-        F.countDistinct("session_id").alias("n_sessions"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
     )

@@ -20,10 +20,11 @@ integer PCM / IEEE float / G.711 mu-law+a-law / extensible, AIFF/AIFC,
 Sun AU, native FLAC — feeding extract_audio_features and a
 container-invariant audio pHash). resize_images nearest-resamples decodable payloads
 and re-encodes in the source container. Formats that genuinely need a
-codec absent from this environment (mp3/ogg, lossy WebP, real video
+codec absent from this environment (mp3/ogg, real video
 codecs — MJPEG/DIB AVI and raw Y4M decode via decode_avi/decode_y4m,
-WebP-lossless via llm/vp8l.decode_webp, arithmetic JPEG via
-llm/jpeg.decode_jpeg, ...)
+WebP both lossless AND lossy via llm/vp8l.decode_webp (VP8L prefix
+codes / llm/vp8.py's full RFC 6386 key-frame decoder), arithmetic
+JPEG via llm/jpeg.decode_jpeg, ...)
 fall back to the documented
 md5-derived stub
 (decode_image_stub with fake=True for dimensions, md5-prefix
@@ -1535,8 +1536,8 @@ def phash_bytes(payload: bytes) -> int:
 def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    netpbm, PNG, GIF, JPEG, BMP, TIFF, ICO, and WebP-lossless payloads
-    decode for REAL (decode_image). For the remaining formats a codec
+    netpbm, PNG, GIF, JPEG, BMP, TIFF, ICO, and WebP (lossless VP8L
+    and lossy VP8 key-frame) payloads decode for REAL (decode_image). For the remaining formats a codec
     library is
     required and absent in this container: with ``fake=True`` the
     dimensions derive deterministically from the payload digest,
@@ -1549,8 +1550,9 @@ def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
         raise NotImplementedError(
             "decoding this image format requires a codec library (e.g. "
             "Pillow); not available in this environment (netpbm, PNG, "
-            "GIF, baseline/progressive JPEG, BMP, TIFF, ICO, and "
-            "WebP-lossless decode natively via decode_image)"
+            "GIF, baseline/progressive/arithmetic JPEG, BMP, TIFF, ICO, "
+            "and WebP — lossless VP8L and lossy VP8 key-frame — decode "
+            "natively via decode_image)"
         )
     return _dims_from_digest(hashlib.md5(payload).digest())
 

@@ -571,8 +571,8 @@ def decode_vp8l_stream(data: bytes) -> tuple[int, int, bytes] | None:
 
 
 def decode_webp(payload: bytes) -> tuple[int, int, bytes] | None:
-    """Parse a RIFF/WEBP container and decode its VP8L (lossless)
-    bitstream; lossy 'VP8 ' payloads return None (stub path)."""
+    """Parse a RIFF/WEBP container and decode its bitstream: VP8L
+    (lossless, this module) or VP8 key-frame (lossy, llm/vp8.py)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         return None
     pos = 12
@@ -583,5 +583,9 @@ def decode_webp(payload: bytes) -> tuple[int, int, bytes] | None:
         body = payload[pos + 8 : pos + 8 + size]
         if fourcc == b"VP8L":
             return decode_vp8l_stream(body)
+        if fourcc == b"VP8 ":
+            from travel_data_ingestion_spark.llm.vp8 import decode_vp8
+
+            return decode_vp8(body)
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     return None

@@ -142,6 +142,11 @@ def cases() -> list[tuple[str, bytes, object]]:
             _webp_flat(),
             decode_image,
         ),
+        (
+            "WebP lossy VP8 (32x24 fixture)",
+            ML.ZETA_WEBP_LOSSY,
+            decode_image,
+        ),
     ]
 
 

@@ -104,6 +104,50 @@ def alpha_webp() -> bytes:
     return _webp_lossless(alpha_base(), subtract_green=True, cache_bits=8, lz77=True)
 
 
+def zeta_webp_lossy() -> bytes:
+    """Lossy VP8 (key-frame) WebP — the zeta clique's generating
+    stream, encoded by the SYSTEM libwebp at generation time (the
+    package ships the decoder only — llm/vp8.py — and tests/test_vp8.py
+    pins that decoder bit-exact against the same library). The clique
+    design inverts the _GAMMA_JPEG pattern: the planted BASE is the
+    DECODED image of this stream (a crawl that stores both a .webp and
+    a re-rendered PPM/PNG of it), so the stream and its re-renders sit
+    at pHash hamming 0 by construction — a lossy codec is only a pHash
+    fixed point in the decode direction (re-ENCODING a smooth image
+    drifts 4-14 bits because most of its 8x8 DCT coefficients sit near
+    the pHash median). The generator asserts hamming 0."""
+    import ctypes
+
+    from travel_data_ingestion_spark.llm.multimodal import decode_image, phash_bytes
+
+    lib = ctypes.CDLL("/lib/x86_64-linux-gnu/libwebp.so.7")
+    lib.WebPEncodeRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPFree.argtypes = [ctypes.c_void_p]
+    yy, xx = np.mgrid[0:24, 0:32]
+    g = (
+        128 + 70 * np.sin(xx / 5.1 + 1.0) * np.cos(yy / 4.2)
+        + 30 * np.sin((xx + yy) / 7.7)
+    ).clip(0, 255).astype(np.uint8)
+    rgb = np.stack([g] * 3, -1)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeRGB(
+        np.ascontiguousarray(rgb).tobytes(), 32, 24, 96, 92.0, ctypes.byref(out)
+    )
+    assert n > 0
+    data = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    w, h, px = decode_image(data)
+    assert (w, h) == (32, 24)
+    base_ppm = b"P6\n32 24\n255\n" + px
+    dist = bin(phash_bytes(data) ^ phash_bytes(base_ppm)).count("1")
+    assert dist == 0, f"zeta lossy-webp pHash drifted: {dist}"
+    return data
+
+
 def main() -> None:
     a0 = alpha_base()
     d0 = delta_base()
@@ -175,6 +219,15 @@ def main() -> None:
             " cache_bits=8, lz77=True) — lossless VP8L with the subtract-green"
             " transform, a 256-entry color cache, and dist-1 backrefs",
             alpha_webp(),
+        ),
+        (
+            "ZETA_WEBP_LOSSY",
+            "SYSTEM libwebp WebPEncodeRGB(zeta sinusoid, q=92) — lossy VP8"
+            " key-frame WebP, the zeta clique's generating stream (the"
+            " planted base is its DECODE, so stream and re-renders sit at"
+            " pHash hamming 0); package-side decode is llm/vp8.py (pinned"
+            " bit-exact against the same library by tests/test_vp8.py)",
+            zeta_webp_lossy(),
         ),
         (
             "GAMMA_JPEG_ARITH",

@@ -357,7 +357,40 @@ def planted_image_media() -> list[tuple[int, bytes]]:
         (_PLANTED_MEDIA_BASE_ID + 41, _p4_binary(e0)),
         (_PLANTED_MEDIA_BASE_ID + 42, _p2_ascii((1 - e0) * 255)),
         (_PLANTED_MEDIA_BASE_ID + 43, _p5_binary((1 - e0) * 255)),
+        # zeta (60s): the LOSSY-WebP clique, the _GAMMA_JPEG pattern
+        # inverted — the base is the DECODE of the pinned VP8 stream (a
+        # crawl storing a .webp plus re-renders of it), so the stream,
+        # its PPM re-render, and a lossless PNG re-encode sit at pHash
+        # hamming 0 by construction (re-ENCODING a smooth image drifts
+        # 4-14 bits; the decode direction is the pHash fixed point —
+        # tools/gen_media_fixtures.zeta_webp_lossy documents the
+        # measurement)
+        (_PLANTED_MEDIA_BASE_ID + 60, _zeta_ppm()),
+        (_PLANTED_MEDIA_BASE_ID + 61, ML.ZETA_WEBP_LOSSY),
+        (_PLANTED_MEDIA_BASE_ID + 62, _zeta_png()),
     ]
+
+
+def _zeta_rgb() -> tuple[int, int, bytes]:
+    """The zeta base pixels: the package decode of the pinned lossy
+    VP8 stream (deterministic — llm/vp8.py is exact-integer)."""
+    from travel_data_ingestion_spark.llm.multimodal import decode_image
+    from travel_data_ingestion_spark.queries import media_literals as ML
+
+    w, h, px = decode_image(ML.ZETA_WEBP_LOSSY)
+    return w, h, px
+
+
+def _zeta_ppm() -> bytes:
+    w, h, px = _zeta_rgb()
+    return b"P6\n%d %d\n255\n" % (w, h) + px
+
+
+def _zeta_png() -> bytes:
+    from travel_data_ingestion_spark.llm.multimodal import encode_png
+
+    w, h, px = _zeta_rgb()
+    return encode_png(w, h, px)
 
 
 # audio planted ids live above the image block
@@ -653,6 +686,9 @@ def _phash_dedup_oracle() -> str:
     "its baseline-JPEG AND SOF9-arithmetic (QM-coder) re-encodes "
     "(lossy container, hamming 0), the delta base with its GIF and ascii-P3 "
     "re-encodes, the epsilon bilevel pattern across netpbm P1/P2/P4/P5, "
+    "the zeta LOSSY-VP8 WebP stream with its PPM re-render and PNG "
+    "re-encode (llm/vp8.py full key-frame decode — the base IS the "
+    "stream's decode, so the lossy member sits at hamming 0), "
     "and one audio clip across WAV/FLAC/AIFF/AU, G.711 mu-law, "
     "IMA-ADPCM and MS-ADPCM re-encodes, and a half-gain re-level — "
     "matches no byte digest can "

@@ -148,6 +148,61 @@ def zeta_webp_lossy() -> bytes:
     return data
 
 
+def _vp8_still_frames(n: int, seed: int) -> list[bytes]:
+    """n distinct 16x16 lossy VP8 stills via the SYSTEM libwebp (the
+    zeta_webp_lossy ctypes path) — frame payloads for the planted
+    WebM / animated-WebP clips."""
+    import ctypes
+
+    lib = ctypes.CDLL("/lib/x86_64-linux-gnu/libwebp.so.7")
+    lib.WebPEncodeRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPFree.argtypes = [ctypes.c_void_p]
+    r = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        rgb = r.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        buf = ctypes.POINTER(ctypes.c_uint8)()
+        sz = lib.WebPEncodeRGB(
+            np.ascontiguousarray(rgb).tobytes(), 16, 16, 48, 75.0,
+            ctypes.byref(buf),
+        )
+        assert sz > 0
+        out.append(ctypes.string_at(buf, sz))
+        lib.WebPFree(buf)
+    return out
+
+
+def video_webm_vp8() -> bytes:
+    """21-frame all-keyframe VP8 WebM: Matroska container from the
+    hand-written spec muxer in tests/test_webm_anim.py, frame payloads
+    from the system libwebp; asserts the package decodes all 21."""
+    from test_webm_anim import _vp8_chunk_payload, webm_vp8
+    from travel_data_ingestion_spark.llm.multimodal import decode_webm
+
+    stills = _vp8_still_frames(21, seed=31)
+    payload = webm_vp8([_vp8_chunk_payload(s) for s in stills])
+    dec = decode_webm(payload)
+    assert dec is not None and dec[:2] == (16, 16) and len(dec[2]) == 21
+    return payload
+
+
+def video_awebp_vp8() -> bytes:
+    """13-frame animated WebP (ANIM/ANMF around lossy VP8 key frames);
+    asserts the package decodes all 13 full-canvas frames."""
+    from test_webm_anim import webp_anim
+    from travel_data_ingestion_spark.llm.multimodal import decode_webp_anim
+
+    stills = _vp8_still_frames(13, seed=37)
+    payload = webp_anim((16, 16), [(0, 0, s) for s in stills])
+    dec = decode_webp_anim(payload)
+    assert dec is not None and dec[:2] == (16, 16) and len(dec[2]) == 13
+    return payload
+
+
 def main() -> None:
     a0 = alpha_base()
     d0 = delta_base()
@@ -219,6 +274,20 @@ def main() -> None:
             " cache_bits=8, lz77=True) — lossless VP8L with the subtract-green"
             " transform, a 256-entry color cache, and dist-1 backrefs",
             alpha_webp(),
+        ),
+        (
+            "VIDEO_WEBM_VP8_21F",
+            "tests/test_webm_anim.webm_vp8 (hand-written Matroska muxer,"
+            " public EBML spec) around 21 distinct 16x16 all-keyframe VP8"
+            " payloads from the SYSTEM libwebp at q75",
+            video_webm_vp8(),
+        ),
+        (
+            "VIDEO_AWEBP_13F",
+            "tests/test_webm_anim.webp_anim (hand-written ANIM/ANMF muxer,"
+            " public WebP container spec) around 13 distinct 16x16 lossy VP8"
+            " key frames from the SYSTEM libwebp at q75",
+            video_awebp_vp8(),
         ),
         (
             "ZETA_WEBP_LOSSY",

@@ -20,8 +20,10 @@ integer PCM / IEEE float / G.711 mu-law+a-law / extensible, AIFF/AIFC,
 Sun AU, native FLAC — feeding extract_audio_features and a
 container-invariant audio pHash). resize_images nearest-resamples decodable payloads
 and re-encodes in the source container. Formats that genuinely need a
-codec absent from this environment (mp3/ogg, real video
-codecs — MJPEG/DIB AVI and raw Y4M decode via decode_avi/decode_y4m,
+codec absent from this environment (mp3/ogg, INTER-frame video
+coding — key frames of VP8 WebM / animated WebP decode for real via
+decode_webm/decode_webp_anim on llm/vp8.py, and MJPEG/DIB AVI and
+raw Y4M decode via decode_avi/decode_y4m,
 WebP both lossless AND lossy via llm/vp8l.decode_webp (VP8L prefix
 codes / llm/vp8.py's full RFC 6386 key-frame decoder), arithmetic
 JPEG via llm/jpeg.decode_jpeg, ...)
@@ -1365,6 +1367,212 @@ def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]] | None:
         return None
 
 
+def decode_webp_anim(payload: bytes) -> tuple[int, int, list[bytes]] | None:
+    """Decode an ANIMATED WebP (VP8X + ANIM + ANMF chunks, public WebP
+    container spec) to (canvas_w, canvas_h, [rgb_frames]) — the
+    decode_gif/decode_avi contract. Each ANMF frame's embedded bitstream
+    decodes through the REAL still decoders (lossy VP8 key-frame via
+    llm/vp8.py, lossless VP8L via llm/vp8l.py) and composites onto the
+    canvas at its (2x, 2y) offset; disposal-to-background restores the
+    frame rectangle. Frames carrying an ALPH chunk (lossy-alpha plane)
+    return None — silently treating them opaque would corrupt
+    perceptual hashes, the failure mode ADVICE once flagged for a
+    different codec — and the blend-method bit is honored trivially
+    because ALPH-less frames are opaque (blend == overwrite).
+    Cumulative decoded bytes are capped like GIF/AVI (frame count is
+    attacker-chosen)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 30 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    try:
+        end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+        pos = 12
+        canvas = None
+        bg = (255, 255, 255)
+        frames: list[bytes] = []
+        decoded = 0
+        animated = False
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            body = payload[pos + 8 : pos + 8 + size]
+            if len(body) < size:
+                return None
+            if fourcc == b"VP8X":
+                if size < 10 or not (body[0] & 0x02):  # ANIMATION flag
+                    return None
+                animated = True
+                cw = 1 + int.from_bytes(body[4:7], "little")
+                ch = 1 + int.from_bytes(body[7:10], "little")
+                if cw * ch * 3 > MAX_DECODE_BYTES:
+                    return None
+                canvas = np.empty((ch, cw, 3), np.uint8)
+            elif fourcc == b"ANIM" and size >= 6:
+                # background is stored B,G,R,A; alpha ignored (opaque
+                # composition path only)
+                bg = (body[2], body[1], body[0])
+                if canvas is not None:
+                    canvas[:] = bg
+            elif fourcc == b"ANMF" and size >= 16:
+                if canvas is None:
+                    return None
+                fx = 2 * int.from_bytes(body[0:3], "little")
+                fy = 2 * int.from_bytes(body[3:6], "little")
+                fw = 1 + int.from_bytes(body[6:9], "little")
+                fh = 1 + int.from_bytes(body[9:12], "little")
+                flags = body[15]
+                dispose_bg = flags & 0x01
+                # walk the frame's subchunks: the bitstream + optional ALPH
+                sp = 16
+                rgb = None
+                while sp + 8 <= size:
+                    scc = body[sp : sp + 4]
+                    ssz = struct.unpack("<I", body[sp + 4 : sp + 8])[0]
+                    sbody = body[sp + 8 : sp + 8 + ssz]
+                    if len(sbody) < ssz:
+                        return None
+                    if scc == b"ALPH":
+                        return None  # honest gate: lossy-alpha plane
+                    if scc == b"VP8 ":
+                        from travel_data_ingestion_spark.llm.vp8 import decode_vp8
+
+                        rgb = decode_vp8(sbody)
+                    elif scc == b"VP8L":
+                        from travel_data_ingestion_spark.llm.vp8l import (
+                            decode_vp8l_stream,
+                        )
+
+                        rgb = decode_vp8l_stream(sbody)
+                    sp += 8 + ssz + (ssz & 1)
+                if rgb is None:
+                    return None
+                dw, dh, px = rgb
+                if (dw, dh) != (fw, fh):
+                    return None
+                ch, cw = canvas.shape[:2]
+                if fx + fw > cw or fy + fh > ch:
+                    return None
+                decoded += cw * ch * 3
+                if decoded > MAX_DECODE_BYTES:
+                    return None
+                arr = np.frombuffer(px, np.uint8).reshape(fh, fw, 3)
+                canvas[fy : fy + fh, fx : fx + fw] = arr
+                frames.append(canvas.tobytes())
+                if dispose_bg:
+                    canvas[fy : fy + fh, fx : fx + fw] = bg
+            pos += 8 + size + (size & 1)
+        if not animated or not frames:
+            return None
+        ch, cw = canvas.shape[:2]
+        return cw, ch, frames
+    except (struct.error, ValueError, IndexError, OverflowError):
+        return None
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """Read one EBML variable-length integer at ``pos``: element IDs
+    keep the length-marker bit (matching the spec's hex notation),
+    element sizes strip it. Returns (value, next_pos); all-ones size
+    payloads (unknown size) return -1."""
+    b0 = data[pos]
+    if b0 == 0:
+        raise ValueError("invalid EBML vint")
+    n = 8 - b0.bit_length()  # leading zeros -> total length n+1
+    length = n + 1
+    if pos + length > len(data):
+        raise ValueError("truncated EBML vint")
+    v = b0 if keep_marker else b0 & (0x7F >> n)
+    for i in range(1, length):
+        v = (v << 8) | data[pos + i]
+    if not keep_marker and v == (1 << (7 * length)) - 1:
+        return -1, pos + length
+    return v, pos + length
+
+
+def decode_webm(payload: bytes) -> tuple[int, int, list[bytes]] | None:
+    """Decode the VP8 KEY FRAMES of a WebM / Matroska container to
+    (width, height, [rgb_frames]) — real video coverage for the
+    dominant open web video format, built on llm/vp8.py's conformant
+    key-frame decoder. EBML structure per the public Matroska spec:
+    Segment -> Tracks -> TrackEntry (CodecID ``V_VP8``; dimensions come
+    from the first decoded key frame — the frame header is the
+    authority), then Cluster -> SimpleBlock walks. Inter (delta)
+    frames need the full VP8 inter-prediction loop a still pipeline
+    doesn't ship — they are SKIPPED, making this keyframe sampling
+    (the standard practice for video training-data pipelines: every
+    emitted frame is a decodable key frame). Laced SimpleBlocks and
+    BlockGroups are skipped likewise; a file yielding zero decodable
+    key frames returns None. Unknown-size Segment/Cluster elements
+    (streaming muxers) extend to the end of the payload."""
+    if len(payload) < 8 or payload[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+    try:
+        from travel_data_ingestion_spark.llm.vp8 import decode_vp8
+
+        n = len(payload)
+        vp8_track = None
+        w = h = None
+        frames: list[bytes] = []
+        decoded = 0
+
+        def walk(lo: int, hi: int, depth: int) -> None:
+            nonlocal vp8_track, w, h, decoded
+            pos = lo
+            while pos < hi and depth < 8:
+                eid, pos = _ebml_vint(payload, pos, True)
+                size, pos = _ebml_vint(payload, pos, False)
+                end = hi if size < 0 else min(hi, pos + size)
+                if eid == 0xAE:  # TrackEntry: order-independent child scan
+                    tno = None
+                    codec = None
+                    p2 = pos
+                    while p2 < end:
+                        cid, p2 = _ebml_vint(payload, p2, True)
+                        csz, p2 = _ebml_vint(payload, p2, False)
+                        cend = end if csz < 0 else min(end, p2 + csz)
+                        if cid == 0xD7:
+                            tno = int.from_bytes(payload[p2:cend], "big")
+                        elif cid == 0x86:
+                            codec = payload[p2:cend]
+                        p2 = cend
+                    if codec == b"V_VP8" and tno is not None and vp8_track is None:
+                        vp8_track = tno
+                elif eid in (0x18538067, 0x1654AE6B, 0x1F43B675):
+                    # Segment / Tracks / Cluster: descend
+                    walk(pos, end, depth + 1)
+                elif eid == 0xA3 and vp8_track is not None:  # SimpleBlock
+                    tno, bp = _ebml_vint(payload, pos, False)
+                    if (
+                        tno == vp8_track
+                        and bp + 3 <= end
+                        and payload[bp + 2] & 0x80  # keyframe flag
+                        and not payload[bp + 2] & 0x06  # no lacing
+                    ):
+                        dec = decode_vp8(payload[bp + 3 : end])
+                        if dec is not None:
+                            dw, dh, px = dec
+                            if w is None:
+                                w, h = dw, dh
+                            if (dw, dh) == (w, h):
+                                decoded += dw * dh * 3
+                                if decoded > MAX_DECODE_BYTES:
+                                    raise ValueError("decode cap")
+                                frames.append(px)
+                pos = end
+            if pos > hi:
+                raise ValueError("EBML overrun")
+
+        walk(0, n, 0)
+        if not frames or w is None:
+            return None
+        return w, h, frames
+    except (ValueError, IndexError, OverflowError):
+        return None
+
+
 def decode_ico(payload: bytes) -> tuple[int, int, bytes] | None:
     """Parse a Windows ICO/CUR container: entries are either embedded
     PNGs (Vista+) or headerless BMP DIBs whose height field counts the
@@ -2328,7 +2536,13 @@ def sample_frames(
             }
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(p)
-                multi = decode_gif(b) or decode_avi(b) or decode_y4m(b)
+                multi = (
+                    decode_gif(b)
+                    or decode_avi(b)
+                    or decode_y4m(b)
+                    or decode_webp_anim(b)
+                    or decode_webm(b)
+                )
                 if multi is not None:
                     w, h, frames = multi
                     n = len(frames)

@@ -82,6 +82,8 @@ _PLANTED_VIDEO_FRAMES = {
     _PLANTED_VIDEO_BASE_ID + 1: 35,  # AVI MJPEG
     _PLANTED_VIDEO_BASE_ID + 2: 17,  # AVI uncompressed DIB
     _PLANTED_VIDEO_BASE_ID + 3: 29,  # Y4M raw 4:2:0
+    _PLANTED_VIDEO_BASE_ID + 4: 21,  # WebM, all-keyframe VP8 (r12)
+    _PLANTED_VIDEO_BASE_ID + 5: 13,  # animated WebP, lossy VP8 (r12)
 }
 
 
@@ -111,12 +113,15 @@ def _frame_sample_oracle() -> str:
     survey_ops=("X-MM-2",),
     doc="REAL every-Nth frame sampling over the binary column: the "
     "corpus' PPM renders each decode as a single still (index 0), and "
-    "four planted multi-frame clips — an animated GIF (23 frames, "
+    "six planted multi-frame clips — an animated GIF (23 frames, "
     "pure-Python LZW + compositing walk), an MJPEG AVI (35 frames, "
-    "JPEG-per-frame), an uncompressed-DIB AVI (17 frames), and a raw "
-    "YUV4MPEG2 stream (29 frames, 4:2:0, Rec.601 limited-range) — are "
-    "decoded by the real decode_gif/decode_avi/decode_y4m frame "
-    "walks, so the "
+    "JPEG-per-frame), an uncompressed-DIB AVI (17 frames), a raw "
+    "YUV4MPEG2 stream (29 frames, 4:2:0, Rec.601 limited-range), a "
+    "WebM with 21 all-keyframe VP8 frames (Matroska/EBML walk + the "
+    "full RFC 6386 key-frame decoder, llm/vp8.py), and a 13-frame "
+    "lossy-VP8 animated WebP (ANIM/ANMF compositing walk) — are "
+    "decoded by the real decode_gif/decode_avi/decode_y4m/"
+    "decode_webm/decode_webp_anim frame walks, so the "
     "sampled indices AND total frame counts in the hash-graded output "
     "come from actual container parses, not byte-length arithmetic "
     "(the former n_bytes//1000 stub is gone). payloads=False keeps "
@@ -481,6 +486,14 @@ def planted_video_media() -> list[tuple[int, bytes]]:
         (_PLANTED_VIDEO_BASE_ID + 1, _avi_bytes([_GAMMA_JPEG] * 35, 32, 24, b"MJPG", b"MJPG")),
         (_PLANTED_VIDEO_BASE_ID + 2, _avi_bytes(dib_frames, 16, 8, bytes(4), b"DIB ")),
         (_PLANTED_VIDEO_BASE_ID + 3, _y4m_bytes(29, 12, 10)),
+        # round 12: REAL compressed-video coverage via llm/vp8.py — a
+        # 21-frame all-keyframe VP8 WebM (Matroska walk, decode_webm)
+        # and a 13-frame lossy-VP8 animated WebP (ANIM/ANMF walk,
+        # decode_webp_anim); both pinned literals whose VP8 payloads
+        # came from the system libwebp (the decoder's conformance
+        # oracle, tests/test_vp8.py)
+        (_PLANTED_VIDEO_BASE_ID + 4, ML.VIDEO_WEBM_VP8_21F),
+        (_PLANTED_VIDEO_BASE_ID + 5, ML.VIDEO_AWEBP_13F),
     ]
 
 

@@ -291,6 +291,72 @@ def test_tables_integrity():
     assert T.CAT_PROBS[5] == (254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129)
 
 
+# extended-format still (VP8X + ALPH + VP8), libwebp WebPEncodeRGBA:
+# the container walker must reach the VP8 color chunk past VP8X/ALPH,
+# and the color decode ignores the alpha plane (the repo-wide
+# alpha-DROP policy — PNG RGBA, TIFF extra samples, ICO masks); plane
+# hashes verified bit-exact vs WebPDecodeYUV at pin time
+ALPHA_STILL_16 = bytes.fromhex(
+    "52494646a600000057454250565038580a000000100000000f00000f0000414c50482400"
+    "0000017f20104842d85f788588481dcc0240a3104b2cb1c4124b2cb1cc607f44ff0394d3"
+    "dd5f565038205c000000d001009d012a1000100001001c25b00274010b4ba117b800fe9b"
+    "d38e786028aab4481ea93983a51f3ceb573204732cbebe0fcc7fcffd25f83065005baeb6"
+    "007719b5dfef62e5a9f1fed9fa7e10431fff9cfb4a89283ff7e760580000"
+)
+
+
+def test_extended_format_still_with_alpha_decodes_color():
+    assert ALPHA_STILL_16[12:16] == b"VP8X" and b"ALPH" in ALPHA_STILL_16
+    out = decode_webp(ALPHA_STILL_16)
+    assert out is not None and out[:2] == (16, 16)
+    # plane pins (generated alongside the fixture, verified vs libwebp)
+    import struct
+
+    pos = 12
+    while pos + 8 <= len(ALPHA_STILL_16):
+        cc = ALPHA_STILL_16[pos : pos + 4]
+        sz = struct.unpack("<I", ALPHA_STILL_16[pos + 4 : pos + 8])[0]
+        if cc == b"VP8 ":
+            w, h, y, u, v = decode_vp8_yuv(ALPHA_STILL_16[pos + 8 : pos + 8 + sz])
+            hashes = ("14d563ea2f12b0a7", "64395110ff39aa12", "c5ca5dd28d0a34fc")
+            for plane, expect in zip((y, u, v), hashes):
+                assert hashlib.md5(plane.tobytes()).hexdigest()[:16] == expect
+            break
+        pos += 8 + sz + (sz & 1)
+    else:
+        pytest.fail("no VP8 chunk found")
+
+
+@needs_libwebp
+def test_extended_format_alpha_matches_libwebp_planes():
+    _LIB.WebPEncodeRGBA.restype = ctypes.c_size_t
+    _LIB.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    r = np.random.RandomState(4)
+    rgba = r.randint(0, 256, (24, 32, 4)).astype(np.uint8)
+    rgba[:8, :, 3] = 0  # fully transparent band
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = _LIB.WebPEncodeRGBA(rgba.tobytes(), 32, 24, 128, 80.0, ctypes.byref(out))
+    assert n > 0
+    data = ctypes.string_at(out, n)
+    _LIB.WebPFree(out)
+    import struct
+
+    pos = 12
+    while pos + 8 <= len(data):
+        cc = data[pos : pos + 4]
+        sz = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if cc == b"VP8 ":
+            ry, ru, rv = _ref_decode_yuv(data)
+            w, h, my, mu, mv = decode_vp8_yuv(data[pos + 8 : pos + 8 + sz])
+            assert (my == ry).all() and (mu == ru).all() and (mv == rv).all()
+            return
+        pos += 8 + sz + (sz & 1)
+    pytest.fail("no VP8 chunk found")
+
+
 def test_rgb_output_contract():
     """decode_vp8 returns the decode_image (w, h, rgb) contract with
     the repo-wide Rec.601 limited-range conversion."""

@@ -46,17 +46,43 @@ def test_frame_walk_all_colorspaces(cs):
     assert all(len(f) == w * h * 3 for f in frames)
 
 
-@pytest.mark.parametrize("cs", ["420p10", "420p12", "420p16", "422p10", "444p10", "444alpha"])
-def test_high_bit_depth_variants_rejected_by_name(cs):
-    """ffmpeg's 16-bit-plane colorspaces (C420p10 et al.) must be
-    rejected by EXACT colorspace-name gate, not by accidental
-    frame-size misalignment: build a payload whose byte length would
-    parse cleanly under the 8-bit layout and assert None anyway."""
+@pytest.mark.parametrize("cs,bits", [
+    ("420p10", 10), ("420p12", 12), ("420p16", 16),
+    ("422p10", 10), ("444p12", 12),
+])
+def test_high_bit_depth_variants_decode(cs, bits):
+    """ffmpeg's 16-bit-plane colorspaces parse as little-endian uint16
+    right-shifted to 8 bits: a p1x stream whose samples are exact 8-bit
+    values shifted up must decode IDENTICALLY to the 8-bit stream of
+    the same values."""
     w, h = 12, 10
     r = np.random.RandomState(11)
-    # frame body sized for the 8-bit layout of the base colorspace —
-    # the adversarial best case for a misparse
     base = cs[:3]
+    planes8 = [_planes(r, w, h, base) for _ in range(3)]
+    payload8 = _y4m(planes8, w, h, base if base != "420" else "420jpeg")
+    planes16 = [
+        (np.frombuffer(p, np.uint8).astype("<u2") << (bits - 8)).tobytes()
+        for p in planes8
+    ]
+    payload16 = _y4m(planes16, w, h, cs)
+    d8, d16 = decode_y4m(payload8), decode_y4m(payload16)
+    assert d8 is not None and d16 is not None
+    assert d8 == d16
+    # sub-8-bit precision rounds DOWN (plain right shift)
+    bumped = (
+        (np.frombuffer(planes8[0], np.uint8).astype("<u2") << (bits - 8)) + 1
+    ).tobytes()
+    db = decode_y4m(_y4m([bumped], w, h, cs))
+    assert db is not None and db[2][0] == d8[2][0]
+
+
+@pytest.mark.parametrize("cs", ["444alpha", "420jpegp10", "monop10", "999weird"])
+def test_unknown_colorspaces_rejected_by_name(cs):
+    """Names outside the supported set reject BY NAME — even when the
+    frame body is sized so an 8-bit misparse would align."""
+    w, h = 12, 10
+    r = np.random.RandomState(11)
+    base = cs[:3] if cs[:3] in ("420", "422", "444") else "444"
     payload = _y4m([_planes(r, w, h, base) for _ in range(3)], w, h, cs)
     assert decode_y4m(payload) is None
 

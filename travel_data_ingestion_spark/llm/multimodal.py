@@ -1270,9 +1270,12 @@ def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]] | None:
 
     Stream header: b'YUV4MPEG2' + space-separated parameters up to a
     newline (W<width> H<height> required; C<colorspace> selects the
-    plane layout — 420* (any 420 variant: the chroma siting suffixes
+    plane layout — 420 variants (the chroma siting suffixes
     jpeg/mpeg2/paldv affect filtering intent, not storage), 422, 444,
-    and mono are supported; unknown colorspaces return None). Each
+    and mono are supported at 8 bits, and ffmpeg's high-bit-depth
+    420p10/p12/p16 + 422p1x + 444p1x variants parse as little-endian
+    16-bit planes right-shifted to 8; unknown colorspaces return
+    None BY NAME, never by frame-size accident). Each
     frame: b'FRAME' + optional parameters + newline + raw planar data.
     YCbCr converts to RGB with the Rec.601 LIMITED-range integer
     matrix ((298*(Y-16) + coeff*(C-128) + 128) >> 8, clipped) — the
@@ -1302,21 +1305,32 @@ def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]] | None:
                 cs = t[1:]
         if not w or not h or w < 0 or h < 0:
             return None
-        # exact 8-bit colorspace sets only: ffmpeg's high-bit-depth
-        # variants (C420p10/p12/p16, C422p10, ...) carry 16-bit planes
-        # that would misparse as 8-bit — reject them by name, not by
-        # accidental frame-size misalignment
-        if cs in ("420", "420jpeg", "420mpeg2", "420paldv"):
+        # exact colorspace-name gate: base layout plus ffmpeg's
+        # high-bit-depth suffixes (C420p10/p12/p16, ...), which carry
+        # little-endian 16-bit planes that are parsed as such and
+        # right-shifted to 8 bits (bits-8) — never misparsed as 8-bit,
+        # and unknown names still reject by NAME, not by accidental
+        # frame-size misalignment
+        bits = 8
+        base_cs = cs
+        for suffix, b in (("p10", 10), ("p12", 12), ("p16", 16)):
+            if cs.endswith(suffix):
+                base_cs, bits = cs[: -len(suffix)], b
+                break
+        if base_cs in ("420", "420jpeg", "420mpeg2", "420paldv"):
             cw, ch = (w + 1) // 2, (h + 1) // 2
-        elif cs == "422":
+            if bits != 8 and base_cs != "420":
+                return None  # only C420p1x exists; 420jpegp10 is not a name
+        elif base_cs == "422":
             cw, ch = (w + 1) // 2, h
-        elif cs == "444":
+        elif base_cs == "444":
             cw, ch = w, h
-        elif cs == "mono":
+        elif base_cs == "mono" and bits == 8:
             cw = ch = 0
         else:
             return None
-        frame_bytes = w * h + 2 * cw * ch
+        bpp = 1 if bits == 8 else 2
+        frame_bytes = (w * h + 2 * cw * ch) * bpp
         if w * h * 3 > MAX_DECODE_BYTES:
             return None
 
@@ -1334,18 +1348,24 @@ def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]] | None:
             at = fh_end + 1
             if at + frame_bytes > n:
                 return None
-            y = np.frombuffer(payload, np.uint8, w * h, at).reshape(h, w)
+            def _plane(count: int, off: int):
+                if bits == 8:
+                    return np.frombuffer(payload, np.uint8, count, off)
+                raw = np.frombuffer(payload, "<u2", count, off)
+                return (raw >> (bits - 8)).astype(np.uint8)
+
+            y = _plane(w * h, at).reshape(h, w)
             yv = 298 * (y.astype(np.int32) - 16)
-            if cs == "mono":
+            if base_cs == "mono":
                 g = np.clip((yv + 128) >> 8, 0, 255).astype(np.uint8)
                 rgb = np.repeat(g[:, :, None], 3, axis=2)
             else:
-                cb = np.frombuffer(
-                    payload, np.uint8, cw * ch, at + w * h
-                ).reshape(ch, cw).astype(np.int32) - 128
-                cr = np.frombuffer(
-                    payload, np.uint8, cw * ch, at + w * h + cw * ch
-                ).reshape(ch, cw).astype(np.int32) - 128
+                cb = _plane(cw * ch, at + w * h * bpp).reshape(
+                    ch, cw
+                ).astype(np.int32) - 128
+                cr = _plane(cw * ch, at + (w * h + cw * ch) * bpp).reshape(
+                    ch, cw
+                ).astype(np.int32) - 128
                 # nearest upsample to full resolution
                 cb = cb[_nearest_grid(h, ch)][:, _nearest_grid(w, cw)]
                 cr = cr[_nearest_grid(h, ch)][:, _nearest_grid(w, cw)]

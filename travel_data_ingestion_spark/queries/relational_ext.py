@@ -596,3 +596,165 @@ def h18_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k_value").alias("max_k"),
         dsum("k_value", 0).alias("sum_k"),
     )
+
+
+def _zorder_oracle() -> str:
+    """Code-generated DuckDB twin of zo01: the 15-cut equal-width
+    bucket sums, the bit interleave, and the file/skip math written as
+    explicit SQL arithmetic (the _minhash_oracle pattern). The cut
+    expression text mirrors the Spark side's driver-computed
+    ``mn + k*(mx-mn)/16`` operation order exactly, so both engines
+    evaluate identical IEEE doubles."""
+    def bucket(col: str, mn: str, mx: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN {col} >= {mn} + {k}*({mx} - {mn})/16 THEN 1 ELSE 0 END)"
+            for k in range(1, 16)
+        )
+        return f"({terms})"
+
+    bu = bucket("CAST(user_id AS DOUBLE)", "mnu", "mxu")
+    bv = bucket("value", "mnv", "mxv")
+    z = " + ".join(
+        f"(((b{c} // {1 << i}) % 2) * {1 << (2 * i + j)})"
+        for i in range(4)
+        for j, c in enumerate(("u", "v"))
+    )
+    return f"""
+    WITH mm AS (
+      SELECT CAST(MIN(user_id) AS DOUBLE) AS mnu, CAST(MAX(user_id) AS DOUBLE) AS mxu,
+             MIN(value) AS mnv, MAX(value) AS mxv
+      FROM events
+    ),
+    b AS (
+      SELECT {bu} AS bu, {bv} AS bv, user_id, value
+      FROM events, mm
+    ),
+    f AS (
+      SELECT CAST(({z}) // 16 AS BIGINT) AS file_id, 'zorder' AS layout,
+             user_id, value
+      FROM b
+      UNION ALL
+      SELECT CAST(bu AS BIGINT) AS file_id, 'sort_user' AS layout, user_id, value
+      FROM b
+    ),
+    stats AS (
+      SELECT layout, file_id,
+             MIN(user_id) AS mn_u, MAX(user_id) AS mx_u,
+             MIN(value) AS mn_v, MAX(value) AS mx_v
+      FROM f GROUP BY layout, file_id
+    ),
+    preds AS (
+      SELECT 'user_band' AS predicate, mnu + 0.4*(mxu - mnu) AS lo,
+             mnu + 0.45*(mxu - mnu) AS hi, 'u' AS col FROM mm
+      UNION ALL
+      SELECT 'value_band', mnv + 0.4*(mxv - mnv), mnv + 0.45*(mxv - mnv), 'v'
+      FROM mm
+    )
+    SELECT s.layout, p.predicate,
+           COUNT(*) AS files_total,
+           SUM(CASE WHEN (p.col = 'u' AND CAST(s.mx_u AS DOUBLE) >= p.lo
+                                      AND CAST(s.mn_u AS DOUBLE) <= p.hi)
+                      OR (p.col = 'v' AND s.mx_v >= p.lo AND s.mn_v <= p.hi)
+               THEN 1 ELSE 0 END) AS files_hit,
+           ROUND(100.0 * (1 - SUM(CASE WHEN (p.col = 'u' AND CAST(s.mx_u AS DOUBLE) >= p.lo
+                                      AND CAST(s.mn_u AS DOUBLE) <= p.hi)
+                      OR (p.col = 'v' AND s.mx_v >= p.lo AND s.mn_v <= p.hi)
+               THEN 1 ELSE 0 END) * 1.0 / COUNT(*)), 2) AS skip_pct
+    FROM stats s CROSS JOIN preds p
+    GROUP BY s.layout, p.predicate
+    ORDER BY s.layout, p.predicate
+    """
+
+
+@register(
+    "zo01_zorder_skip_ratio",
+    _zorder_oracle(),
+    survey_ops=("X-LAYOUT-1",),
+    doc="Z-order layout skip-ratio CONTRACT, deterministically graded: "
+    "events rows get 4-bit equal-width bucket ranks per column "
+    "(user_id, value) through the SAME maintenance.zorder_value bit "
+    "interleave the production zorder_layout uses, files are the 16 "
+    "equal z-ranges (zfile = z >> 4, i.e. the top two bucket bits of "
+    "EACH column — a 4x4 grid of min/max rectangles), and two 5%-of-"
+    "range band predicates are tested against every file's min/max "
+    "stats. The output pins the layout tradeoff the SCALE.md data-"
+    "skipping story claims: the z-order layout skips ~75% of files on "
+    "EITHER column's predicate, while the single-column sort layout "
+    "skips more on its own column but ZERO on the other. Production "
+    "writes use zorder_layout (approxQuantile boundaries + "
+    "repartitionByRange — sampled, not grading-deterministic); this "
+    "graded twin swaps in exact equal-width boundaries and value-"
+    "bucket file assignment so both engines derive identical files. "
+    "No window, no collect on data rows: one min/max agg (driver "
+    "scalars, the d13 pattern), one map pass, one groupBy.",
+)
+def zo01_zorder_skip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.maintenance import zorder_value
+
+    bits, nb = 4, 16
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    mn_u, mx_u, mn_v, mx_v = ev.agg(
+        F.min("user_id").cast("double"),
+        F.max("user_id").cast("double"),
+        F.min("value"),
+        F.max("value"),
+    ).first()
+    cuts = {
+        "user_id": [mn_u + k * (mx_u - mn_u) / nb for k in range(1, nb)],
+        "value": [mn_v + k * (mx_v - mn_v) / nb for k in range(1, nb)],
+    }
+    z = zorder_value(["user_id", "value"], bits=bits, boundaries=cuts)
+    # the user_id bucket alone = the single-column-sort file id; derive
+    # it from the SAME cut set (count of cuts <= value)
+    arr_u = F.array(*[F.lit(float(x)) for x in cuts["user_id"]])
+    bu = F.aggregate(
+        arr_u,
+        F.lit(0),
+        lambda acc, cut: acc
+        + F.when(F.col("user_id").cast("double") >= cut, 1).otherwise(0),
+    ).cast("long")
+    b = ev.select("user_id", "value", F.shiftright(z, bits).alias("zfile"), bu.alias("ufile"))
+    f = b.select(
+        F.lit("zorder").alias("layout"), F.col("zfile").alias("file_id"), "user_id", "value"
+    ).unionByName(
+        b.select(
+            F.lit("sort_user").alias("layout"), F.col("ufile").alias("file_id"),
+            "user_id", "value",
+        )
+    )
+    stats = f.groupBy("layout", "file_id").agg(
+        F.min("user_id").cast("double").alias("mn_u"),
+        F.max("user_id").cast("double").alias("mx_u"),
+        F.min("value").alias("mn_v"),
+        F.max("value").alias("mx_v"),
+    )
+    preds = stats.sparkSession.createDataFrame(
+        [
+            ("user_band", mn_u + 0.4 * (mx_u - mn_u), mn_u + 0.45 * (mx_u - mn_u), "u"),
+            ("value_band", mn_v + 0.4 * (mx_v - mn_v), mn_v + 0.45 * (mx_v - mn_v), "v"),
+        ],
+        "predicate string, lo double, hi double, col string",
+    )
+    hit = F.when(
+        ((F.col("col") == "u") & (F.col("mx_u") >= F.col("lo")) & (F.col("mn_u") <= F.col("hi")))
+        | ((F.col("col") == "v") & (F.col("mx_v") >= F.col("lo")) & (F.col("mn_v") <= F.col("hi"))),
+        1,
+    ).otherwise(0)
+    return (
+        stats.crossJoin(F.broadcast(preds))
+        .groupBy("layout", "predicate")
+        .agg(
+            F.count(F.lit(1)).alias("files_total"),
+            F.sum(hit).alias("files_hit"),
+        )
+        .select(
+            "layout",
+            "predicate",
+            "files_total",
+            "files_hit",
+            F.round(
+                100.0 * (1 - F.col("files_hit") * 1.0 / F.col("files_total")), 2
+            ).alias("skip_pct"),
+        )
+        .orderBy("layout", "predicate")
+    )

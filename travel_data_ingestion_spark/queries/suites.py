@@ -69,11 +69,14 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "d17_rollup",
             "d18_unpivot",
             "d19_cube",
+            "zo01_zorder_skip_ratio",
         ],
         "Aggregation suite (SURVEY §2.D + grouping-sets/percentile "
         "extensions): grains, conditional counts, distinct, SUM(CASE) "
         "pivot, listagg, avg-of-avg, scalar max, exact percentiles, "
-        "rollup, unpivot, cube.",
+        "rollup, unpivot, cube, and the Z-order layout skip-ratio "
+        "contract (min/max file-stats aggregation over the "
+        "maintenance.zorder_value interleave).",
     ),
     "su03_window_suite": (
         [

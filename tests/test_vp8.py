@@ -357,6 +357,80 @@ def test_extended_format_alpha_matches_libwebp_planes():
     pytest.fail("no VP8 chunk found")
 
 
+class _BoolEnc:
+    """Independent forward boolean coder (RFC 6386 §7.1), written with
+    a deliberately DIFFERENT register strategy from the decoder: the
+    low end of the interval is an unbounded big int (carries resolve by
+    big-int addition instead of the reference's byte-stack propagation)
+    — the test_jpeg_arith dual-encoder standard. Agreement with the
+    package decoder is two renderings of the spec agreeing."""
+
+    def __init__(self):
+        self.range = 255
+        self.low = 0
+        self.shifts = 0
+
+    def encode(self, bit: int, prob: int) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if bit:
+            self.low += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            self.low <<= 1
+            self.shifts += 1
+
+    def flush(self) -> bytes:
+        nbits = self.shifts + 8  # low < 2**(shifts+8) by construction
+        nbytes = (nbits + 7) // 8
+        word = self.low << (nbytes * 8 - nbits)
+        return word.to_bytes(nbytes, "big") + b"\x00\x00"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_bool_coder_roundtrip_independent_dual(seed):
+    from travel_data_ingestion_spark.llm.vp8 import _Bool
+
+    r = np.random.RandomState(seed)
+    n = int(r.randint(1, 4000))
+    probs = r.randint(1, 255, n)
+    bits = (r.rand(n) < r.rand()).astype(int)
+    enc = _BoolEnc()
+    for b, p in zip(bits, probs):
+        enc.encode(int(b), int(p))
+    payload = enc.flush()
+    bd = _Bool(payload, 0, len(payload))
+    for i, (b, p) in enumerate(zip(bits, probs)):
+        assert bd.get(int(p)) == b, (seed, i)
+
+
+def test_bool_coder_hypothesis_roundtrip():
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    from travel_data_ingestion_spark.llm.vp8 import _Bool
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 1), st.integers(1, 254)),
+            min_size=1,
+            max_size=600,
+        )
+    )
+    def roundtrip(seq):
+        enc = _BoolEnc()
+        for b, p in seq:
+            enc.encode(b, p)
+        payload = enc.flush()
+        bd = _Bool(payload, 0, len(payload))
+        assert [bd.get(p) for _b, p in seq] == [b for b, _p in seq]
+
+    roundtrip()
+
+
 def test_rgb_output_contract():
     """decode_vp8 returns the decode_image (w, h, rgb) contract with
     the repo-wide Rec.601 limited-range conversion."""

@@ -246,6 +246,10 @@ def test_adversarial_returns_none():
     good = _vp8_chunk(PHOTO32X48_Q40)
     assert decode_vp8_yuv(b"") is None
     assert decode_vp8_yuv(good[:8]) is None
+    # dims bomb: max header dims (16383x16383 ~ 800 MB of RGB) must
+    # gate on MAX_DECODE_BYTES before any allocation or MB loop
+    bomb = good[:6] + b"\xff\x3f\xff\x3f" + good[10:]
+    assert decode_vp8_yuv(bomb) is None
     # interframe bit
     assert decode_vp8_yuv(bytes([good[0] | 1]) + good[1:]) is None
     # broken start code

@@ -408,6 +408,14 @@ def decode_vp8_yuv(payload: bytes):
         h = (payload[8] | (payload[9] << 8)) & 0x3FFF
         if not w or not h:
             return None
+        # dims bomb: a 10-byte header can declare 16383x16383 (~2.4 GB
+        # of planes plus a ~1M-iteration MB loop) — cap like every
+        # other decoder (multimodal.MAX_DECODE_BYTES, imported at call
+        # time to keep module imports acyclic)
+        from travel_data_ingestion_spark.llm.multimodal import MAX_DECODE_BYTES
+
+        if w * h * 3 > MAX_DECODE_BYTES:
+            return None
         mb_w = (w + 15) >> 4
         mb_h = (h + 15) >> 4
 

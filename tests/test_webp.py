@@ -903,16 +903,24 @@ def test_chained_subtract_green_then_predictor():
     assert dec[2] == expect
 
 
-def test_resize_webp_reencodes_lossless_ppm(spark):
-    """resize_images treats WebP like the other lossless non-PNG
-    containers: decoded for real, resampled, re-encoded as P6 PPM."""
-    from travel_data_ingestion_spark.llm.multimodal import decode_ppm, resize_images
+def test_resize_webp_reencodes_lossless_png(spark):
+    """resize_images re-encodes BOTH WebP flavors as lossless PNG (the
+    GIF/JPEG rule: the package ships no WebP encoder, and re-encoding
+    a lossy stream would lose pixels a second time)."""
+    from travel_data_ingestion_spark.llm.multimodal import decode_png, resize_images
+    from travel_data_ingestion_spark.queries import media_literals as ML
 
     rgb = _rand_rgb(31, 24, 24)
     media = spark.createDataFrame(
-        [(1, bytearray(_webp_lossless(rgb)))], "media_id long, payload binary"
+        [
+            (1, bytearray(_webp_lossless(rgb))),
+            (2, bytearray(ML.ZETA_WEBP_LOSSY)),
+        ],
+        "media_id long, payload binary",
     )
-    row = resize_images(media, 12, 12).collect()[0]
-    assert row.resized and (row.width, row.height) == (12, 12)
-    dec = decode_ppm(bytes(row.payload))
-    assert dec is not None and (dec[0], dec[1]) == (12, 12)
+    rows = {r.media_id: r for r in resize_images(media, 12, 12).collect()}
+    for mid in (1, 2):
+        row = rows[mid]
+        assert row.resized and (row.width, row.height) == (12, 12)
+        dec = decode_png(bytes(row.payload))
+        assert dec is not None and (dec[0], dec[1]) == (12, 12)

@@ -1915,10 +1915,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     pHash uses, so a resize then pHash equals pHashing the resample
     directly — and re-encoded in their SOURCE container (PPM stays PPM,
     PNG stays PNG: a resize must not silently change what downstream
-    format filters see). Palette containers (GIF) and lossy containers
-    (JPEG) re-encode as LOSSLESS PNG: writing a palette back would
-    force color quantization and re-encoding JPEG would lose pixels a
-    second time — re-encoding losslessly is the honest move. Undecodable payloads pass through byte-for-byte
+    format filters see). Palette containers (GIF), lossy containers
+    (JPEG, lossy-VP8 WebP), and containers whose encoder the package
+    deliberately lacks (WebP-lossless) re-encode as LOSSLESS PNG:
+    writing a palette back would force color quantization and
+    re-encoding a lossy stream would lose pixels a second time —
+    re-encoding losslessly is the honest move. Undecodable payloads pass through byte-for-byte
     with resized=false and NULL dimensions — a training-data pipeline
     drops or routes them, it never fabricates pixels.
 
@@ -1956,6 +1958,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     b.startswith(PNG_SIGNATURE)
                     or b[:6] in (b"GIF87a", b"GIF89a")
                     or b[:2] == b"\xff\xd8"
+                    or (b[:4] == b"RIFF" and b[8:12] == b"WEBP")
                 ):
                     enc = encode_png(width, height, res.tobytes())
                 else:

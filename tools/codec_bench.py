@@ -29,6 +29,8 @@ from travel_data_ingestion_spark.llm.multimodal import (  # noqa: E402
     decode_image,
     decode_png,
     decode_tiff,
+    decode_webm,
+    decode_webp_anim,
     encode_png,
 )
 from travel_data_ingestion_spark.queries import media_literals as ML  # noqa: E402
@@ -146,6 +148,16 @@ def cases() -> list[tuple[str, bytes, object]]:
             "WebP lossy VP8 (32x24 fixture)",
             ML.ZETA_WEBP_LOSSY,
             decode_image,
+        ),
+        (
+            "WebM VP8 21 keyframes (16x16)",
+            ML.VIDEO_WEBM_VP8_21F,
+            decode_webm,
+        ),
+        (
+            "Animated WebP 13f lossy (16x16)",
+            ML.VIDEO_AWEBP_13F,
+            decode_webp_anim,
         ),
     ]
 

@@ -219,9 +219,12 @@ def _decode_block(bd: _Bool, probs_type, first: int, ctx: int, dqf) -> list | No
     coeffs = None
     i = first
     skip_eob = False
+    tree = bd.tree
+    bands = COEFF_BANDS
+    zz = ZIGZAG
     while i < 16:
-        probs = probs_type[COEFF_BANDS[i]][ctx]
-        token = bd.tree(_COEF_TREE, probs, 2 if skip_eob else 0)
+        probs = probs_type[bands[i]][ctx]
+        token = tree(_COEF_TREE, probs, 2 if skip_eob else 0)
         if token == _EOB:
             break
         if token == 0:
@@ -244,7 +247,8 @@ def _decode_block(bd: _Bool, probs_type, first: int, ctx: int, dqf) -> list | No
             val = -val
         if coeffs is None:
             coeffs = [0] * 16
-        coeffs[ZIGZAG[i]] = val * (dqf[0] if ZIGZAG[i] == 0 else dqf[1])
+        nat = zz[i]
+        coeffs[nat] = val * (dqf[0] if nat == 0 else dqf[1])
         i += 1
     return coeffs
 
@@ -829,6 +833,9 @@ def _filter_pack(P3, P2, P1, P0, Q0, Q1, Q2, Q3, edge_lim, interior, hev_t, mb_e
         & (a(Q3 - Q2) <= interior)
         & (a(P0 - Q0) * 2 + (a(P1 - Q1) >> 1) <= edge_lim)
     )
+    if not mask.any():  # busy edges: nothing passes, skip the tap math
+        u8 = lambda x: x.astype("uint8")
+        return u8(P2), u8(P1), u8(P0), u8(Q0), u8(Q1), u8(Q2)
     hev = (a(P1 - P0) > hev_t) | (a(Q1 - Q0) > hev_t)
     ps1, ps0, qs0, qs1 = _s(P1), _s(P0), _s(Q0), _s(Q1)
     ps2, qs2 = _s(P2), _s(Q2)

@@ -17,10 +17,13 @@ decodable container (phash_bytes is format-invariant: a PPM and a PNG
 of the same pixels hash identically, and a JPEG re-encode lands within
 a few bits), and audio parses for real too (decode_audio — WAV with
 integer PCM / IEEE float / G.711 mu-law+a-law / extensible, AIFF/AIFC,
-Sun AU, native FLAC — feeding extract_audio_features and a
+Sun AU, native FLAC, and Ogg — Ogg-FLAC decodes completely through
+the RFC 3533 demux in llm/ogg.py; mp3 and Ogg-Opus yield header-true
+metadata via llm/mp3.py's frame walk / the Ogg granule clock with PCM
+honestly gated — feeding extract_audio_features and a
 container-invariant audio pHash). resize_images nearest-resamples decodable payloads
 and re-encodes in the source container. Formats that genuinely need a
-codec absent from this environment (mp3/ogg, INTER-frame video
+codec absent from this environment (mp3/opus/vorbis PCM, INTER-frame video
 coding — key frames of VP8 WebM / animated WebP decode for real via
 decode_webm/decode_webp_anim on llm/vp8.py, and MJPEG/DIB AVI and
 raw Y4M decode via decode_avi/decode_y4m,
@@ -2247,11 +2250,15 @@ def decode_audio(payload: bytes):
     PCM 8s/16/24/32, 'sowt' little-endian 16, 'ulaw'/'alaw',
     'fl32'/'fl64' big-endian IEEE float), Sun AU (mu-law, PCM
     8s/16/24/32, float 32/64,
-    a-law), and native FLAC (llm/flac.decode_flac — every subframe
-    type and channel assignment, bit-exact). mp3/ogg need a real codec
-    and return None — the documented stub path, unless a native codec
-    registered via register_audio_codec / SPARK_GRAFT_CODEC_MODULE
-    (consulted first) claims the payload."""
+    a-law), native FLAC (llm/flac.decode_flac — every subframe
+    type and channel assignment, bit-exact), and Ogg (llm/ogg.py:
+    Ogg-FLAC re-framed to native and decoded bit-exactly; Vorbis via
+    llm/vorbis.py when present). mp3 and Ogg-Opus PCM need normative
+    tables this environment cannot reproduce or verify (llm/mp3.py
+    module docstring records the specifics) and return None — the
+    documented stub path, unless a native codec registered via
+    register_audio_codec / SPARK_GRAFT_CODEC_MODULE (consulted first)
+    claims the payload."""
     import struct
 
     import numpy as np
@@ -2338,6 +2345,14 @@ def decode_audio(payload: bytes):
                 return None
             rate, n_ch, bits, ints = got
             x = ints.astype(np.float64).reshape(-1) / float(1 << (bits - 1))
+        elif payload[:4] == b"OggS":
+            from travel_data_ingestion_spark.llm.ogg import decode_ogg
+
+            got = decode_ogg(payload)
+            if got is None:
+                return None
+            rate, n_ch, frames = got
+            x = frames.reshape(-1)
         elif payload[:4] == b".snd":
             off, _size, enc, rate, n_ch = struct.unpack(">IIIII", payload[4:24])
             if off < 24 or off > len(payload):
@@ -2369,6 +2384,31 @@ def decode_audio(payload: bytes):
         return rate, n_ch, x[: n_frames * n_ch].reshape(n_frames, n_ch)
     except (struct.error, ValueError, IndexError, OverflowError):
         return None
+
+
+def _probe_audio_meta(payload: bytes):
+    """(sample_rate, n_channels, duration_s) from container headers of
+    codecs whose PCM is gated here (mp3 frame walk; Ogg Opus/Speex/
+    Theora granule clock), or None. Never raises."""
+    if len(payload) >= 4 and (
+        payload[:3] == b"ID3"
+        or (payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0)
+    ):
+        from travel_data_ingestion_spark.llm.mp3 import probe_mp3
+
+        got = probe_mp3(payload)
+        if got is not None:
+            _layer, rate, n_ch, _frames, dur, _kbps, _vbr = got
+            return rate, n_ch, dur
+        return None
+    if payload[:4] == b"OggS":
+        from travel_data_ingestion_spark.llm.ogg import probe_ogg
+
+        got = probe_ogg(payload)
+        if got is not None:
+            _codec, rate, n_ch, dur = got
+            return rate, n_ch, dur
+    return None
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType(
@@ -2411,9 +2451,22 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 out["digest"].append(hashlib.md5(b).hexdigest())
                 dec = decode_audio(b)
                 if dec is None:
-                    for k in ("sample_rate", "n_channels", "n_samples",
-                              "duration_s", "rms"):
-                        out[k].append(None)
+                    # header-derived metadata for gated-PCM codecs:
+                    # mp3 frame walk / Ogg granule clock fill
+                    # rate/channels/duration; n_samples and rms stay
+                    # NULL — they would need the decode we refuse to
+                    # fake (llm/mp3.py module docstring)
+                    meta = _probe_audio_meta(b)
+                    if meta is None:
+                        meta = (None, None, None)
+                    rate, n_ch, dur = meta
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(n_ch)
+                    out["n_samples"].append(None)
+                    out["duration_s"].append(
+                        round(dur, 6) if dur is not None else None
+                    )
+                    out["rms"].append(None)
                     continue
                 rate, n_ch, frames = dec
                 n_samples = frames.shape[0]

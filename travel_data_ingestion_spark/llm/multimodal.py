@@ -18,12 +18,14 @@ of the same pixels hash identically, and a JPEG re-encode lands within
 a few bits), and audio parses for real too (decode_audio — WAV with
 integer PCM / IEEE float / G.711 mu-law+a-law / extensible, AIFF/AIFC,
 Sun AU, native FLAC, and Ogg — Ogg-FLAC decodes completely through
-the RFC 3533 demux in llm/ogg.py; mp3 and Ogg-Opus yield header-true
-metadata via llm/mp3.py's frame walk / the Ogg granule clock with PCM
+the RFC 3533 demux in llm/ogg.py, Ogg-Vorbis decodes completely via
+llm/vorbis.py (in-band codebooks, floor1, residue 0-2, coupling,
+IMDCT); mp3 and Ogg-Opus yield header-true metadata via llm/mp3.py's
+frame walk / the Ogg granule clock with PCM
 honestly gated — feeding extract_audio_features and a
 container-invariant audio pHash). resize_images nearest-resamples decodable payloads
 and re-encodes in the source container. Formats that genuinely need a
-codec absent from this environment (mp3/opus/vorbis PCM, INTER-frame video
+codec absent from this environment (mp3/opus PCM, INTER-frame video
 coding — key frames of VP8 WebM / animated WebP decode for real via
 decode_webm/decode_webp_anim on llm/vp8.py, and MJPEG/DIB AVI and
 raw Y4M decode via decode_avi/decode_y4m,

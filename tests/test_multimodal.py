@@ -91,9 +91,9 @@ def test_phash_pairs_are_perceptual_not_byte_level():
     # arithmetic-JPEG) = 3, delta clique of 3 (PPM/GIF/P3) = 3,
     # epsilon netpbm clique of 4 (P1/P2/P4/P5) = 6, zeta lossy-WebP
     # clique of 3 (VP8 stream + its PPM re-render + PNG) = 3, audio
-    # clique of 8 (WAV/FLAC/AIFF/AU/mu-law/IMA/MS-ADPCM/half-gain)
-    # = 28 -> every clique fully connected
-    assert len(pairs) == 55 + 1 + 3 + 3 + 6 + 3 + 28
+    # clique of 10 (WAV/FLAC/AIFF/AU/mu-law/IMA/MS-ADPCM/half-gain/
+    # Ogg-FLAC/Ogg-Vorbis) = 45 -> every clique fully connected
+    assert len(pairs) == 55 + 1 + 3 + 3 + 6 + 3 + 45
     # at least one NON-ZERO hamming pair: genuinely near, not identical
     assert any(h > 0 for _a, _b, h in pairs)
     # no accidental image<->audio cross pairs

@@ -97,8 +97,9 @@ def test_mixed_modalities_share_one_index(spark, tmp_path):
             signature_fn=audio_phash_signatures,
         )
     )
-    # the WAV/FLAC/AIFF/AU/mu-law/IMA/MS-ADPCM/half-gain clique of 8
-    assert len(aud_pairs) == 28
+    # the WAV/FLAC/AIFF/AU/mu-law/IMA/MS-ADPCM/half-gain/Ogg-FLAC/
+    # Ogg-Vorbis clique of 10
+    assert len(aud_pairs) == 45
     assert all(a >= 4_000_000_000 and b >= 4_000_000_000 for a, b, _h in aud_pairs)
     assert img_pairs and not (img_pairs & aud_pairs)
 

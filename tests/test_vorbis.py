@@ -544,6 +544,150 @@ def _rand_frame(rng, long_block, n_ch, res_type, allow_unused=False):
 
 
 # ---------------------------------------------------------------------------
+# fixture-grade encoder for REAL mono PCM (used by
+# tools/gen_media_fixtures.py to pin the mm03 audio-clique Ogg-Vorbis
+# member; the clique is graded by decode->pHash membership, so unlike
+# the round-trip tests above this helper may lean on module constants)
+
+
+def encode_pcm_mono(x, rate: int = 8000):
+    """Encode float PCM in [-1, 1) as a real lossy Vorbis stream:
+    all-short 64-sample blocks, flat floor, 6-bit-quantized residue
+    through a 64-level lookup-1 book. Returns the packet list; decoded
+    length (before granule trim) is 32 * n_frames_minus_1 aligned so
+    emitted sample 0 corresponds to source sample 0."""
+    x = np.asarray(x, dtype=np.float64)
+    n, m, hop = 64, 32, 32
+    jj = np.arange(n).reshape(-1, 1)
+    kk = np.arange(m).reshape(1, -1)
+    M = np.cos(np.pi / (2 * n) * (2 * jj + 1 + n / 2) * (2 * kk + 1))
+    i = np.arange(n)
+    w = np.sin(0.5 * np.pi * np.sin((i + 0.5) / n * np.pi) ** 2)
+    # analysis frames at offsets -hop, 0, hop, ... (TDAC: X = 4/n M^T w x)
+    starts = list(range(-hop, len(x) + hop, hop))
+    specs = []
+    for s in starts:
+        seg = np.zeros(n)
+        a, b = max(s, 0), min(s + n, len(x))
+        if b > a:
+            seg[a - s : b - s] = x[a:b]
+        specs.append((4.0 / n) * (M.T @ (w * seg)))
+    from travel_data_ingestion_spark.llm.vorbis import _inverse_db_table
+
+    # per-frame flat floor chosen from the 64 quantized-dB levels so
+    # the 6-bit residue grid always spans just past the frame's peak
+    table = _inverse_db_table()
+    ys = []
+    resid = []
+    for sp in specs:
+        peak = float(np.abs(sp).max())
+        if peak == 0.0:
+            ys.append(0)
+            resid.append(sp)
+            continue
+        yv = int(np.searchsorted(table[::4], peak * 0.999))
+        yv = min(yv, 63)
+        ys.append(yv)
+        resid.append(sp / table[yv * 4])
+    minv, delta = -1.0, 2.0 / 255
+
+    # ident: blocksizes 64/64, one mode
+    wi = _W()
+    wi.w(1, 8)
+    for b in b"vorbis":
+        wi.w(b, 8)
+    wi.w(0, 32)
+    wi.w(1, 8)
+    wi.w(rate, 32)
+    wi.w(0, 96)
+    wi.w(6, 4)
+    wi.w(6, 4)
+    wi.w(1, 1)
+
+    ws = _W()
+    ws.w(5, 8)
+    for b in b"vorbis":
+        ws.w(b, 8)
+    ws.w(2 - 1, 8)
+    _book_scalar(ws, [2, 2, 2, 2], dims=2)     # book 0: classbook
+    _book_vq(ws, [8] * 256, 1, minv, delta, list(range(256)), 8)  # book 1
+    ws.w(0, 6)
+    ws.w(0, 16)
+    ws.w(0, 6)   # 1 floor
+    ws.w(1, 16)
+    ws.w(0, 5)   # 0 partitions -> X list is just [0, 1<<rangebits]
+    ws.w(4 - 1, 2)
+    ws.w(6, 4)
+    ws.w(0, 6)   # 1 residue
+    ws.w(1, 16)
+    ws.w(0, 24)
+    ws.w(32, 24)
+    ws.w(PSIZE - 1, 24)
+    ws.w(2 - 1, 6)
+    ws.w(0, 8)   # classbook = book 0
+    ws.w(0, 3)
+    ws.w(0, 1)   # class 0: silent
+    ws.w(1, 3)
+    ws.w(0, 1)   # class 1: pass 0
+    ws.w(1, 8)   # -> book 1
+    ws.w(0, 6)   # 1 mapping
+    ws.w(0, 16)
+    ws.w(0, 1)
+    ws.w(0, 1)
+    ws.w(0, 2)
+    ws.w(0, 8)
+    ws.w(0, 8)
+    ws.w(0, 8)
+    ws.w(0, 6)   # 1 mode (short)
+    ws.w(0, 1)
+    ws.w(0, 16)
+    ws.w(0, 16)
+    ws.w(0, 8)
+    ws.w(1, 1)
+
+    cbook = _codewords([2, 2, 2, 2])
+    pkts = [wi.bytes(), _comment_packet(), ws.bytes()]
+    for yv, r in zip(ys, resid):
+        v = np.clip(np.round((r - minv) / delta), 0, 255).astype(int)
+        wp = _W()
+        wp.w(0, 1)           # audio (1 mode -> zero mode bits)
+        wp.w(1, 1)           # floor nonzero
+        wp.w(yv, 6)
+        wp.w(yv, 6)
+        for pc in range(0, 4, 2):  # classwords cover 2 partitions each
+            wp.code(*cbook[3])     # both partitions class 1
+            for p in (pc, pc + 1):
+                for kidx in range(p * PSIZE, (p + 1) * PSIZE):
+                    wp.code(int(v[kidx]), 8)  # flat 8-bit book
+        pkts.append(wp.bytes())
+    return pkts
+
+
+def test_fixture_encoder_real_clip_snr_and_phash():
+    from travel_data_ingestion_spark.llm.multimodal import audio_phash_bytes
+    from travel_data_ingestion_spark.queries.llm_multimodal import (
+        _env_clip,
+        _wav_pcm16,
+    )
+
+    clip = np.asarray(_env_clip(), dtype=np.float64)
+    x = clip / 32768.0
+    pkts = encode_pcm_mono(x)
+    got = decode_vorbis(pkts, final_granule=len(x))
+    assert got is not None and got[0] == RATE and got[1] == 1
+    pcm = got[2][:, 0]
+    assert pcm.shape[0] == len(x)
+    err = pcm - x
+    snr = 10 * np.log10((x ** 2).mean() / max((err ** 2).mean(), 1e-30))
+    assert snr > 25.0, snr  # real lossy coding, not noise
+    # the Ogg-wrapped stream joins the audio near-dup clique
+    ogg = _mux(pkts, final_granule=len(x))
+    h_v = audio_phash_bytes(ogg)
+    h_w = audio_phash_bytes(_wav_pcm16(clip.astype("int64")))
+    assert bin((h_v ^ h_w) & ((1 << 64) - 1)).count("1") <= 3
+
+
+# ---------------------------------------------------------------------------
 # tests
 
 

@@ -159,7 +159,32 @@ def cases() -> list[tuple[str, bytes, object]]:
             ML.VIDEO_AWEBP_13F,
             decode_webp_anim,
         ),
+        (
+            "Ogg-FLAC (64k samples)",
+            _ogg_flac_payload(clip),
+            decode_audio,
+        ),
+        (
+            "Ogg-Vorbis (64k samples)",
+            _ogg_vorbis_payload(clip),
+            decode_audio,
+        ),
     ]
+
+
+def _ogg_flac_payload(clip) -> bytes:
+    from test_ogg import _ogg_flac
+
+    return _ogg_flac(_flac_verbatim16(clip), final_granule=len(clip),
+                     split_audio=4)
+
+
+def _ogg_vorbis_payload(clip) -> bytes:
+    from test_ogg import _mux
+    from test_vorbis import encode_pcm_mono
+
+    pkts = encode_pcm_mono(np.asarray(clip, dtype=np.float64) / 32768.0)
+    return _mux(pkts, final_granule=len(clip))
 
 
 def _webp_noise() -> bytes:

@@ -23,6 +23,9 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 from test_audio_formats import _ima_encode, _wav_ms  # noqa: E402
+from test_ogg import _mux as _ogg_mux  # noqa: E402
+from test_ogg import _ogg_flac  # noqa: E402
+from test_vorbis import encode_pcm_mono  # noqa: E402
 from test_bmp_pnm import _bmp, _ico, _ico_dib  # noqa: E402
 from test_gif import _gif  # noqa: E402
 from test_tiff import (  # noqa: E402
@@ -81,6 +84,29 @@ def audio_ima_wav() -> bytes:
     body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def audio_ogg_flac() -> bytes:
+    """Ogg-FLAC rendering of the audio-clique clip: the clip's verbatim
+    native FLAC frames re-framed per the xiph Ogg-FLAC mapping, audio
+    split across three packets / small pages so the graded path
+    exercises cross-page packet continuation."""
+    from travel_data_ingestion_spark.queries.llm_multimodal import (
+        _flac_verbatim16,
+    )
+
+    native = _flac_verbatim16(_clique_clip())
+    return _ogg_flac(native, max_segs=64, final_granule=2000, split_audio=3)
+
+
+def audio_ogg_vorbis() -> bytes:
+    """Real lossy Ogg-Vorbis rendering of the audio-clique clip via the
+    fixture-grade constrained encoder in tests/test_vorbis.py (all-short
+    blocks, per-frame adaptive flat floor, 8-bit residue grid; ~34 dB
+    SNR — envelope intact, so the audio pHash lands in the clique)."""
+    x = np.asarray(_clique_clip(), dtype=np.float64) / 32768.0
+    pkts = encode_pcm_mono(x)
+    return _ogg_mux(pkts, serial=0x5662, final_granule=2000)
 
 
 def gamma_jpeg_arith() -> bytes:
@@ -262,6 +288,20 @@ def main() -> None:
             "tests/test_audio_formats._wav_ms over the audio-clique clip,"
             " block_align 256 (500 samples/block x 4 = the clip's 2000 frames)",
             _wav_ms(np.asarray(_clique_clip()), 1, block_align=256),
+        ),
+        (
+            "AUDIO_OGG_FLAC",
+            "tests/test_ogg._ogg_flac (independent RFC 3533 muxer) around"
+            " the clip's verbatim native FLAC, 3 audio packets over small"
+            " pages (cross-page continuation in the graded path)",
+            audio_ogg_flac(),
+        ),
+        (
+            "AUDIO_OGG_VORBIS",
+            "tests/test_vorbis.encode_pcm_mono over the audio-clique clip"
+            " (real lossy Vorbis: all-short blocks, per-frame adaptive"
+            " floor, 8-bit residue grid) in tests/test_ogg._mux pages",
+            audio_ogg_vorbis(),
         ),
         (
             "VIDEO_GIF_23F",

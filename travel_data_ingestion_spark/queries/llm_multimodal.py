@@ -166,9 +166,11 @@ def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   delta (3): posterized PPM, its lossless GIF, and an ascii P3.
 #   epsilon (4): one bilevel pattern through netpbm P1/P4 (bilevel)
 #     and P2/P5 (gray) — identical decoded pixels.
-#   audio (8): one clip through WAV, native FLAC, AIFF, Sun AU, a
+#   audio (10): one clip through WAV, native FLAC, AIFF, Sun AU, a
 #     G.711 mu-law AU (lossy companding), IMA-ADPCM and MS-ADPCM WAVs
-#     (4-bit predictive coding), and a half-gain re-level.
+#     (4-bit predictive coding), a half-gain re-level, an Ogg-FLAC
+#     (same verbatim frames re-framed in RFC 3533 pages), and a REAL
+#     lossy Ogg-Vorbis (llm/vorbis.py full decode path).
 # Matches only real perceptual hashes over real decodes can make.
 # Image IDs start at 3e9 (above real doc_ids and other fixtures'
 # 1e9/2e9 blocks), audio at 4e9, video at 5e9.
@@ -620,16 +622,19 @@ def _au_ulaw(x, rate: int = 8000) -> bytes:
 
 
 def planted_audio_media() -> list[tuple[int, bytes]]:
-    """Planted audio payloads: the SAME clip through eight renderings —
+    """Planted audio payloads: the SAME clip through ten renderings —
     WAV, native FLAC, AIFF, Sun AU (big-endian PCM16), a G.711 mu-law
     AU (lossy companding — real telephony re-encode), IMA/DVI and
     Microsoft ADPCM WAVs (4-bit predictive coding, pinned literals
-    sized to the clip's exact 2000 frames), and a half-gain WAV
-    re-level — all hashing within the near-dup threshold
-    (audio_phash_bytes is container- and gain-invariant; companding
-    noise is ~38 dB down, far below the envelope bits), so mm03's one
-    pair generator grades audio near-dup across every decodable audio
-    container."""
+    sized to the clip's exact 2000 frames), a half-gain WAV re-level,
+    an Ogg-FLAC (RFC 3533 pages around the same verbatim FLAC frames,
+    split mid-packet across pages), and a real lossy Ogg-Vorbis
+    (llm/vorbis.py decode path: in-band codebooks, adaptive floor,
+    8-bit residue grid, ~34 dB SNR) — all hashing within the near-dup
+    threshold (audio_phash_bytes is container- and gain-invariant;
+    companding/transform noise is far below the envelope bits), so
+    mm03's one pair generator grades audio near-dup across every
+    decodable audio container."""
     from travel_data_ingestion_spark.queries import media_literals as ML
 
     x = _env_clip()
@@ -642,6 +647,8 @@ def planted_audio_media() -> list[tuple[int, bytes]]:
         (_PLANTED_AUDIO_BASE_ID + 5, _au_ulaw(x)),
         (_PLANTED_AUDIO_BASE_ID + 6, ML.AUDIO_IMA_WAV),
         (_PLANTED_AUDIO_BASE_ID + 7, ML.AUDIO_MS_ADPCM_WAV),
+        (_PLANTED_AUDIO_BASE_ID + 8, ML.AUDIO_OGG_FLAC),
+        (_PLANTED_AUDIO_BASE_ID + 9, ML.AUDIO_OGG_VORBIS),
     ]
 
 
@@ -703,7 +710,10 @@ def _phash_dedup_oracle() -> str:
     "re-encode (llm/vp8.py full key-frame decode — the base IS the "
     "stream's decode, so the lossy member sits at hamming 0), "
     "and one audio clip across WAV/FLAC/AIFF/AU, G.711 mu-law, "
-    "IMA-ADPCM and MS-ADPCM re-encodes, and a half-gain re-level — "
+    "IMA-ADPCM and MS-ADPCM re-encodes, a half-gain re-level, an "
+    "Ogg-FLAC (RFC 3533 demux + bit-exact FLAC re-framing, packets "
+    "split across pages), and a REAL lossy Ogg-Vorbis (llm/vorbis.py: "
+    "in-band codebooks, floor1, residue, IMDCT) — "
     "matches no byte digest can "
     "make. Oracle = the planted pairs as literals computed at import "
     "by the same pure hash functions (sim02's literal-coefficient "
@@ -777,8 +787,9 @@ def _media_clusters_oracle() -> str:
     "cluster, a "
     "size-4 netpbm bilevel cluster, a size-3 gamma cluster (a PPM "
     "with its Huffman- and arithmetic-JPEG re-encodes), a size-2 beta "
-    "cluster, and a size-8 audio cluster "
-    "(WAV/FLAC/AIFF/AU/mu-law/IMA/MS-ADPCM/re-leveled) every round, "
+    "cluster, and a size-10 audio cluster "
+    "(WAV/FLAC/AIFF/AU/mu-law/IMA/MS-ADPCM/re-leveled/Ogg-FLAC/"
+    "Ogg-Vorbis) every round, "
     "keeping the row "
     "non-vacuous. "
     "Propagation runs over edge endpoints only (O(pairs) per pass, "

@@ -153,10 +153,23 @@ MIME_BY_EXT = {
     "wav": "audio/wav",
     "mp3": "audio/mpeg",
     "flac": "audio/flac",
+    "ogg": "audio/ogg",
+    "oga": "audio/ogg",
+    "opus": "audio/opus",
+    "aif": "audio/aiff",
+    "aiff": "audio/aiff",
+    "au": "audio/basic",
+    "m4a": "audio/mp4",
+    "avif": "image/avif",
+    "heic": "image/heic",
+    "heif": "image/heif",
     "avi": "video/x-msvideo",
     "mp4": "video/mp4",
+    "m4v": "video/mp4",
+    "mov": "video/quicktime",
     "webm": "video/webm",
     "mkv": "video/x-matroska",
+    "y4m": "video/x-yuv4mpeg",
 }
 
 
@@ -1858,10 +1871,25 @@ def extract_features(media: DataFrame) -> DataFrame:
             digests = [hashlib.md5(bytes(p)).digest() for p in payloads]
             dims = []
             for p, d in zip(payloads, digests):
-                dec = decode_image(bytes(p))
-                # real parse for decodable media (PPM header / PNG
-                # IHDR); digest-derived stub only for opaque bytes
-                dims.append((dec[0], dec[1]) if dec else _dims_from_digest(d))
+                b = bytes(p)
+                dec = decode_image(b)
+                if dec:
+                    # real parse for decodable media (PPM header / PNG
+                    # IHDR, ... every shipped decoder)
+                    dims.append((dec[0], dec[1]))
+                    continue
+                if len(b) >= 16 and b[4:8] == b"ftyp":
+                    # AVIF/HEIC/MP4: header-true dims (ispe / tkhd) even
+                    # though pixel decode is gated (llm/isobmff.py)
+                    from travel_data_ingestion_spark.llm.isobmff import (
+                        probe_dims,
+                    )
+
+                    got = probe_dims(b)
+                    if got is not None:
+                        dims.append(got)
+                        continue
+                dims.append(_dims_from_digest(d))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -2410,6 +2438,11 @@ def _probe_audio_meta(payload: bytes):
         if got is not None:
             _codec, rate, n_ch, dur = got
             return rate, n_ch, dur
+        return None
+    if len(payload) >= 16 and payload[4:8] == b"ftyp":
+        from travel_data_ingestion_spark.llm.isobmff import probe_mp4_audio
+
+        return probe_mp4_audio(payload)  # the M4A / MP4-audio case
     return None
 
 

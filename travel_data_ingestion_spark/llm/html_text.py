@@ -1,0 +1,136 @@
+"""HTML -> text extraction for crawl-scale training-data pipelines.
+
+Pure stdlib (``html.parser.HTMLParser``): no external deps, total on
+malformed markup (real crawls are full of unclosed tags and soup).
+Semantics the tests pin:
+
+- ``script``/``style``/``noscript``/``template``/``iframe``/``svg``
+  subtrees contribute NOTHING (their text is code, not prose) but ARE
+  word boundaries — ``a<script>..</script>b`` must not read "ab";
+- character/entity references decode (``convert_charrefs``);
+- comments and attribute values are dropped; ``alt`` text is not
+  promoted (deliberate: alt-text mining is a different operator);
+- the first ``<title>`` becomes the title and stays OUT of the body;
+- block-level boundaries (p/div/li/h*/tr/br/...) become whitespace, so
+  "<p>a</p><p>b</p>" reads "a b", never "ab";
+- the returned body text is single-space collapsed (the canonical form
+  the dedup/quality operators downstream expect — and the form a SQL
+  oracle can reproduce with one regexp_replace);
+- ``n_links`` counts anchor tags carrying an href.
+
+At 100 TB: extraction is map-only (Arrow-batched over the html column
+in queries/llm_text.py); raw HTML crosses to Python once and only the
+extracted fields return.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+_DROP = frozenset(
+    ("script", "style", "noscript", "template", "iframe", "svg", "math")
+)
+_BLOCK = frozenset(
+    ("p", "div", "br", "li", "ul", "ol", "dl", "dt", "dd", "h1", "h2",
+     "h3", "h4", "h5", "h6", "tr", "td", "th", "table", "thead", "tbody",
+     "section", "article", "header", "footer", "nav", "aside",
+     "blockquote", "pre", "hr", "form", "figure", "figcaption", "main")
+)
+
+_WS = re.compile(r"\s+")
+
+
+class _Extractor(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self.title_chunks: list[str] = []
+        self.drop_depth = 0
+        self.in_title = False
+        self.title_done = False
+        self.n_links = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP:
+            # a dropped subtree is a word boundary: "a<script>..</script>b"
+            # must not read "ab"
+            self.chunks.append(" ")
+            self.drop_depth += 1
+            return
+        if tag == "title" and not self.title_done:
+            self.in_title = True
+        if tag == "a" and any(k == "href" for k, _v in attrs):
+            self.n_links += 1
+        if tag in _BLOCK:
+            self.chunks.append(" ")
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag in _DROP:
+            self.drop_depth = max(0, self.drop_depth - 1)
+            return
+        if tag == "title":
+            self.in_title = False
+            self.title_done = True
+        if tag in _BLOCK:
+            self.chunks.append(" ")
+
+    def handle_data(self, data):
+        if self.drop_depth:
+            return
+        if self.in_title:
+            self.title_chunks.append(data)
+        else:
+            self.chunks.append(data)
+
+
+def extract_html(html: str):
+    """(title, text, n_links) from an HTML string; total — malformed
+    markup yields best-effort text, never an exception."""
+    try:
+        p = _Extractor()
+        p.feed(html)
+        p.close()
+        title = _WS.sub(" ", "".join(p.title_chunks)).strip()
+        text = _WS.sub(" ", "".join(p.chunks)).strip()
+        return title, text, p.n_links
+    except Exception:  # HTMLParser can raise on pathological input
+        return "", "", 0
+
+
+def html_extract(df, html_col: str = "html"):
+    """Arrow-batched HTML->text over a DataFrame with (doc_id, html):
+    returns (doc_id, title, text, n_links). Map-only — the raw HTML
+    crosses to Python once per batch; only extracted fields return."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_links", T.IntegerType()),
+        ]
+    )
+    cols = df.select("doc_id", html_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [extract_html(h) for h in pdf[html_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "title": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                    "n_links": pd.array([r[2] for r in rows],
+                                        dtype="int32"),
+                }
+            )
+
+    return cols.mapInPandas(batches, schema=schema)

@@ -109,6 +109,7 @@ def all_queries() -> dict[str, QuerySpec]:
     their modules unchanged; the suites only re-render their outputs."""
     # Import side-effect populates the registry.
     from travel_data_ingestion_spark.queries import (  # noqa: F401
+        llm_crawl,
         llm_curation,
         llm_dedup,
         llm_multimodal,

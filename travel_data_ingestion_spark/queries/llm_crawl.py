@@ -1,0 +1,276 @@
+"""Crawl-ingestion queries: HTML -> text extraction and WARC records.
+
+The two edges every web-scale training-data pipeline starts with,
+driver-graded: t15 runs the real HTML extractor (llm/html_text.py,
+stdlib HTMLParser) over an invertible JVM-rendered HTML wrapping of
+the WHOLE documents corpus plus hand-adversarial planted markup whose
+expected extractions are hand-written literals; t16 parses a planted
+.warc.gz (per-record gzip members, chunked and gzip-coded HTTP bodies)
+into typed record rows against hand-written expected values — the
+full WARC -> HTTP -> HTML -> text chain in one graded row.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from travel_data_ingestion_spark.queries import load_table, register
+
+# ---------------------------------------------------------------------------
+# t15: HTML extraction
+#
+# Corpus wrapping (JVM-side, Catalyst concat — Python never sees the
+# template): escape &<> in text, embed in a template with a styled
+# head, an h1, a script containing fake markup, one anchor, and an
+# entity in the tail. Extraction must invert all of it, so the oracle
+# is one whitespace-collapse over the UNESCAPED original — escape ->
+# parse -> unescape is the identity.
+
+_PLANTED_HTML: list[tuple[int, str, str, str, int]] = [
+    # (doc_id, html, expected_title, expected_text, expected_n_links)
+    (
+        9_000_000_001,
+        '<html><head><title> Tricky &amp; Co. </title></head><body>'
+        '<p>A&nbsp;B &lt;tag&gt; &#65;&#x42;</p><!-- comment out -->'
+        '<div>c<br>d</div><noscript><p>hidden</p></noscript>'
+        '<ul><li>one</li><li>two</li></ul>'
+        '<a href="http://x">x</a> and <a name="y">y</a></body></html>',
+        "Tricky & Co.",
+        'A B <tag> AB c d one two x and y',
+        1,
+    ),
+    (
+        9_000_000_002,
+        '<p>unclosed <b>bold<div>block'
+        '<script>var s = "<p>not text</p>";</script>tail',
+        "",
+        "unclosed bold block tail",
+        0,
+    ),
+    (
+        9_000_000_003,
+        '<HTML><BODY><P CLASS="x">Upper &quot;case&quot; tags</P>'
+        '<img src="i.png" alt="alt text"/><br/>after</BODY></HTML>',
+        "",
+        'Upper "case" tags after',
+        0,
+    ),
+    (
+        9_000_000_004,
+        '<style>p{x}</style>plain text only &copy; 2026',
+        "",
+        "plain text only © 2026",
+        0,
+    ),
+]
+
+
+def _corpus_html() -> F.Column:
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit('<html><head><title>Doc '), did,
+        F.lit('</title><style>p{color:red}</style></head><body><h1>Doc '),
+        did,
+        F.lit('</h1><p>'), esc,
+        F.lit('</p><script>var t="<p>no</p>";</script>'
+              '<a href="/r">ref</a> tail &amp; done</body></html>'),
+    )
+
+
+def _planted_values_sql() -> str:
+    rows = []
+    for did, _html, title, text, n_links in _PLANTED_HTML:
+        t = title.replace("'", "''")
+        x = text.replace("'", "''")
+        rows.append(
+            f"(CAST({did} AS BIGINT), '{t}', '{x}', CAST({n_links} AS INT))"
+        )
+    return ",\n        ".join(rows)
+
+
+@register(
+    "t15_html_extract",
+    f"""
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           trim(regexp_replace(
+               'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+                      || ' ref tail & done',
+               '\\s+', ' ', 'g')) AS text,
+           CAST(1 AS INT) AS n_links
+    FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES
+        {_planted_values_sql()}
+    ) AS planted(doc_id, title, text, n_links)
+    """,
+    survey_ops=("X-CRAWL-1",),
+    doc="HTML -> text extraction (llm/html_text.py, stdlib HTMLParser: "
+    "script/style/noscript subtrees dropped with word-boundary "
+    "semantics, entities decoded, comments/attributes ignored, title "
+    "captured separately, block tags as whitespace, single-space "
+    "collapse, href-anchor count). Graded two ways in one row: the "
+    "WHOLE corpus wrapped in an invertible JVM-rendered template "
+    "(escape -> parse -> unescape is the identity, so the oracle is "
+    "one regexp whitespace-collapse over the original text), plus "
+    "hand-adversarial planted markup (nested unclosed tags, fake "
+    "markup inside script CDATA, numeric/named entities, &nbsp; as "
+    "unicode whitespace, uppercase tags, self-closing void tags) "
+    "whose expected extractions are HAND-WRITTEN literals — the "
+    "expectation is independent of the extractor. Map-only "
+    "Arrow-batched mapInPandas; raw HTML crosses to Python once.",
+)
+def t15_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.llm.html_text import html_extract
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", _corpus_html().alias("html"))
+    planted = spark.createDataFrame(
+        [(did, html) for did, html, _t, _x, _n in _PLANTED_HTML],
+        "doc_id long, html string",
+    )
+    return html_extract(corpus.unionByName(planted))
+
+
+# ---------------------------------------------------------------------------
+# t16: WARC records
+#
+# The planted archive is built at import from fixed strings with
+# deterministic gzip (mtime=0) — one gzip member per record, the
+# Common Crawl layout — and covers: warcinfo, request, a plain HTTP
+# response, a chunked-transfer response, a gzip-content-coded
+# response, a 404 text/plain, a resource record, and a revisit. The
+# oracle rows are hand-written (lengths counted from the fixed body
+# strings), so parser and expectation share nothing but the format
+# spec. tests/test_warc_html.py additionally pins one record's RAW
+# BYTES hand-assembled without the builder.
+
+_B3 = b"<html><head><title>T3</title></head><body><p>Hello crawl world one</p></body></html>"
+_B4 = b"<html><body><p>chunked body decoded</p></body></html>"
+_B5 = b"<html><body><p>gzip content decoded</p></body></html>"
+_B6 = b"not found  here"  # double space: collapse is graded
+_B7 = b"raw resource\n"
+
+
+def _rec(headers: dict, body: bytes) -> bytes:
+    head = (
+        "WARC/1.0\r\n"
+        + "".join(f"{k}: {v}\r\n" for k, v in headers.items())
+        + f"Content-Length: {len(body)}\r\n\r\n"
+    )
+    return head.encode() + body + b"\r\n\r\n"
+
+
+def planted_warc_gz() -> bytes:
+    r3 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(_B3)
+    ) + _B3
+    c1, c2 = _B4[:20], _B4[20:]
+    r4 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        + hex(len(c1))[2:].encode() + b"\r\n" + c1 + b"\r\n"
+        + hex(len(c2))[2:].encode() + b"\r\n" + c2 + b"\r\n0\r\n\r\n"
+    )
+    g5 = gzip.compress(_B5, mtime=0)
+    r5 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\nContent-Length: %d\r\n\r\n" % len(g5)
+    ) + g5
+    r6 = b"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\n" + _B6
+    records = [
+        _rec({"WARC-Type": "warcinfo",
+              "Content-Type": "application/warc-fields"},
+             b"software: spark-graft test\r\n"),
+        _rec({"WARC-Type": "request",
+              "WARC-Target-URI": "http://example.com/a",
+              "Content-Type": "application/http;msgtype=request"},
+             b"GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n"),
+        _rec({"WARC-Type": "response",
+              "WARC-Target-URI": "http://example.com/a",
+              "Content-Type": "application/http;msgtype=response"}, r3),
+        _rec({"WARC-Type": "response",
+              "WARC-Target-URI": "http://example.com/b",
+              "Content-Type": "application/http; msgtype=response"}, r4),
+        _rec({"WARC-Type": "response",
+              "WARC-Target-URI": "http://example.com/c",
+              "Content-Type": "application/http;msgtype=response"}, r5),
+        _rec({"WARC-Type": "response",
+              "WARC-Target-URI": "http://example.com/d",
+              "Content-Type": "application/http;msgtype=response"}, r6),
+        _rec({"WARC-Type": "resource",
+              "WARC-Target-URI": "http://example.com/e",
+              "Content-Type": "text/plain"}, _B7),
+        _rec({"WARC-Type": "revisit",
+              "WARC-Target-URI": "http://example.com/a"}, b""),
+    ]
+    return b"".join(gzip.compress(r, mtime=0) for r in records)
+
+
+# hand-written expected rows: (ordinal, type, uri, status, http_ct,
+# n_body_bytes, text_head). Body lengths counted from the strings
+# above: _B3 84, _B4 53, _B5 53, _B6 15, _B7 13.
+_WARC_EXPECTED = """
+    (0, 'warcinfo', NULL, NULL, NULL, NULL, NULL),
+    (1, 'request', 'http://example.com/a', NULL, NULL, NULL, NULL),
+    (2, 'response', 'http://example.com/a', 200,
+     'text/html; charset=utf-8', 84, 'Hello crawl world one'),
+    (3, 'response', 'http://example.com/b', 200, 'text/html', 53,
+     'chunked body decoded'),
+    (4, 'response', 'http://example.com/c', 200, 'text/html', 53,
+     'gzip content decoded'),
+    (5, 'response', 'http://example.com/d', 404, 'text/plain', 15,
+     'not found here'),
+    (6, 'resource', 'http://example.com/e', NULL, NULL, 13,
+     'raw resource'),
+    (7, 'revisit', 'http://example.com/a', NULL, NULL, NULL, NULL)
+"""
+
+
+@register(
+    "t16_warc_records",
+    f"""
+    SELECT CAST(1 AS BIGINT) AS warc_id,
+           CAST(ordinal AS INT) AS ordinal,
+           rec_type,
+           target_uri,
+           CAST(http_status AS INT) AS http_status,
+           http_content_type,
+           CAST(n_body_bytes AS BIGINT) AS n_body_bytes,
+           text_head
+    FROM (VALUES
+        {_WARC_EXPECTED}
+    ) AS warc(ordinal, rec_type, target_uri, http_status,
+              http_content_type, n_body_bytes, text_head)
+    """,
+    survey_ops=("X-CRAWL-2",),
+    doc="WARC crawl-archive ingestion (llm/warc.py, ISO 28500): "
+    "per-record gzip members (the Common Crawl layout), WARC header "
+    "parse, HTTP response parse INCLUDING chunked transfer decoding "
+    "and gzip content decoding, then HTML -> text on text/html bodies "
+    "— the full WARC -> HTTP -> HTML -> text chain in one graded row "
+    "(warcinfo/request/response/resource/revisit all typed). Oracle = "
+    "hand-written record literals (lengths counted from the fixed "
+    "body strings), independent of the parser; one record's raw bytes "
+    "are additionally hand-assembled without the builder in "
+    "tests/test_warc_html.py. Map-only explode: a 1 GB archive is one "
+    "task, payload bytes never shuffle.",
+)
+def t16_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.llm.warc import warc_records
+
+    archives = spark.createDataFrame(
+        [(1, bytearray(planted_warc_gz()))], "warc_id long, payload binary"
+    )
+    return warc_records(archives)

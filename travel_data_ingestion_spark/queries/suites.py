@@ -136,11 +136,14 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "t04_fingerprint",
             "t07_bpe_regex_tokens",
             "t13_doc_chunking",
+            "t15_html_extract",
         ],
         "Per-document text-analysis suite: token counts, quality "
         "scoring, language-ID, fingerprinting, BPE-regex tokenization, "
         "fixed-window token chunking with overlap — all map-only "
-        "Catalyst expressions.",
+        "Catalyst expressions — plus real HTML -> text extraction "
+        "(stdlib HTMLParser over an invertible corpus wrapping and "
+        "hand-adversarial planted markup).",
     ),
     "su07_text_corpus_suite": (
         [
@@ -151,12 +154,15 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "t10_boilerplate_coverage",
             "t11_unigram_logprob",
             "t12_crossdoc_span_dedup",
+            "t16_warc_records",
         ],
         "Corpus-level text suite: vocabulary statistics, TF-IDF "
         "keyword extraction, training-sequence packing, Gopher-style "
         "repetition stats, cross-document boilerplate coverage, "
         "unigram-LM quality scoring, cross-document repeated-span "
-        "detection (exact-substring dedup family).",
+        "detection (exact-substring dedup family), and WARC crawl-"
+        "archive ingestion (per-record gzip members, chunked/gzip "
+        "HTTP decode, the WARC -> HTTP -> HTML -> text chain).",
     ),
     "su08_incremental_index_suite": (
         [
@@ -279,6 +285,7 @@ def _capture_kinds() -> None:  # pragma: no cover - dev-time generator
     from travel_data_ingestion_spark.queries import (  # noqa: F401 - registry side-effect
         TABLES,
         _REGISTRY,
+        llm_crawl,
         llm_curation,
         llm_dedup,
         llm_multimodal,

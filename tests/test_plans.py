@@ -283,6 +283,17 @@ def test_repetition_stats_is_map_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_crawl_ops_are_map_only(spark):
+    """t15 (HTML extraction) and t16 (WARC explode) must stay shuffle-
+    free: one Arrow-batched Python stage over the payload column, a
+    narrow union for t15's planted docs, zero Exchanges — the shape
+    that makes a 1 GB Common Crawl segment one task at 100 TB."""
+    for name in ("t15_html_extract", "t16_warc_records"):
+        plan = _formatted_plan(spark, name)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan, name  # Arrow, not row-wise
+
+
 def test_mixture_sample_broadcasts_rates(spark):
     """cu07's per-stratum rates table (5 rows) must broadcast back onto
     the corpus scan — the sampling pass itself is map-side."""

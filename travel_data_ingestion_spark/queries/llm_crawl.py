@@ -274,3 +274,84 @@ def t16_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(1, bytearray(planted_warc_gz()))], "warc_id long, payload binary"
     )
     return warc_records(archives)
+
+
+# ---------------------------------------------------------------------------
+# t17: WebDataset tar-shard samples
+#
+# The sharded-tar convention multimodal training sets ship in: members
+# group into samples by basename (000001.jpg + 000001.txt + 000001.json
+# = sample 000001). The planted shard is a deterministic stdlib tar
+# (all metadata zeroed); expected rows are hand-written.
+
+_WDS_MEMBERS: list[tuple[str, bytes]] = [
+    ("000001.jpg", b"\xff\xd8fakejpegbytes\xff\xd9"),
+    ("000001.txt", b"a photo of a travel graph\n"),
+    ("000001.json", b'{"width": 24, "height": 24}'),
+    ("000002.png", b"\x89PNGfake"),
+    ("000002.txt", b"  second caption  "),
+    ("nested/dir/000003.txt", b"solo text sample"),
+    ("000004.flac", b"fLaCfake"),
+    ("000004.cls", b"7"),
+]
+
+
+def planted_webdataset_tar() -> bytes:
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in _WDS_MEMBERS:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+# hand-written expected samples (keys sorted by first appearance;
+# sizes counted from the member strings above)
+_WDS_EXPECTED = """
+    ('000001', 3, 'jpg,json,txt', 70, 'a photo of a travel graph'),
+    ('000002', 2, 'png,txt', 26, 'second caption'),
+    ('nested/dir/000003', 1, 'txt', 16, 'solo text sample'),
+    ('000004', 2, 'cls,flac', 9, '7')
+"""
+
+
+@register(
+    "t17_webdataset_samples",
+    f"""
+    SELECT CAST(3 AS BIGINT) AS archive_id,
+           sample_key,
+           CAST(n_components AS INT) AS n_components,
+           extensions,
+           CAST(total_bytes AS BIGINT) AS total_bytes,
+           text
+    FROM (VALUES
+        {_WDS_EXPECTED}
+    ) AS wds(sample_key, n_components, extensions, total_bytes, text)
+    """,
+    survey_ops=("X-CRAWL-3",),
+    doc="WebDataset tar-shard ingestion (llm/archive.py, stdlib "
+    "tarfile/zipfile with traversal sanitization and per-member/"
+    "per-archive bomb caps): members group into samples by basename, "
+    "text-class components (txt/cls) decode as caption/label "
+    "text, json rides along as a metadata component, "
+    "text, binary components contribute size only. One shard = one "
+    "map task — the exact shape LAION-style sharded multimodal "
+    "training data needs at 100 TB. Oracle = hand-written sample "
+    "literals (sizes counted from the fixed member strings), "
+    "independent of the reader.",
+)
+def t17_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.llm.archive import webdataset_samples
+
+    shards = spark.createDataFrame(
+        [(3, bytearray(planted_webdataset_tar()))],
+        "archive_id long, payload binary",
+    )
+    return webdataset_samples(shards)

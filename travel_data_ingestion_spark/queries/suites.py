@@ -155,14 +155,16 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "t11_unigram_logprob",
             "t12_crossdoc_span_dedup",
             "t16_warc_records",
+            "t17_webdataset_samples",
         ],
         "Corpus-level text suite: vocabulary statistics, TF-IDF "
         "keyword extraction, training-sequence packing, Gopher-style "
         "repetition stats, cross-document boilerplate coverage, "
         "unigram-LM quality scoring, cross-document repeated-span "
-        "detection (exact-substring dedup family), and WARC crawl-"
+        "detection (exact-substring dedup family), WARC crawl-"
         "archive ingestion (per-record gzip members, chunked/gzip "
-        "HTTP decode, the WARC -> HTTP -> HTML -> text chain).",
+        "HTTP decode, the WARC -> HTTP -> HTML -> text chain), and "
+        "WebDataset tar-shard sample grouping.",
     ),
     "su08_incremental_index_suite": (
         [

@@ -355,3 +355,145 @@ def t17_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "archive_id long, payload binary",
     )
     return webdataset_samples(shards)
+
+
+# ---------------------------------------------------------------------------
+# t18: text normalization / mojibake repair
+#
+# The corpus is a VERIFIED fixed point of fix_text (ASCII, no controls
+# — re-checked at sf0.001/0.01/0.1 when this row landed), so the
+# corpus side of the oracle is the identity; the planted side carries
+# hand-written (input, fixed) pairs covering cp1252 and double-encoded
+# mojibake, sloppy-cp1252 C1 bytes, NFC, controls, CRLF, NBSP, and the
+# no-false-fire guarantee for clean text that mentions marker chars.
+
+_PLANTED_MOJIBAKE: list[tuple[int, str, str]] = [
+    (9_100_000_001, "CafÃ©", "Café"),
+    (9_100_000_002, "â€œquotedâ€\x9d â€” dash", "“quoted” — dash"),
+    (9_100_000_003, "CafÃ\x83Â©", "Café"),  # double-encoded
+    (9_100_000_004, "é composed", "é composed"),
+    (9_100_000_005, "a\x00b\x07c\tkeep\r\nnl", "abc\tkeep\nnl"),
+    (9_100_000_006, "nbsp and thin", "nbsp and thin"),
+    (9_100_000_007, "Café already clean", "Café already clean"),
+    (9_100_000_008, "mentions Ã alone", "mentions Ã alone"),
+]
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal: quote doubling; raw control characters are
+    legal inside standard SQL literals and DuckDB takes them as-is."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _mojibake_values_sql() -> str:
+    return ",\n        ".join(
+        f"(CAST({did} AS BIGINT), {_sql_str(fixed)}, "
+        f"{str(src != fixed).upper()})"
+        for did, src, fixed in _PLANTED_MOJIBAKE
+    )
+
+
+@register(
+    "t18_text_normalize",
+    f"""
+    SELECT doc_id, text, FALSE AS was_fixed FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES
+        {_mojibake_values_sql()}
+    ) AS planted(doc_id, text, was_fixed)
+    """,
+    survey_ops=("X-CRAWL-4",),
+    doc="Text normalization / mojibake repair (llm/textnorm.py, the "
+    "C4/CCNet cleanup pass): cp1252-misdecoded UTF-8 repaired via the "
+    "sloppy-cp1252 round trip (fires only when marker characters "
+    "strictly reduce — clean text mentioning 'Ã' survives), iterated "
+    "for double-encoding; Unicode NFC; control-char strip (tab/newline "
+    "kept, CRLF folded); exotic-space fold. Corpus side of the oracle "
+    "is the identity (the corpus is a verified fixed point at all "
+    "three SFs); planted side is hand-written (input, fixed) pairs. "
+    "Map-only Arrow-batched.",
+)
+def t18_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.llm.textnorm import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [(did, src) for did, src, _f in _PLANTED_MOJIBAKE],
+        "doc_id long, text string",
+    )
+    return normalize_text(docs.unionByName(planted))
+
+
+# ---------------------------------------------------------------------------
+# t19: URL canonicalization
+
+_PLANTED_URLS: list[tuple[int, str, str | None]] = [
+    (1, "HTTP://Example.COM:80/a/../b/./c?b=2&a=1&utm_source=x#frag",
+     "http://example.com/b/c?a=1&b=2"),
+    (2, "https://example.com:443/", "https://example.com/"),
+    (3, "https://example.com", "https://example.com/"),
+    (4, "http://example.com./%7Euser/", "http://example.com/~user/"),
+    (5, "http://example.com:8080/p?fbclid=abc&z=1&z=0",
+     "http://example.com:8080/p?z=0&z=1"),
+    (6, "http://example.com/a/b/../../../c", "http://example.com/c"),
+    (7, "http://EXAMPLE.com/a%2Fb/%41", "http://example.com/a%2Fb/A"),
+    (8, "ftp://example.com/x", None),
+    (9, "not a url", None),
+    (10, "https://example.com/path/?q=sp%20ace",
+     "https://example.com/path/?q=sp+ace"),
+]
+
+
+@register(
+    "t19_url_normalize",
+    f"""
+    SELECT CAST(url_id AS BIGINT) AS url_id, url, canonical
+    FROM (VALUES
+        {",".join(
+            f"({uid}, {_sql_str(src)}, "
+            + ("NULL" if want is None else _sql_str(want)) + ")"
+            for uid, src, want in _PLANTED_URLS
+        )}
+    ) AS urls(url_id, url, canonical)
+    """,
+    survey_ops=("X-CRAWL-5",),
+    doc="URL canonicalization for dedup-by-URL (llm/urlnorm.py): "
+    "scheme/host lowercasing, default-port and fragment stripping, "
+    "RFC 3986 dot-segment resolution, unreserved percent-escape "
+    "decoding (%2F stays escaped — it is path-significant), tracking-"
+    "param removal (utm_*/fbclid/gclid/...), stable (key, value) query "
+    "ordering; non-http(s)/unparseable input yields NULL so callers "
+    "group on the canonical column without losing raw URLs. Oracle = "
+    "hand-written canonical forms.",
+)
+def t19_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from travel_data_ingestion_spark.llm.urlnorm import normalize_url
+
+    schema = T.StructType(
+        [
+            T.StructField("url_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("canonical", T.StringType()),
+        ]
+    )
+    urls = spark.createDataFrame(
+        [(uid, src) for uid, src, _w in _PLANTED_URLS],
+        "url_id long, url string",
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "url_id": pdf["url_id"],
+                    "url": pdf["url"],
+                    "canonical": [normalize_url(u) for u in pdf["url"]],
+                }
+            )
+
+    return urls.mapInPandas(batches, schema=schema)

@@ -137,13 +137,18 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "t07_bpe_regex_tokens",
             "t13_doc_chunking",
             "t15_html_extract",
+            "t18_text_normalize",
+            "t19_url_normalize",
         ],
         "Per-document text-analysis suite: token counts, quality "
         "scoring, language-ID, fingerprinting, BPE-regex tokenization, "
         "fixed-window token chunking with overlap — all map-only "
         "Catalyst expressions — plus real HTML -> text extraction "
         "(stdlib HTMLParser over an invertible corpus wrapping and "
-        "hand-adversarial planted markup).",
+        "hand-adversarial planted markup), mojibake/Unicode text "
+        "normalization (corpus = verified fixed point; planted "
+        "cp1252/double-encoded pairs), and URL canonicalization for "
+        "dedup-by-URL.",
     ),
     "su07_text_corpus_suite": (
         [

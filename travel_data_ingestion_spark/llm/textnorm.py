@@ -64,10 +64,24 @@ def _demojibake_once(s: str) -> str | None:
         return None
 
 
+# every non-ASCII Zs codepoint -> plain space (all Zs are in the BMP)
+_ZS_TABLE = {
+    cp: " "
+    for cp in range(0x80, 0x10000)
+    if unicodedata.category(chr(cp)) == "Zs"
+}
+
+
 def fix_text(s: str | None) -> str | None:
     """Normalize one string per the module contract. Total."""
     if not s:
         return s
+    if s.isascii():
+        # the 100 TB-dominant path: ASCII is already NFC, carries no
+        # mojibake markers and no exotic spaces — only controls apply
+        if "\r" in s:
+            s = s.replace("\r\n", "\n").replace("\r", "\n")
+        return _CTRL.sub("", s) if _CTRL.search(s) else s
     # 1) mojibake: only with markers present, only if markers reduce
     for _ in range(3):  # double-encoded needs 2; cap the loop
         before = len(_MOJIBAKE_MARKERS.findall(s))
@@ -83,11 +97,7 @@ def fix_text(s: str | None) -> str | None:
     s = s.replace("\r\n", "\n").replace("\r", "\n")
     s = _CTRL.sub("", s)
     # 4) exotic spaces -> plain space
-    s = "".join(
-        " " if (c != " " and unicodedata.category(c) == "Zs") else c
-        for c in s
-    )
-    return s
+    return s.translate(_ZS_TABLE)
 
 
 def normalize_text(df, text_col: str = "text"):

@@ -165,7 +165,7 @@ def _vq_values():
 
 
 def _setup_packet(n_ch: int, coupling: bool, res_type: int = 1,
-                  res_begin: int = 0, seq_p: int = 0):
+                  res_begin: int = 0, seq_p: int = 0, submaps: int = 1):
     w = _W()
     w.w(5, 8)
     for b in b"vorbis":
@@ -206,19 +206,26 @@ def _setup_packet(n_ch: int, coupling: bool, res_type: int = 1,
     w.w(2, 8)  # class 1, pass 0 -> book 2
     w.w(0, 6)  # 1 mapping
     w.w(0, 16)
+    if submaps > 1:
+        w.w(1, 1)
+        w.w(submaps - 1, 4)
+    else:
+        w.w(0, 1)
     if coupling:
-        w.w(0, 1)  # 1 submap
         w.w(1, 1)  # coupling on
         w.w(0, 8)  # 1 step
         w.w(0, 1)  # magnitude ch 0 (ilog(ch-1)=1 bit)
         w.w(1, 1)  # angle ch 1
     else:
         w.w(0, 1)
-        w.w(0, 1)
     w.w(0, 2)  # reserved
-    w.w(0, 8)  # time placeholder
-    w.w(0, 8)  # floor 0
-    w.w(0, 8)  # residue 0
+    if submaps > 1:
+        for ch in range(n_ch):
+            w.w(ch % submaps, 4)  # mux: channel ch -> submap ch
+    for _sm in range(submaps):
+        w.w(0, 8)  # time placeholder
+        w.w(0, 8)  # floor 0
+        w.w(0, 8)  # residue 0
     w.w(1, 6)  # 2 modes
     w.w(0, 1)  # mode 0: short
     w.w(0, 16)
@@ -275,7 +282,8 @@ class _Frame:
         self.res_entries = res_entries  # per vector: list of lists
 
 
-def _audio_packet(fr: _Frame, prev_long, next_long, n_ch, res_type):
+def _audio_packet(fr: _Frame, prev_long, next_long, n_ch, res_type,
+                  submaps: int = 1):
     fbook = _codewords(FLOOR_BOOK_LENS)
     cbook = _codewords(CLASSBOOK_LENS)
     vbook = _codewords(VQ_LENS)
@@ -309,24 +317,34 @@ def _audio_packet(fr: _Frame, prev_long, next_long, n_ch, res_type):
     else:
         active = [fr.posts[j] is not None for j in range(n_vec)]
     parts = len(fr.res_classes[0]) if fr.res_classes else 0
-    pcount = 0
-    while pcount < parts:
-        for j in range(n_vec):
-            if not active[j]:
-                continue
-            pair = fr.res_classes[j][pcount : pcount + 2]
-            temp = pair[0] * 2 + (pair[1] if len(pair) > 1 else 0)
-            w.code(*cbook[temp])
-        for i in range(2):
-            if pcount >= parts:
-                break
-            for j in range(n_vec):
+
+    def _write_residue(vecs):
+        pcount = 0
+        while pcount < parts:
+            for j in vecs:
                 if not active[j]:
                     continue
-                if fr.res_classes[j][pcount] == 1:
-                    for e in fr.res_entries[j][pcount]:
-                        w.code(*vbook[e])
-            pcount += 1
+                pair = fr.res_classes[j][pcount : pcount + 2]
+                temp = pair[0] * 2 + (pair[1] if len(pair) > 1 else 0)
+                w.code(*cbook[temp])
+            for _i in range(2):
+                if pcount >= parts:
+                    break
+                for j in vecs:
+                    if not active[j]:
+                        continue
+                    if fr.res_classes[j][pcount] == 1:
+                        for e in fr.res_entries[j][pcount]:
+                            w.code(*vbook[e])
+                pcount += 1
+
+    if submaps > 1:
+        # per-submap serialization: all of submap 0's residue bits,
+        # then submap 1's (decoder loops submaps outermost)
+        for sm in range(submaps):
+            _write_residue([j for j in range(n_vec) if j % submaps == sm])
+    else:
+        _write_residue(list(range(n_vec)))
     return w.bytes()
 
 
@@ -408,21 +426,31 @@ def _expected_floor(posts, n2):
     return table[np.clip(ydom, 0, 255)]
 
 
-def _expected_residue(classes, entries, n2, begin=0):
+def _expected_residue(classes, entries, n2, begin=0, rtype=1, seq_p=0):
     vals = _vq_values()
+    if seq_p:
+        vals = [np.cumsum(v) for v in vals]
     v = np.zeros(n2, dtype=np.float64)
+    step = PSIZE // 2  # book dims = 2
     for p, cls in enumerate(classes):
         if cls != 1:
             continue
         off = begin + p * PSIZE
-        at = off
-        for e in entries[p]:
-            v[at : at + 2] += vals[e]
-            at += 2
+        if rtype == 0:
+            # stride-interleaved: vector j lands at off+j, off+j+step
+            for j, e in enumerate(entries[p]):
+                v[off + j] += vals[e][0]
+                v[off + j + step] += vals[e][1]
+        else:
+            at = off
+            for e in entries[p]:
+                v[at : at + 2] += vals[e]
+                at += 2
     return v
 
 
-def _expected_pcm(frames_desc, n_ch, res_type, coupling, final_granule=None):
+def _expected_pcm(frames_desc, n_ch, res_type, coupling, final_granule=None,
+                  res_begin=0, seq_p=0):
     """Full independent synthesis: floors, residues, coupling, direct
     IMDCT, windows, absolute-timeline overlap-add."""
     rendered = []
@@ -436,11 +464,14 @@ def _expected_pcm(frames_desc, n_ch, res_type, coupling, final_granule=None):
         # residue vectors
         if res_type == 2:
             flat = _expected_residue(fr.res_classes[0], fr.res_entries[0],
-                                     n2 * n_ch)
+                                     n2 * n_ch, begin=res_begin,
+                                     seq_p=seq_p)
             spect = [flat[c::n_ch].copy() for c in range(n_ch)]
         else:
             spect = [
-                _expected_residue(fr.res_classes[c], fr.res_entries[c], n2)
+                _expected_residue(fr.res_classes[c], fr.res_entries[c], n2,
+                                  begin=res_begin, rtype=res_type,
+                                  seq_p=seq_p)
                 if fr.posts[c] is not None else np.zeros(n2)
                 for c in range(n_ch)
             ]
@@ -507,25 +538,28 @@ def _expected_pcm(frames_desc, n_ch, res_type, coupling, final_granule=None):
 
 
 def _make_stream(frames_desc, n_ch, res_type=1, coupling=False, seq_p=0,
-                 final_granule=None):
+                 final_granule=None, res_begin=0, submaps=1):
     pkts = [
         _ident_packet(n_ch),
         _comment_packet(),
-        _setup_packet(n_ch, coupling, res_type, seq_p=seq_p),
+        _setup_packet(n_ch, coupling, res_type, res_begin=res_begin,
+                      seq_p=seq_p, submaps=submaps),
     ]
     for idx, fr in enumerate(frames_desc):
         prev_long = frames_desc[idx - 1].long if idx else fr.long
         next_long = (frames_desc[idx + 1].long
                      if idx + 1 < len(frames_desc) else fr.long)
-        pkts.append(_audio_packet(fr, prev_long, next_long, n_ch, res_type))
+        pkts.append(_audio_packet(fr, prev_long, next_long, n_ch, res_type,
+                                  submaps=submaps))
     return pkts
 
 
-def _rand_frame(rng, long_block, n_ch, res_type, allow_unused=False):
+def _rand_frame(rng, long_block, n_ch, res_type, allow_unused=False,
+                res_begin=0):
     n2 = (N1 if long_block else N0) // 2
     n_vec = 1 if res_type == 2 else n_ch
     size = n2 * n_ch if res_type == 2 else n2
-    parts = size // PSIZE
+    parts = (size - res_begin) // PSIZE
     posts = []
     for _ in range(n_ch):
         if allow_unused and rng.random() < 0.3:
@@ -541,6 +575,46 @@ def _rand_frame(rng, long_block, n_ch, res_type, allow_unused=False):
         classes.append(cl)
         entries.append(en)
     return _Frame(long_block, posts, classes, entries)
+
+
+def test_residue_type0_stride_interleave_roundtrip():
+    rng = random.Random(67)
+    frames = [_rand_frame(rng, b, 1, 0) for b in (False, True, False)]
+    pkts = _make_stream(frames, 1, res_type=0)
+    got = decode_vorbis(pkts)
+    assert got is not None
+    exp = _expected_pcm(frames, 1, 0, False)
+    np.testing.assert_allclose(got[2], exp, atol=1e-9)
+
+
+def test_residue_begin_offset_roundtrip():
+    rng = random.Random(71)
+    frames = [_rand_frame(rng, False, 1, 1, res_begin=8) for _ in range(4)]
+    pkts = _make_stream(frames, 1, res_begin=8)
+    got = decode_vorbis(pkts)
+    assert got is not None
+    exp = _expected_pcm(frames, 1, 1, False, res_begin=8)
+    np.testing.assert_allclose(got[2], exp, atol=1e-9)
+
+
+def test_sequence_p_cascading_books_roundtrip():
+    rng = random.Random(73)
+    frames = [_rand_frame(rng, b, 1, 1) for b in (False, False, True)]
+    pkts = _make_stream(frames, 1, seq_p=1)
+    got = decode_vorbis(pkts)
+    assert got is not None
+    exp = _expected_pcm(frames, 1, 1, False, seq_p=1)
+    np.testing.assert_allclose(got[2], exp, atol=1e-9)
+
+
+def test_two_submaps_mux_roundtrip():
+    rng = random.Random(79)
+    frames = [_rand_frame(rng, b, 2, 1) for b in (False, True, False)]
+    pkts = _make_stream(frames, 2, submaps=2)
+    got = decode_vorbis(pkts)
+    assert got is not None and got[1] == 2
+    exp = _expected_pcm(frames, 2, 1, False)
+    np.testing.assert_allclose(got[2], exp, atol=1e-9)
 
 
 # ---------------------------------------------------------------------------

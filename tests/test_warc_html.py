@@ -55,11 +55,14 @@ def test_html_semantics():
 
 def test_warc_fixture_parses_to_expected_records():
     recs = parse_warc(planted_warc_gz())
-    assert len(recs) == 8
+    assert len(recs) == 9
     assert [r["rec_type"] for r in recs] == [
         "warcinfo", "request", "response", "response", "response",
-        "response", "resource", "revisit",
+        "response", "resource", "revisit", "response",
     ]
+    # declared-charset record: latin-1 bytes, NOT valid UTF-8
+    assert recs[8]["http_content_type"] == "text/html; charset=ISO-8859-1"
+    assert b"\xe1" in recs[8]["body"]  # latin-1 a-acute
     r2 = recs[2]
     assert r2["http_status"] == 200
     assert r2["http_content_type"] == "text/html; charset=utf-8"
@@ -158,7 +161,8 @@ def test_warc_records_operator_end_to_end(spark):
         [(7, bytearray(planted_warc_gz()))], "warc_id long, payload binary"
     )
     rows = {r.ordinal: r for r in warc_records(df).collect()}
-    assert len(rows) == 8
+    assert len(rows) == 9
+    assert rows[8].text_head == "Olá café ¡señor!"  # charset-decoded
     assert rows[2].text_head == "Hello crawl world one"
     assert rows[3].text_head == "chunked body decoded"
     assert rows[5].text_head == "not found here"  # double space collapsed

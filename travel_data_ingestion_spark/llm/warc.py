@@ -230,6 +230,19 @@ def warc_records(df, payload_col: str = "payload", head_chars: int = 60):
     )
     cols = df.select("warc_id", payload_col)
     ws = re.compile(r"\s+")
+    cs_re = re.compile(r"charset=[\"']?([A-Za-z0-9_.:-]+)")
+
+    def _decode(body: bytes, ctype: str) -> str:
+        """Body text per the declared charset (Content-Type parameter;
+        crawls are NOT all UTF-8 — latin-1/cp1252/shift-jis pages are
+        routine), defaulting to UTF-8 with replacement."""
+        m = cs_re.search(ctype)
+        if m:
+            try:
+                return body.decode(m.group(1), "replace")
+            except LookupError:
+                pass  # unknown/garbage charset label
+        return body.decode("utf-8", "replace")
 
     def _head(rec) -> str | None:
         body = rec["body"]
@@ -237,9 +250,9 @@ def warc_records(df, payload_col: str = "payload", head_chars: int = 60):
             return None
         ctype = (rec["http_content_type"] or rec["content_type"] or "").lower()
         if "text/html" in ctype:
-            return extract_html(body.decode("utf-8", "replace"))[1][:head_chars]
+            return extract_html(_decode(body, ctype))[1][:head_chars]
         if "text/plain" in ctype or "warc-fields" in ctype:
-            return ws.sub(" ", body.decode("utf-8", "replace")).strip()[:head_chars]
+            return ws.sub(" ", _decode(body, ctype)).strip()[:head_chars]
         return None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

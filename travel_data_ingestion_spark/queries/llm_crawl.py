@@ -214,6 +214,13 @@ def planted_warc_gz() -> bytes:
               "Content-Type": "text/plain"}, _B7),
         _rec({"WARC-Type": "revisit",
               "WARC-Target-URI": "http://example.com/a"}, b""),
+        _rec({"WARC-Type": "response",
+              "WARC-Target-URI": "http://example.com/f",
+              "Content-Type": "application/http;msgtype=response"},
+             b"HTTP/1.1 200 OK\r\n"
+             b"Content-Type: text/html; charset=ISO-8859-1\r\n\r\n"
+             + "<html><body><p>Ol\u00e1 caf\u00e9 \u00a1se\u00f1or!"
+               "</p></body></html>".encode("latin1")),
     ]
     return b"".join(gzip.compress(r, mtime=0) for r in records)
 
@@ -234,7 +241,9 @@ _WARC_EXPECTED = """
      'not found here'),
     (6, 'resource', 'http://example.com/e', NULL, NULL, 13,
      'raw resource'),
-    (7, 'revisit', 'http://example.com/a', NULL, NULL, NULL, NULL)
+    (7, 'revisit', 'http://example.com/a', NULL, NULL, NULL, NULL),
+    (8, 'response', 'http://example.com/f', 200,
+     'text/html; charset=ISO-8859-1', 49, 'Olá café ¡señor!')
 """
 
 
@@ -259,7 +268,9 @@ _WARC_EXPECTED = """
     "per-record gzip members (the Common Crawl layout), WARC header "
     "parse, HTTP response parse INCLUDING chunked transfer decoding "
     "and gzip content decoding, then HTML -> text on text/html bodies "
-    "— the full WARC -> HTTP -> HTML -> text chain in one graded row "
+    "— the full WARC -> HTTP -> HTML -> text chain in one graded row, "
+    "incl. a declared-charset (ISO-8859-1) page whose text must decode "
+    "per the Content-Type parameter, not as UTF-8 "
     "(warcinfo/request/response/resource/revisit all typed). Oracle = "
     "hand-written record literals (lengths counted from the fixed "
     "body strings), independent of the parser; one record's raw bytes "

@@ -401,7 +401,7 @@ def test_media_phash_pairs_compose_with_cluster_index(spark, tmp_path):
     # alpha(11: PPM x3 + PNG/BMP/ICO + TIFF x4 + WebP), beta(2),
     # gamma(3: PPM + Huffman/arithmetic JPEG), delta(3: PPM/GIF/P3),
     # epsilon(4: netpbm P1/P2/P4/P5), zeta(3: lossy-VP8 WebP + its PPM
-    # re-render + PNG), audio(8)
+    # re-render + PNG), audio(10: ... + Ogg-FLAC + Ogg-Vorbis, r12)
     assert clusters == {
         (B + 0, 11),
         (B + 10, 2),
@@ -409,7 +409,7 @@ def test_media_phash_pairs_compose_with_cluster_index(spark, tmp_path):
         (B + 30, 3),
         (B + 40, 4),
         (B + 60, 3),
-        (A + 0, 8),
+        (A + 0, 10),
     }
 
 

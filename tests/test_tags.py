@@ -164,3 +164,33 @@ def test_hostile_bytes_total():
         blob = bytes(rng.randrange(256) for _ in range(n))
         for prefix in (b"", b"ID3", b"fLaC", b"OggS", b"RIFF", b"\xff\xfb"):
             assert isinstance(audio_tags(prefix + blob), dict)
+
+
+def test_id3v23_unsynchronised_tag():
+    # ID3v2.3 unsynchronisation (header flag 0x80) stuffs 0x00 after
+    # 0xFF across the WHOLE tag body; a UTF-16 BOM (FF FE) in a text
+    # frame is the common real-world trigger
+    data = b"\x01" + "Uñsync".encode("utf-16")  # BOM-led, contains \xff
+    body = b"TIT2" + len(data).to_bytes(4, "big") + b"\x00\x00" + data
+    body += b"TPE1" + b"\x00\x00\x00\x03" + b"\x00\x00" + b"\x00A\xff"
+    stuffed = body.replace(b"\xff", b"\xff\x00")
+    assert stuffed != body  # the flag is actually exercised
+    tag = b"ID3\x03\x00\x80" + _syncsafe(len(stuffed)) + stuffed
+    got = audio_tags(tag + b"\xff\xfb" + bytes(64))
+    assert got["title"] == "Uñsync"
+    assert got["artist"] == "A\xff"
+
+
+def test_id3v24_per_frame_unsync_flag():
+    # v2.4 unsync is per-frame (format flag 0x02); the frame size is
+    # the STORED (stuffed) size, syncsafe
+    data = b"\x01" + "Tïtle".encode("utf-16")
+    stuffed = data.replace(b"\xff", b"\xff\x00")
+    frame = b"TIT2" + _syncsafe(len(stuffed)) + b"\x00\x02" + stuffed
+    tag = b"ID3\x04\x00\x00" + _syncsafe(len(frame)) + frame
+    assert audio_tags(tag)["title"] == "Tïtle"
+    # tag-level flag in v2.4 means all frames are unsynchronised even
+    # without the per-frame bit
+    frame2 = b"TIT2" + _syncsafe(len(stuffed)) + b"\x00\x00" + stuffed
+    tag2 = b"ID3\x04\x00\x80" + _syncsafe(len(frame2)) + frame2
+    assert audio_tags(tag2)["title"] == "Tïtle"

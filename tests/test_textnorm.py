@@ -93,3 +93,13 @@ def test_normalize_text_operator(spark):
     rows = {r.doc_id: r for r in normalize_text(df).collect()}
     assert rows[1].text == "Café" and rows[1].was_fixed is True
     assert rows[2].text == "clean text" and rows[2].was_fixed is False
+
+
+def test_url_bad_port_returns_none():
+    # .port raises ValueError on these; contract says unparseable -> None
+    assert normalize_url("http://h:99999/x") is None
+    assert normalize_url("http://h:abc/x") is None
+    assert normalize_url("http://h:-1/x") is None
+    assert normalize_url("https://example.com:65536/") is None
+    # boundary: 65535 is a VALID port and survives
+    assert normalize_url("http://h:65535/x") == "http://h:65535/x"

@@ -169,3 +169,42 @@ def test_warc_records_operator_end_to_end(spark):
     assert rows[5].http_status == 404
     assert rows[6].n_body_bytes == 13
     assert rows[0].http_status is None
+
+
+def test_svg_title_does_not_shadow_document_title():
+    # an inline <svg><title> BEFORE the document title must not
+    # suppress it (and its text stays dropped with the svg subtree)
+    t, x, _ = extract_html(
+        "<svg><title>icon label</title><circle/></svg>"
+        "<title>Real Title</title><p>body</p>"
+    )
+    assert t == "Real Title"
+    assert x == "body"
+    assert "icon" not in x
+    # a stray </title> with no open title is a no-op
+    t, x, _ = extract_html("</title><title>Still Here</title><p>b</p>")
+    assert t == "Still Here" and x == "b"
+    # svg title while a real title was already taken: still dropped
+    t, x, _ = extract_html(
+        "<title>First</title><svg><title>nope</title></svg><p>z</p>"
+    )
+    assert t == "First" and x == "z"
+
+
+def test_oversized_gzip_member_does_not_drop_later_records():
+    # one legitimate-but-over-cap member must be SKIPPED, not end the
+    # archive: the record in the next member still parses
+    rec = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+           b"WARC-Target-URI: http://ok.example/\r\n"
+           b"Content-Type: text/plain\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n")
+    bomb = gzip.compress(bytes(100 << 20), mtime=0)  # > 64 MiB cap
+    good = gzip.compress(rec, mtime=0)
+    recs = parse_warc(bomb + good)
+    assert len(recs) == 1
+    assert recs[0]["target_uri"] == "http://ok.example/"
+    # order flipped: good member first, bomb last — record still yields
+    recs = parse_warc(good + bomb)
+    assert len(recs) == 1
+    # a genuinely TRUNCATED member still stops the walk cleanly
+    recs = parse_warc(good[: len(good) - 3] )
+    assert recs == []

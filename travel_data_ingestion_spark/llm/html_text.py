@@ -58,7 +58,9 @@ class _Extractor(HTMLParser):
             self.chunks.append(" ")
             self.drop_depth += 1
             return
-        if tag == "title" and not self.title_done:
+        # a <title> inside a dropped subtree (e.g. inline <svg><title>)
+        # is NOT the document title — ignore it entirely
+        if tag == "title" and not self.title_done and not self.drop_depth:
             self.in_title = True
         if tag == "a" and any(k == "href" for k, _v in attrs):
             self.n_links += 1
@@ -72,7 +74,10 @@ class _Extractor(HTMLParser):
         if tag in _DROP:
             self.drop_depth = max(0, self.drop_depth - 1)
             return
-        if tag == "title":
+        # only a </title> that closes an ACTIVE document title finishes
+        # it — a stray end tag or one inside a dropped subtree must not
+        # suppress the real title that follows
+        if tag == "title" and self.in_title:
             self.in_title = False
             self.title_done = True
         if tag in _BLOCK:

@@ -72,32 +72,46 @@ def _id3v2(payload: bytes) -> dict:
     if payload[:3] != b"ID3" or len(payload) < 10:
         return out
     ver = payload[3]
+    unsync = bool(payload[5] & 0x80)
     size = _syncsafe(payload[6:10])
-    end = min(10 + size, len(payload))
-    pos = 10
+    body = payload[10 : min(10 + size, len(payload))]
+    if unsync and ver <= 3:
+        # v2.2/v2.3 unsynchronisation is applied to the WHOLE tag body
+        # as the last write step: undo the 0xFF 0x00 byte stuffing first
+        # or frame sizes/text decode are garbled
+        body = body.replace(b"\xff\x00", b"\xff")
+    end = len(body)
+    pos = 0
     if payload[5] & 0x40 and ver >= 3:  # extended header
         if ver == 4:
-            pos += _syncsafe(payload[10:14])
+            pos += _syncsafe(body[0:4])
         else:
-            pos += int.from_bytes(payload[10:14], "big") + 4
+            pos += int.from_bytes(body[0:4], "big") + 4
     while pos + 6 <= end:
+        frame_unsync = False
         if ver == 2:
-            fid = payload[pos : pos + 3].decode("latin1", "replace")
-            fsz = int.from_bytes(payload[pos + 3 : pos + 6], "big")
+            fid = body[pos : pos + 3].decode("latin1", "replace")
+            fsz = int.from_bytes(body[pos + 3 : pos + 6], "big")
             hdr = 6
             key = _ID3_V22_MAP.get(fid)
         else:
             if pos + 10 > end:
                 break
-            fid = payload[pos : pos + 4].decode("latin1", "replace")
-            raw = payload[pos + 4 : pos + 8]
+            fid = body[pos : pos + 4].decode("latin1", "replace")
+            raw = body[pos + 4 : pos + 8]
             fsz = _syncsafe(raw) if ver >= 4 else int.from_bytes(raw, "big")
             hdr = 10
+            # v2.4 unsynchronisation is per-frame (format flag 0x02);
+            # the tag-level flag means every frame has it set
+            frame_unsync = ver >= 4 and bool((body[pos + 9] & 0x02) or unsync)
             key = _ID3_V23_MAP.get(fid)
         if not fid.strip("\x00 ") or fsz <= 0 or pos + hdr + fsz > end:
             break
         if key and key not in out:
-            val = _text(payload[pos + hdr : pos + hdr + fsz])
+            data = body[pos + hdr : pos + hdr + fsz]
+            if frame_unsync:
+                data = data.replace(b"\xff\x00", b"\xff")
+            val = _text(data)
             if val:
                 out[key] = val
         pos += hdr + fsz

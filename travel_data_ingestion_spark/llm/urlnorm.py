@@ -65,7 +65,12 @@ def normalize_url(url: str | None) -> str | None:
     host = (parts.hostname or "").lower().rstrip(".")
     if not host:
         return None
-    port = parts.port
+    try:
+        # .port raises ValueError on out-of-range or non-numeric ports
+        # ('http://h:99999/x', 'http://h:abc/x') — unparseable → None
+        port = parts.port
+    except ValueError:
+        return None
     if port in (None, 80 if scheme == "http" else 443):
         netloc = host
     else:

@@ -39,11 +39,19 @@ def _gzip_members(payload: bytes):
         d = zlib.decompressobj(wbits=31)
         try:
             out = d.decompress(payload[pos:], MAX_RECORD_BYTES)
+            # nonempty unconsumed_tail means output hit the cap mid-member.
+            # A bomb-capped member must not drop the REST of the archive:
+            # keep draining (discarding output) until the member boundary
+            # so unused_data can locate the next member, then skip it.
+            oversized = bool(d.unconsumed_tail)
+            while not d.eof and d.unconsumed_tail:
+                d.decompress(d.unconsumed_tail, MAX_RECORD_BYTES)
         except zlib.error:
             return
         if not d.eof:
-            return  # truncated / bomb-capped member
-        yield out
+            return  # genuinely truncated member: input exhausted mid-stream
+        if not oversized:
+            yield out
         consumed = len(payload) - pos - len(d.unused_data)
         if consumed <= 0:
             return

@@ -28,15 +28,20 @@ from test_jpeg import _ZZ, _coef_grids, _comp_grid_dims, _smooth, encode_jpeg
 
 
 class _QMEncoder:
-    """T.81 QM encoder dual: MPS owns the TOP subinterval [Qe, A), LPS
-    the bottom [0, Qe), conditional exchange when A-Qe < Qe, state
-    adaptation only on renormalization. C is an unbounded int scaled by
-    the renorm shifts; flush() emits the final interval base as the
-    codeword (any value inside the nested interval decodes identically).
-    """
+    """T.81 QM encoder dual of the package decoder's INTEROP
+    convention (the one real libjpeg streams use): MPS owns the BOTTOM
+    subinterval [0, A-Qe), LPS the top [A-Qe, A), conditional exchange
+    when A-Qe < Qe, state adaptation only on renormalization. C is an
+    unbounded int scaled by the renorm shifts; flush() emits the final
+    interval base as the codeword (any value inside the nested
+    interval decodes identically). Round-13 note: the previous
+    rendering here put the MPS on TOP — it round-tripped with the
+    then-matching decoder while both desynced against the system
+    libjpeg (the conformance battery in test_sysjpeg.py now pins the
+    real convention from both directions)."""
 
     def __init__(self):
-        self.a = 0x8000
+        self.a = 0x10000
         self.c = 0
         self.shifts = 0
 
@@ -47,29 +52,27 @@ class _QMEncoder:
         qe, nlps, nmps, switch = _ARITH_TAB[s]
         self.a -= qe
         if d == mps:
-            if self.a & 0x8000:
-                self.c += qe
-                return
+            if self.a & 0xFFFF8000:
+                return  # MPS in the bottom interval, no renorm: done
             if self.a < qe:
-                self.a = qe  # exchange: MPS takes the bottom interval
-            else:
-                self.c += qe
+                self.c += self.a  # exchange: MPS takes the top interval
+                self.a = qe
             st[i] = (mps << 7) | nmps
         else:
-            if self.a < qe:
-                self.c += qe  # exchange: LPS takes the top interval
-            else:
+            if self.a >= qe:
+                self.c += self.a  # LPS takes the top interval
                 self.a = qe
+            # else exchange: LPS keeps the (smaller) bottom interval
             if switch:
                 mps = 1 - mps
             st[i] = (mps << 7) | nlps
-        while not (self.a & 0x8000):
+        while not (self.a & 0xFFFF8000):
             self.a <<= 1
             self.c <<= 1
             self.shifts += 1
 
     def flush(self) -> bytes:
-        nbits = 15 + self.shifts
+        nbits = 16 + self.shifts
         nbytes = (nbits + 7) // 8
         word = self.c << (nbytes * 8 - nbits)
         raw = word.to_bytes(nbytes, "big") + b"\x00\x00"

@@ -119,17 +119,25 @@ _ARITH_TAB = (
 
 
 class _ArithDecoder:
-    """T.81 QM-coder decoder (Annex F flowcharts: DECODE with the
-    MPS/LPS conditional exchange, RENORMD, BYTEIN) over ONE destuffed
-    entropy segment. Register layout per the spec's software
-    conventions: C is 32-bit with the comparison window Cx in bits
-    16-31 and new bytes entering at bits 8-15; A renormalizes into
-    [0x8000, 0x10000). Context state is one byte per bin: the Table
-    D.3 index in bits 0-6, the MPS sense in bit 7 — adaptation happens
-    only on renormalization events, per the spec. Past-the-end reads
-    feed zero bytes (the bytes an encoder's flush is allowed to
-    discard are zeros), CAPPED so truncated scans and dims bombs
-    terminate instead of freewheeling."""
+    """T.81 QM-coder decoder over ONE destuffed entropy segment, in
+    the INTEROP register convention every real codec uses (verified
+    bit-exactly against the system libjpeg on thousands of streams;
+    round 13 finding: the spec-flowchart rendering this replaced put
+    the LPS subinterval at the BOTTOM of [0, A) — self-consistent with
+    a matching encoder, but real libjpeg streams desynced at the first
+    conditional exchange. The MPS owns the bottom [0, A-Qe), the LPS
+    the top [A-Qe, A)).
+
+    Registers: C is the remaining code value, right-aligned, with CT
+    pending low bits (new bytes enter as C = C<<8 | b; the decision
+    threshold is (A-Qe) << CT); A renormalizes LAZILY at the start of
+    the next decode (so a no-renorm MPS exits with A >= 0x8000 intact,
+    and the first decode fills C with two bytes and sets A = 0x10000).
+    Context state is one byte per bin: the Table D.3 index in bits
+    0-6, the MPS sense in bit 7 — adaptation only on renormalization
+    events. Past-the-end reads feed zero bytes (the bytes an encoder's
+    flush is allowed to discard are zeros), CAPPED so truncated scans
+    and dims bombs terminate instead of freewheeling."""
 
     __slots__ = ("data", "pos", "c", "a", "ct", "synthetic")
 
@@ -137,11 +145,9 @@ class _ArithDecoder:
         self.data = data
         self.pos = 0
         self.synthetic = 0
-        self.c = self._byte() << 16
-        self._bytein()
-        self.c = (self.c << 7) & 0xFFFFFFFF
-        self.ct -= 7
-        self.a = 0x8000
+        self.c = 0
+        self.a = 0
+        self.ct = -16  # forces the two-byte initial fill
 
     def _byte(self) -> int:
         if self.pos < len(self.data):
@@ -149,53 +155,56 @@ class _ArithDecoder:
             self.pos += 1
             return v
         self.synthetic += 1
-        if self.synthetic > 64:
+        if self.synthetic > 4096:
             raise ValueError("arithmetic entropy data exhausted")
         return 0
 
-    def _bytein(self) -> None:
-        self.c = (self.c + (self._byte() << 8)) & 0xFFFFFFFF
-        self.ct = 8
-
     def decode(self, st: bytearray, i: int) -> int:
+        a = self.a
+        ct = self.ct
+        c = self.c
+        while a <= 0x7FFF:  # lazy RENORMD + BYTEIN
+            ct -= 1
+            if ct >= 0:
+                a <<= 1
+                continue
+            c = (c << 8) | self._byte()
+            ct += 8
+            if ct >= 0:
+                a <<= 1
+                continue
+            ct += 1
+            if ct != 0:
+                a <<= 1
+                continue
+            a = 0x10000  # two initial bytes in C: full starting interval
+            break
         sv = st[i]
-        s = sv & 0x7F
         mps = sv >> 7
-        qe, nlps, nmps, switch = _ARITH_TAB[s]
-        self.a -= qe
-        cx = (self.c >> 16) & 0xFFFF
-        if cx < qe:
-            # LPS-interval decode (bottom), conditional exchange
-            if self.a < qe:
+        qe, nlps, nmps, switch = _ARITH_TAB[sv & 0x7F]
+        a -= qe
+        temp = a << ct
+        if c >= temp:
+            # top subinterval (size Qe): LPS, or MPS under exchange
+            c -= temp
+            if qe <= a:
+                d = 1 - mps
+                st[i] = (((1 - mps) if switch else mps) << 7) | nlps
+            else:
                 d = mps
                 st[i] = (mps << 7) | nmps
-            else:
-                d = 1 - mps
-                if switch:
-                    mps = 1 - mps
-                st[i] = (mps << 7) | nlps
-            self.a = qe
+            a = qe
+        elif a > 0x7FFF:
+            d = mps  # no renorm pending: no adaptation
+        elif qe <= a:
+            d = mps
+            st[i] = (mps << 7) | nmps
         else:
-            self.c = (self.c - (qe << 16)) & 0xFFFFFFFF
-            if self.a & 0x8000:
-                return mps  # no renorm, no adaptation
-            # MPS-interval decode with renorm, conditional exchange
-            if self.a < qe:
-                d = 1 - mps
-                if switch:
-                    mps = 1 - mps
-                st[i] = (mps << 7) | nlps
-            else:
-                d = mps
-                st[i] = (mps << 7) | nmps
-        while True:  # RENORMD
-            if self.ct == 0:
-                self._bytein()
-            self.a = (self.a << 1) & 0xFFFF
-            self.c = (self.c << 1) & 0xFFFFFFFF
-            self.ct -= 1
-            if self.a & 0x8000:
-                break
+            d = 1 - mps
+            st[i] = (((1 - mps) if switch else mps) << 7) | nlps
+        self.a = a
+        self.ct = ct
+        self.c = c
         return d
 
 _IDCT_M = None  # orthonormal 8x8 DCT-II basis, built on first use

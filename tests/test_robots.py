@@ -72,3 +72,95 @@ def test_filter_frontier_broadcasts_and_flags(spark):
         "http://a.com/private/public-bit/y": True,
         "http://b.com/anything": True,
     }
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 longest-match semantics (the round-13 default)
+
+
+def test_rfc9309_longest_match_precedence_table():
+    # hand-written from the RFC 9309 §2.2.2 rules: most-octets rule
+    # wins; equally specific -> least restrictive (allow)
+    cases = [
+        # (allow pattern, disallow pattern, path, expected_allowed)
+        ("/p", "/", "/page", True),               # /p (2) > / (1)
+        ("/folder/", "/folder", "/folder/page", True),   # 8 > 7
+        ("/page", "/*.htm", "/page.htm", False),  # 6 > 5
+        ("/page", "/*.ph", "/page.php5", True),   # 5 == 5 tie -> allow
+        ("/$", "/", "/", True),                   # /$ (2) > / (1)
+        ("/$", "/", "/page.htm", False),          # /$ only matches "/"
+    ]
+    for ap, dp, path, want in cases:
+        txt = f"User-agent: *\nAllow: {ap}\nDisallow: {dp}\n"
+        got = is_allowed(txt, "AnyBot", f"http://h{path}")
+        assert got is want, (ap, dp, path)
+        # rule ORDER must not matter under RFC 9309 (unlike 1994)
+        txt = f"User-agent: *\nDisallow: {dp}\nAllow: {ap}\n"
+        assert is_allowed(txt, "AnyBot", f"http://h{path}") is want
+
+
+def test_rfc9309_group_selection_and_merging():
+    txt = (
+        "User-agent: FooBot\n"
+        "Disallow: /foo/\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: FooBot\n"   # second group for same agent: merges
+        "Disallow: /bar/\n"
+    )
+    # exact token match (case-insensitive, product token before '/')
+    assert not is_allowed(txt, "foobot/2.1", "http://h/foo/x")
+    assert not is_allowed(txt, "FooBot", "http://h/bar/x")
+    assert is_allowed(txt, "FooBot", "http://h/ok")  # NOT the * group
+    # unmatched agent falls to *
+    assert not is_allowed(txt, "OtherBot", "http://h/ok")
+    # consecutive user-agent lines share one group
+    txt2 = "User-agent: A\nUser-agent: B\nDisallow: /x/\n"
+    assert not is_allowed(txt2, "B", "http://h/x/1")
+    assert is_allowed(txt2, "C", "http://h/x/1")  # no * group at all
+
+
+def test_rfc9309_wildcards_and_anchors():
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /*/private$\n"
+        "Disallow: /tmp*\n"
+        "Allow: /tmp/keep\n"
+    )
+    assert not is_allowed(txt, "B", "http://h/a/private")
+    assert is_allowed(txt, "B", "http://h/a/private/sub")  # $ anchored
+    assert not is_allowed(txt, "B", "http://h/tmpfile")
+    assert not is_allowed(txt, "B", "http://h/tmp/other")
+    assert is_allowed(txt, "B", "http://h/tmp/keep")  # 9 > 5
+    # query strings participate in the path match
+    txt3 = "User-agent: *\nDisallow: /*?session=\n"
+    assert not is_allowed(txt3, "B", "http://h/p?session=1")
+    assert is_allowed(txt3, "B", "http://h/p?other=1")
+
+
+def test_rfc9309_defaults_and_robots_txt_itself():
+    txt = "User-agent: *\nDisallow: /\n"
+    assert is_allowed(txt, "B", "http://h/robots.txt")
+    assert not is_allowed(txt, "B", "http://h/")
+    # empty Disallow: value = no rule = allow everything
+    assert is_allowed("User-agent: *\nDisallow:\n", "B", "http://h/x")
+    # the 1994 fallback is still selectable and first-match
+    first_match = (
+        "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"
+    )
+    assert is_allowed(first_match, "B", "http://h/private/pub/x",
+                      rfc9309=True)        # longest-match: allow wins
+    assert not is_allowed(first_match, "B", "http://h/private/pub/x",
+                          rfc9309=False)   # 1994 first-match: disallow
+
+
+def test_rfc9309_totality():
+    import random as _r
+
+    rng = _r.Random(4)
+    for n in (1, 80, 800):
+        blob = "".join(chr(rng.randrange(1, 1000)) for _ in range(n))
+        is_allowed(blob, "Bot", "http://h/p")
+        is_allowed("User-agent: *\nDisallow: " + blob, "Bot", "http://h/p")

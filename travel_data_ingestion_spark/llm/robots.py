@@ -2,13 +2,27 @@
 
 A crawl pipeline joins its URL frontier against each host's robots.txt
 before fetching (and a *training-data* pipeline increasingly re-checks
-robots post-hoc for opt-out compliance). stdlib
-``urllib.robotparser`` implements the ORIGINAL 1994 spec semantics:
-user-agent groups with FIRST-match rule ordering (an ``Allow`` only
-wins over a ``Disallow`` when it appears first) — NOT RFC 9309
-longest-match; files written for old parsers order Allow lines first
-for exactly this reason, and this module documents rather than hides
-the distinction. Batch-shaped wrappers:
+robots post-hoc for opt-out compliance). The DEFAULT matcher here
+implements RFC 9309 (what real crawlers follow):
+
+- group selection by exact product-token match (case-insensitive),
+  falling back to the ``*`` groups; multiple groups for the same
+  agent merge;
+- per-URL rule selection by LONGEST MATCHING RULE (most octets in the
+  rule pattern), ties broken toward ``Allow`` (least restrictive);
+- ``*`` wildcards anywhere in a path pattern and ``$`` as an
+  end-anchor (the optional matching RFC 9309 §2.2.3 describes and
+  every major crawler implements);
+- no matching rule, empty/unreadable robots.txt -> allowed;
+  ``/robots.txt`` itself is always allowed.
+
+``rfc9309=False`` falls back to stdlib ``urllib.robotparser``, which
+implements the ORIGINAL 1994 spec semantics: FIRST-match rule
+ordering (an ``Allow`` only wins over a ``Disallow`` when it appears
+first). Files written for old parsers order Allow lines first for
+exactly this reason; the two semantics agree on such files.
+
+Batch-shaped wrappers:
 
 - ``robots_rules(content)`` parses one robots.txt body (text) into a
   reusable matcher — total, never raises (a malformed file means
@@ -25,13 +39,112 @@ join broadcasts the robots side; evaluation itself is map-only.
 from __future__ import annotations
 
 import io
+import re
 import urllib.robotparser
+from urllib.parse import urlsplit
 
 
-def robots_rules(content: str | None):
-    """Parse a robots.txt body into a RobotFileParser; None/garbage
-    yields an allow-everything matcher (crawler convention for
-    unreadable robots)."""
+class Rfc9309Rules:
+    """One parsed robots.txt under RFC 9309 semantics. Total: any
+    parse trouble degrades toward allow."""
+
+    __slots__ = ("groups",)
+
+    def __init__(self, content: str | None):
+        # groups: list of (set[agent_token_lower], [(allow, pattern)])
+        self.groups: list = []
+        if not content:
+            return
+        agents: set[str] = set()
+        rules: list = []
+        open_group = False  # collecting consecutive user-agent lines
+        for raw in content.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key = key.strip().lower()
+            val = val.strip()
+            if key == "user-agent":
+                if not open_group and agents:
+                    self.groups.append((agents, rules))
+                    agents, rules = set(), []
+                agents.add(val.split("/", 1)[0].strip().lower())
+                open_group = True
+            elif key in ("allow", "disallow"):
+                open_group = False
+                if agents and val:
+                    try:
+                        matcher, plen = self._compile(val)
+                    except re.error:
+                        continue
+                    rules.append((key == "allow", matcher, plen))
+                # empty value = no rule (the classic "Disallow:" allow-all)
+            else:
+                # sitemap/crawl-delay/unknown: not group-terminating
+                continue
+        if agents:
+            self.groups.append((agents, rules))
+
+    @staticmethod
+    def _compile(pattern: str):
+        """(matcher, priority): plain patterns match by startswith (the
+        overwhelmingly common case — no regex on the hot path);
+        patterns with '*' runs or a '$' end-anchor precompile once at
+        parse time. Priority is the pattern's octet count (RFC 9309
+        'most octets' rule, wildcard characters included, matching the
+        reference-crawler convention)."""
+        if "*" not in pattern and not pattern.endswith("$"):
+            return pattern, len(pattern)
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = ".*".join(re.escape(part) for part in body.split("*"))
+        return re.compile(rx + ("$" if anchored else "")).match, len(pattern)
+
+    def _rules_for(self, agent: str):
+        token = agent.split("/", 1)[0].strip().lower()
+        exact = [r for agents, rules in self.groups if token in agents
+                 for r in rules]
+        if exact or any(token in agents for agents, _ in self.groups):
+            return exact
+        return [r for agents, rules in self.groups if "*" in agents
+                for r in rules]
+
+    def can_fetch(self, agent: str, url: str) -> bool:
+        try:
+            parts = urlsplit(url)
+            path = parts.path or "/"
+            if parts.query:
+                path += "?" + parts.query
+        except ValueError:
+            return True
+        if path == "/robots.txt":
+            return True
+        best_len = -1
+        best_allow = True
+        for allow, matcher, plen in self._rules_for(agent):
+            hit = (path.startswith(matcher) if isinstance(matcher, str)
+                   else matcher(path))
+            if hit:
+                # most octets wins; tie -> least restrictive (allow)
+                if plen > best_len or (
+                    plen == best_len and allow and not best_allow
+                ):
+                    best_len = plen
+                    best_allow = allow
+        return best_allow
+
+
+def robots_rules(content: str | None, rfc9309: bool = True):
+    """Parse a robots.txt body into a matcher with ``can_fetch(agent,
+    url)``; None/garbage yields an allow-everything matcher (crawler
+    convention for unreadable robots). Default semantics are RFC 9309
+    longest-match; ``rfc9309=False`` selects stdlib first-match-1994."""
+    if rfc9309:
+        try:
+            return Rfc9309Rules(content)
+        except Exception:
+            return Rfc9309Rules(None)
     rp = urllib.robotparser.RobotFileParser()
     if not content:
         rp.parse([])
@@ -43,18 +156,20 @@ def robots_rules(content: str | None):
     return rp
 
 
-def is_allowed(content: str | None, agent: str, url: str) -> bool:
+def is_allowed(content: str | None, agent: str, url: str,
+               rfc9309: bool = True) -> bool:
     """One-shot convenience: may this agent fetch this url under this
     robots.txt? Total."""
     try:
-        return bool(robots_rules(content).can_fetch(agent, url))
+        return bool(robots_rules(content, rfc9309).can_fetch(agent, url))
     except Exception:
         return True
 
 
-def filter_frontier(frontier_df, robots_df, agent: str = "*"):
+def filter_frontier(frontier_df, robots_df, agent: str = "*",
+                    rfc9309: bool = True):
     """frontier (host, url) x robots (host, robots_txt) -> (host, url,
-    allowed). The robots side is broadcast (one small row per host);
+    allowed). Semantics per ``robots_rules(rfc9309=...)``. The robots side is broadcast (one small row per host);
     evaluation is an Arrow-batched map over the joined rows with a
     per-batch parser cache, so each host's rules parse once per batch
     rather than once per URL."""
@@ -84,7 +199,8 @@ def filter_frontier(frontier_df, robots_df, agent: str = "*"):
                 key = host
                 rp = cache.get(key)
                 if rp is None:
-                    rp = robots_rules(txt if isinstance(txt, str) else None)
+                    rp = robots_rules(txt if isinstance(txt, str) else None,
+                                      rfc9309)
                     cache[key] = rp
                 try:
                     allowed.append(bool(rp.can_fetch(agent, url)))

@@ -266,7 +266,10 @@ def main() -> None:
             # gc_ms = churn; fingerprint drift = plan regression)
             reps, gcs, fps, aqe_fps = [], [], [], []
             n_out = None
-            for _ in range(3):
+            # SCALE.md §10's probe-noise rule: isolated min-of-5 on a
+            # fresh session is the arbiter for a surprising ratio —
+            # SPARK_GRAFT_PROBE_REPS=5 selects that protocol
+            for _ in range(int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "3"))):
                 df = specs[name].fn(spark, sf_dir)
                 jqe = df._jdf.queryExecution()
                 # initial-plan fp BEFORE execution: deterministic, so

@@ -1,0 +1,87 @@
+"""Multi-JVM evidence tier (slow lane) — closes SCALE.md §9's honest
+weak spot: before round 13, every measurement in this repo ran on ONE
+JVM (``local[32]``), where "shuffle" is an in-process memory copy.
+``local-cluster[N,C,M]`` launches N REAL executor JVM processes with
+real serialized+compressed shuffle blocks, real broadcast
+distribution, and real task (de)serialization — the execution shape
+of a multi-node cluster minus the network fabric.
+
+Both tests shell out to tools/lc_check.py in a SUBPROCESS: a pytest
+session already holds a local-mode SparkContext (session fixture),
+and one JVM cannot host two masters.
+
+- parity: the 9 headline bench queries + the LSH dedup + connected-
+  components cluster queries run under 3 executor JVMs and must pass
+  the SAME DuckDB value-hash gate the driver applies single-JVM.
+- executor loss: one executor JVM is SIGKILLed mid-job (the harness
+  verifies the kill landed while stages were active and the process
+  is gone); the standalone worker respawns it, Spark recomputes the
+  lost shuffle state, and the result must be byte-identical to the
+  clean run. Losing an executor costs retries, never correctness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LC_CHECK = os.path.join(REPO, "tools", "lc_check.py")
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.slow
+
+
+def _run(args, timeout):
+    env = dict(os.environ)
+    # the subprocess must not inherit a master override meant for us
+    env.pop("SPARK_MASTER", None)
+    r = subprocess.run(
+        [sys.executable, LC_CHECK, *args],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
+    )
+    line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+    try:
+        out = json.loads(line)
+    except json.JSONDecodeError:
+        out = {}
+    assert r.returncode == 0 and out.get("ok") is True, (
+        f"lc_check {args[0]} failed: stdout={r.stdout[-2000:]} "
+        f"stderr={r.stderr[-2000:]}"
+    )
+    return out
+
+
+def test_bench9_and_dedup_parity_under_local_cluster():
+    names = ",".join(
+        [
+            "q01_pricing_summary", "q03_top_revenue_orders",
+            "q05_region_nation_revenue", "d06_pivot_sum_case",
+            "e02_dedup_row_number", "j02_sessionization",
+            "dd01_exact_dedup", "t02_quality_score",
+            "sim01_knn_bruteforce", "dd03_minhash_lsh",
+            "dd06_dedup_clusters",
+            # Python-kernel queries (mapInPandas importing the package
+            # on executor workers — the spark.executorEnv.PYTHONPATH
+            # export this tier forced into session.py)
+            "t15_html_extract", "mm01_media_features",
+        ]
+    )
+    out = _run(["parity", SF_DIR, names], timeout=900)
+    assert out["executors"] == 3
+    assert out["ran"] == 13
+
+
+def test_executor_loss_mid_query_is_recovered():
+    out = _run(
+        ["killtest", os.environ.get("LC_KILL_SF_DIR", "/root/testdata/sf0.01"),
+         "dd06_dedup_clusters"],
+        timeout=900,
+    )
+    assert out["active_when_killed"] is True
+    assert out["executor_gone"] is True
+    assert out["result_identical"] is True

@@ -1,0 +1,191 @@
+#!/usr/bin/env python3
+"""Multi-JVM correctness evidence under ``local-cluster`` masters.
+
+Two modes, each printing ONE JSON line (used by the slow-lane tests in
+tests/test_local_cluster.py and runnable standalone for round
+evidence):
+
+``parity <sf_dir> <q1,q2,...>``
+    Run the named registered queries under ``local-cluster[3,4,3072]``
+    (real executor JVMs, real serialized shuffle) and compare row
+    count / column names / order-insensitive canonical values against
+    the DuckDB oracle — the SAME gate the driver applies single-JVM.
+
+``killtest <sf_dir> <query>``
+    Run the query once clean, then re-run it while SIGKILLing one
+    executor JVM mid-job (verified: the kill lands while the job has
+    active stages, and the executor process is gone). The standalone
+    worker respawns the executor, lost shuffle/task state is
+    recomputed, and the result must be IDENTICAL to the clean run.
+    This is the fault-tolerance shape of a 1000-executor cluster:
+    losing an executor must cost retries, never correctness.
+
+Exit code 0 with {"ok": true} on success.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import signal
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+MASTER = os.environ.get("SPARK_LC_MASTER", "local-cluster[3,4,3072]")
+
+
+def _canon(val):
+    if val is None:
+        return ("\x00null",)
+    if isinstance(val, float):
+        if math.isnan(val):
+            return ("nan",)
+        return (repr(round(val, 9)),)
+    return (str(val),)
+
+
+def _frame_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], canon
+
+
+def _get_spark(app):
+    from travel_data_ingestion_spark.session import get_spark
+
+    return get_spark(
+        app_name=app,
+        master=MASTER,
+        extra_conf={
+            "spark.executor.memory": MASTER.rsplit(",", 1)[-1].rstrip("]")
+            + "m",
+            "spark.driver.memory": "6g",
+            "spark.sql.shuffle.partitions": "12",
+        },
+    )
+
+
+def _executor_pids() -> set[int]:
+    out = subprocess.run(
+        ["ps", "-eo", "pid,args"], capture_output=True, text=True
+    ).stdout
+    pids = set()
+    for line in out.splitlines():
+        if "CoarseGrainedExecutorBackend" in line:
+            pids.add(int(line.split(None, 1)[0]))
+    return pids
+
+
+def parity(sf_dir: str, names: list[str]) -> dict:
+    import duckdb
+
+    from travel_data_ingestion_spark.queries import TABLES, member_queries
+
+    spark = _get_spark("lc-parity")
+    specs = member_queries()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    failures = []
+    ran = 0
+    for name in names:
+        spec = specs[name]
+        sdf = spec.fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+        ran += 1
+        if spec.oracle is None:
+            continue
+        orc = con.execute(spec.oracle)
+        ocols = [d[0] for d in orc.description]
+        orows = orc.fetchall()
+        if sorted(scols) != sorted(ocols):
+            failures.append(f"{name}: columns differ")
+            continue
+        if len(srows) != len(orows):
+            failures.append(
+                f"{name}: rows {len(srows)} != {len(orows)}")
+            continue
+        _, s_canon = _frame_key(scols, [[r[c] for c in scols] for r in srows])
+        _, o_canon = _frame_key(ocols, orows)
+        if s_canon != o_canon:
+            failures.append(f"{name}: value mismatch")
+    execs = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+    spark.stop()
+    return {"ok": not failures, "mode": "parity", "ran": ran,
+            "executors": execs, "failures": failures, "master": MASTER}
+
+
+def killtest(sf_dir: str, name: str) -> dict:
+    from travel_data_ingestion_spark.queries import member_queries
+
+    spark = _get_spark("lc-killtest")
+    sc = spark.sparkContext
+    spec = member_queries()[name]
+
+    def run_once():
+        df = spec.fn(spark, sf_dir)
+        cols = df.columns
+        rows = df.collect()
+        return _frame_key(cols, [[r[c] for c in cols] for r in rows])
+
+    clean = run_once()
+    before = _executor_pids()
+
+    state = {"killed": None, "active_when_killed": False}
+
+    def assassin():
+        # wait until the job is actually running, then kill one executor
+        deadline = time.time() + 120
+        tracker = sc.statusTracker()
+        while time.time() < deadline:
+            if tracker.getActiveJobsIds():
+                pids = sorted(_executor_pids() & before)
+                if pids:
+                    os.kill(pids[0], signal.SIGKILL)
+                    state["killed"] = pids[0]
+                    state["active_when_killed"] = bool(
+                        tracker.getActiveJobsIds())
+                    return
+            time.sleep(0.05)
+
+    t = threading.Thread(target=assassin, daemon=True)
+    t.start()
+    wounded = run_once()
+    t.join(timeout=130)
+
+    # the kill must have landed mid-job, and the executor must be gone
+    gone = state["killed"] is not None and state["killed"] not in _executor_pids()
+    identical = wounded == clean
+    spark.stop()
+    return {
+        "ok": bool(state["killed"]) and state["active_when_killed"]
+        and gone and identical,
+        "mode": "killtest", "query": name, "killed_pid": state["killed"],
+        "active_when_killed": state["active_when_killed"],
+        "executor_gone": gone, "result_identical": identical,
+        "master": MASTER,
+    }
+
+
+def main() -> None:
+    mode, sf_dir = sys.argv[1], sys.argv[2]
+    if mode == "parity":
+        out = parity(sf_dir, sys.argv[3].split(","))
+    else:
+        out = killtest(sf_dir, sys.argv[3])
+    print(json.dumps(out))
+    sys.exit(0 if out["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -80,8 +80,31 @@ def get_spark(
     )
     if master is not None:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
+    elif os.environ.get("SPARK_MASTER"):
+        # explicit override (e.g. SPARK_MASTER=local-cluster[4,8,6144]
+        # for the multi-JVM evidence tier — tools/lc_bench.py,
+        # tools/lc_check.py, SCALE.md §9)
+        builder = builder.master(os.environ["SPARK_MASTER"])
+    else:
         builder = builder.master(f"local[{cores}]")
+    if os.environ.get("SPARK_EXECUTOR_MEMORY"):
+        # only meaningful off local mode: local-mode executors live in
+        # the driver heap, sized by SPARK_DRIVER_MEMORY above
+        builder = builder.config(
+            "spark.executor.memory", os.environ["SPARK_EXECUTOR_MEMORY"]
+        )
+    # Executor-side Python workers must import this package. In
+    # local[*] they inherit the driver's sys.path; in local-cluster /
+    # standalone the executor JVMs spawn their own workers, so the
+    # repo root is exported explicitly (a real cluster deployment
+    # ships a wheel via --py-files; same mechanism, packaged).
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
+    exec_pp = os.environ.get("PYTHONPATH", "")
+    builder = builder.config(
+        "spark.executorEnv.PYTHONPATH",
+        repo_root + (os.pathsep + exec_pp if exec_pp else ""),
+    )
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
     for k, v in (extra_conf or {}).items():

@@ -318,7 +318,9 @@ def main() -> None:
             }
         )
     )
-    shutil.rmtree(OUT, ignore_errors=True)
+    if not os.environ.get("SPARK_GRAFT_PROBE_KEEP"):
+        # keep the replicated corpus for post-probe stage profiling
+        shutil.rmtree(OUT, ignore_errors=True)
     spark.stop()
 
 

@@ -106,13 +106,31 @@ def test_scaffold_join_broadcasts_small_side(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_tfidf_broadcasts_df_table(spark):
-    """The per-term document-frequency table and the single-row corpus
-    scalar both broadcast back onto tf — the term explode shuffles only
-    once, for the (source, term) aggregation."""
+def test_tfidf_df_join_follows_the_aqe_policy(spark):
+    """The per-term document-frequency table is VOCABULARY-scaled, so
+    it carries no broadcast hint (round 13; forcing one is the r8
+    scaled-side-hint mistake): statically the term join plans as a
+    shuffle join, and AQE demotes it to a broadcast at runtime from
+    the OBSERVED size — the same policy as q05's customer side. The
+    single-row corpus scalar stays an explicit broadcast."""
     plan = _formatted_plan(spark, "t06_tfidf_keywords")
-    assert "BroadcastHashJoin" in plan  # tf <- df_
     assert "BroadcastNestedLoopJoin" in plan  # crossJoin with the scalar
+    # the df side must carry NO broadcast hint: at local scale the
+    # planner may still pick a broadcast from its own observed-size
+    # estimate (fine — that is the adaptive policy working), but a
+    # FORCED hint would pin the broadcast at 100 TB vocabulary sizes.
+    # Exactly one broadcast hint is allowed in the logical plan: nsrc.
+    import contextlib
+    import io
+
+    df = SPECS["t06_tfidf_keywords"].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    txt = buf.getvalue()
+    analyzed = txt.split("== Analyzed Logical Plan ==")[1].split(
+        "== Optimized Logical Plan ==")[0]
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 1  # nsrc
 
 
 def test_pii_redaction_is_map_only(spark):
@@ -345,3 +363,38 @@ def test_epoch_repeat_window_is_salted_and_joins_broadcast(spark):
     # the unsalted window is the per-bucket offsets rollup (skey only),
     # which sees <= 256 rows per stratum by construction
     assert all("skey" in w for w in unsalted), windows
+
+
+def test_t12_membership_join_is_not_broadcast(spark):
+    # round-13 scale fix: Catalyst's Generate estimate undercounts
+    # explode fan-out, so without the SHUFFLE_HASH pin the planner
+    # BROADCASTS the positional-grams side of t12's membership join
+    # (8M exploded string rows at the 32x tier — the measured cause of
+    # its 7.4-8.0/32 density ratio; 3.8/32 after the pin). Both sides
+    # are corpus-scaled: any broadcast here is a scale bug.
+    import re
+
+    plan = _formatted_plan(spark, "t12_crossdoc_span_dedup")
+    # positive pin: the membership join runs as a shuffle hash join
+    assert "ShuffledHashJoin" in plan
+    # decisive negative: no BroadcastExchange may feed a Generate
+    # (i.e. no exploded-grams side is ever broadcast); the final
+    # n_tokens join may still broadcast its scan-only side
+    blocks = re.findall(r"BroadcastExchange[\s\S]{0,400}?Generate", plan)
+    assert not blocks, "exploded grams side is being broadcast"
+
+
+def test_su07_df_joins_are_not_broadcast(spark):
+    # t10's shingle-DF rejoin and t11's token-frequency rejoin join two
+    # CORPUS-SCALED sides (exploded grams/tokens vs their aggregated
+    # vocabulary); the pre-explosion Generate estimate otherwise lures
+    # the planner into broadcasting one of them (the t12 trap). t11
+    # keeps exactly one legitimate broadcast: the single-row total.
+    import re
+
+    for name, allowed in (("t10_boilerplate_coverage", 0),
+                          ("t11_unigram_logprob", 1)):
+        plan = _formatted_plan(spark, name)
+        assert "ShuffledHashJoin" in plan, name
+        blocks = re.findall(r"BroadcastExchange[\s\S]{0,400}?Generate", plan)
+        assert len(blocks) <= allowed, (name, len(blocks))

@@ -310,9 +310,13 @@ def t07_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TF-IDF keyword extraction: top-5 most characteristic terms per "
     "source (tf * ln((N+1)/(df+1)), smoothed IDF). Two aggregations "
     "sharing the term-explode pass; the per-term document-frequency "
-    "table is tiny relative to the corpus -> broadcast back onto tf; "
-    "top-k per source via a rank window on the source partition. At "
-    "100 TB: one shuffle on (source, term), one broadcast join, and a "
+    "table joins back onto tf UNHINTED (round-13 change: df is "
+    "vocabulary-scaled, so a forced broadcast is the r8 scaled-side-"
+    "hint mistake — statically this plans as a shuffle join and AQE "
+    "demotes it to broadcast at runtime from OBSERVED size, the same "
+    "policy as q05's customer side); top-k per source via a rank "
+    "window on the source partition. At 100 TB: one shuffle on "
+    "(source, term), one term-keyed join AQE sizes at runtime, and a "
     "final shuffle on source — no driver-side state.",
 )
 def t06_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,7 +333,7 @@ def t06_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.col("tf") * F.log((F.col("n_src") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
     w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(nsrc))
         .withColumn("score", score)
         .withColumn("rn", F.row_number().over(w))
@@ -590,8 +594,12 @@ def t10_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_docs(docs)
     ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
     dfs = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # SHUFFLE_HASH pin: both sides are corpus-scaled (exploded shingles
+    # vs the shingle-DF vocabulary) and the Generate estimate is
+    # pre-explosion — unhinted, the planner broadcasts one of them
+    # (the t12 round-13 trap; plan gate test_su07_df_joins_are_not_broadcast)
     scored = (
-        ex.join(dfs, "shingle")
+        ex.join(dfs.hint("shuffle_hash"), "shingle")
         .groupBy("doc_id")
         .agg(
             F.max("n_sh").alias("n_sh"),
@@ -655,7 +663,14 @@ def t11_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     nll = F.round(
         -F.log(F.col("cnt").cast("double") / F.col("n_total")), 6
     ).alias("nll")
-    terms = toks.join(freq, "token").crossJoin(F.broadcast(tot)).select("doc_id", nll)
+    # freq is the corpus-scaled token vocabulary: SHUFFLE_HASH pin as
+    # in t10/t12 (the single-row ``tot`` crossJoin broadcast is the
+    # only legitimate broadcast in this plan)
+    terms = (
+        toks.join(freq.hint("shuffle_hash"), "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", nll)
+    )
     return terms.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(dsum("nll", 12) / F.count(F.lit(1)), 6).alias("avg_nll"),
@@ -763,7 +778,17 @@ def t12_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("shingle")
     )
-    hits = pos_sh.join(dupg, "shingle").select("doc_id", "pos")
+    # SHUFFLE_HASH pin (round-13 profiling, SCALE.md §10): Catalyst's
+    # Generate estimate undercounts explode fan-out, so the planner
+    # would BROADCAST the positional-grams side (32x tier: 8M exploded
+    # string rows inflated under the 64 MB threshold on paper — the
+    # measured cause of t12's GC churn and its 7.4-8.0/32 ratio).
+    # Both sides are corpus-scaled; the only 100 TB-correct shape is a
+    # shuffle on the gram key with the (much smaller) dup-gram list as
+    # build side. Plan gate: test_plans.test_t12_membership_join_is_not_broadcast.
+    hits = pos_sh.join(dupg.hint("shuffle_hash"), "shingle").select(
+        "doc_id", "pos"
+    )
     per_doc = (
         merge_hit_spans(hits, n)
         .groupBy("doc_id")

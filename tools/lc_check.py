@@ -56,19 +56,16 @@ def _frame_key(cols, rows):
     return [cols[i] for i in order], canon
 
 
-def _get_spark(app):
+def _get_spark(app, extra=None):
     from travel_data_ingestion_spark.session import get_spark
 
-    return get_spark(
-        app_name=app,
-        master=MASTER,
-        extra_conf={
-            "spark.executor.memory": MASTER.rsplit(",", 1)[-1].rstrip("]")
-            + "m",
-            "spark.driver.memory": "6g",
-            "spark.sql.shuffle.partitions": "12",
-        },
-    )
+    conf = {
+        "spark.executor.memory": MASTER.rsplit(",", 1)[-1].rstrip("]") + "m",
+        "spark.driver.memory": "6g",
+        "spark.sql.shuffle.partitions": "12",
+    }
+    conf.update(extra or {})
+    return get_spark(app_name=app, master=MASTER, extra_conf=conf)
 
 
 def _executor_pids() -> set[int]:
@@ -177,12 +174,65 @@ def killtest(sf_dir: str, name: str) -> dict:
     }
 
 
+def skewtest() -> dict:
+    """AQE skew-join splitting, observed live under real multi-JVM
+    shuffle: a 95%-hot key through a forced sort-merge join (broadcast
+    disabled) with test-scaled skew thresholds. Asserts (a) the final
+    adaptive plan actually split the skewed partition (the
+    AQEShuffleRead reports ``skewed``), and (b) the join result is
+    exactly right — AQE splitting must never change semantics. This is
+    the runtime half of the skew story; skew.salted_join is the
+    compile-time half for engines/joins AQE cannot split."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    spark = _get_spark(
+        "lc-skewtest",
+        extra={
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "1m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512k",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+        },
+    )
+    n_big, n_keys = 2_000_000, 1_000
+    big = spark.range(n_big).select(
+        F.when(F.col("id") % 20 != 0, F.lit(7))
+        .otherwise(F.pmod(F.col("id"), F.lit(n_keys)))
+        .alias("k"),
+        F.concat(F.lit("payload_"), F.col("id")).alias("p"),
+    )
+    dim = spark.range(n_keys).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("d")
+    )
+    joined = big.join(dim, "k")
+    # materialize the join's OWN query execution (a .count() would run
+    # a different query and leave this plan un-executed/un-adapted)
+    got = joined._jdf.queryExecution().toRdd().count()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain()
+    plan = buf.getvalue()
+    split = "skew=true" in plan or "skewed" in plan
+    expect = n_big  # every big row matches exactly one dim row
+    spark.stop()
+    return {"ok": split and got == expect, "mode": "skewtest",
+            "rows": got, "expected": expect, "skew_split_observed": split,
+            "master": MASTER}
+
+
 def main() -> None:
-    mode, sf_dir = sys.argv[1], sys.argv[2]
+    mode = sys.argv[1]
     if mode == "parity":
-        out = parity(sf_dir, sys.argv[3].split(","))
+        out = parity(sys.argv[2], sys.argv[3].split(","))
+    elif mode == "killtest":
+        out = killtest(sys.argv[2], sys.argv[3])
     else:
-        out = killtest(sf_dir, sys.argv[3])
+        out = skewtest()
     print(json.dumps(out))
     sys.exit(0 if out["ok"] else 1)
 

@@ -225,12 +225,101 @@ def skewtest() -> dict:
             "master": MASTER}
 
 
+def streamkill(workdir: str) -> dict:
+    """Exactly-once STREAMING ingestion under executor loss: ~120
+    landing CSVs drain through stream_ingest_csv (AvailableNow,
+    maxFilesPerTrigger=16 -> several micro-batches) while one executor
+    JVM is SIGKILLed mid-stream. The checkpoint + per-epoch load_id
+    map + dynamic-overwrite bronze writes must make the retried work
+    invisible: bronze business rows, per-file lineage, and the
+    ingestion ledger must all match a clean run exactly."""
+    import glob
+
+    from travel_data_ingestion_spark.catalog import Warehouse
+    from travel_data_ingestion_spark.streaming.ingest_stream import (
+        stream_ingest_csv,
+    )
+
+    landing = os.path.join(workdir, "landing")
+    os.makedirs(landing, exist_ok=True)
+    for i in range(120):
+        path = os.path.join(landing, f"transactions_{i:03d}.csv")
+        with open(path, "w") as f:
+            f.write("country,date,name,type,amount,comments\n")
+            for r in range(25):
+                f.write(
+                    f"Japan,2026-02-{(r % 28) + 1:02d},merchant_{i}_{r},"
+                    f"Hotel,{(i * 25 + r) % 450 + 10}.25,note {i}-{r}\n"
+                )
+
+    spark = _get_spark("lc-streamkill")
+
+    def ingest(tag):
+        wh = Warehouse(os.path.join(workdir, f"wh_{tag}"))
+        wh.init()
+        stream_ingest_csv(spark, wh, landing, "transactions",
+                          "transactions*.csv")
+        bronze = wh.read(spark, "bronze", "transactions")
+        # wall-clock lineage and epoch numbering legitimately differ
+        # between runs; exactly-once is judged on the business rows +
+        # per-file lineage multiset
+        cols = [c for c in bronze.columns
+                if c not in ("_ingestion_time", "load_id", "row_id")]
+        rows = sorted(
+            tuple(str(r[c]) for c in cols) for r in bronze.collect()
+        )
+        ledger = sorted(
+            (r.file_name, r.target_table, r.status)
+            for r in wh.read(spark, "admin", "ingestion_logs").collect()
+        )
+        return rows, ledger
+
+    clean = ingest("clean")
+    before = _executor_pids()
+    state = {"killed": None, "active_when_killed": False}
+
+    def assassin():
+        deadline = time.time() + 120
+        tracker = spark.sparkContext.statusTracker()
+        while time.time() < deadline:
+            if tracker.getActiveJobsIds():
+                pids = sorted(_executor_pids() & before)
+                if pids:
+                    os.kill(pids[0], signal.SIGKILL)
+                    state["killed"] = pids[0]
+                    state["active_when_killed"] = bool(
+                        tracker.getActiveJobsIds())
+                    return
+            time.sleep(0.02)
+
+    t = threading.Thread(target=assassin, daemon=True)
+    t.start()
+    wounded = ingest("kill")
+    t.join(timeout=130)
+    gone = (state["killed"] is not None
+            and state["killed"] not in _executor_pids())
+    identical = wounded == clean
+    n_files = len(glob.glob(os.path.join(landing, "*.csv")))
+    spark.stop()
+    return {
+        "ok": bool(state["killed"]) and state["active_when_killed"]
+        and gone and identical,
+        "mode": "streamkill", "killed_pid": state["killed"],
+        "active_when_killed": state["active_when_killed"],
+        "executor_gone": gone, "result_identical": identical,
+        "rows": len(wounded[0]), "ledger_files": len(wounded[1]),
+        "landing_files": n_files, "master": MASTER,
+    }
+
+
 def main() -> None:
     mode = sys.argv[1]
     if mode == "parity":
         out = parity(sys.argv[2], sys.argv[3].split(","))
     elif mode == "killtest":
         out = killtest(sys.argv[2], sys.argv[3])
+    elif mode == "streamkill":
+        out = streamkill(sys.argv[2])
     else:
         out = skewtest()
     print(json.dumps(out))

@@ -40,20 +40,32 @@ def _run(args, timeout):
     env = dict(os.environ)
     # the subprocess must not inherit a master override meant for us
     env.pop("SPARK_MASTER", None)
-    r = subprocess.run(
-        [sys.executable, LC_CHECK, *args],
-        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
-    )
-    line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
-    try:
-        out = json.loads(line)
-    except json.JSONDecodeError:
-        out = {}
-    assert r.returncode == 0 and out.get("ok") is True, (
+    last = None
+    for attempt in range(2):
+        r = subprocess.run(
+            [sys.executable, LC_CHECK, *args],
+            capture_output=True, text=True, timeout=timeout, env=env,
+            cwd=REPO,
+        )
+        line = (r.stdout.strip().splitlines()[-1]
+                if r.stdout.strip() else "{}")
+        try:
+            out = json.loads(line)
+        except json.JSONDecodeError:
+            out = {}
+        if r.returncode == 0 and out.get("ok") is True:
+            return out
+        last = (r, out)
+        # an infrastructure death with EMPTY stdout (standalone-master
+        # startup races under heavy box load) retries once; a real
+        # mismatch (ok=false JSON on stdout) fails immediately
+        if r.stdout.strip():
+            break
+    r, out = last
+    raise AssertionError(
         f"lc_check {args[0]} failed: stdout={r.stdout[-2000:]} "
         f"stderr={r.stderr[-2000:]}"
     )
-    return out
 
 
 def test_bench9_and_dedup_parity_under_local_cluster():
@@ -63,7 +75,7 @@ def test_bench9_and_dedup_parity_under_local_cluster():
             "q05_region_nation_revenue", "d06_pivot_sum_case",
             "e02_dedup_row_number", "j02_sessionization",
             "dd01_exact_dedup", "t02_quality_score",
-            "sim01_knn_bruteforce", "dd03_minhash_lsh",
+            "sim01_knn_bruteforce", "dd03_minhash_lsh_pairs",
             "dd06_dedup_clusters",
             # Python-kernel queries (mapInPandas importing the package
             # on executor workers — the spark.executorEnv.PYTHONPATH

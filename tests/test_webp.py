@@ -924,3 +924,139 @@ def test_resize_webp_reencodes_lossless_png(spark):
         assert row.resized and (row.width, row.height) == (12, 12)
         dec = decode_png(bytes(row.payload))
         assert dec is not None and (dec[0], dec[1]) == (12, 12)
+
+
+# ---------------------------------------------------------------------------
+# SYSTEM libwebp conformance (round 13): everything above round-trips
+# through the in-repo forward encoder — the evidence class the QM-coder
+# bugs lived in. Real libwebp lossless streams use the encoder's full
+# repertoire (adaptive transform selection, meta-prefix entropy images,
+# LZ77 + color-cache mixes the test encoder never emits); WebP lossless
+# is bit-exact by definition, so the bar is EXACT RGB equality. Two
+# library-produced vectors pin the default lane; the live battery
+# (skipif libwebp absent) re-derives across content classes.
+
+import ctypes
+import ctypes.util
+import hashlib as _hashlib
+
+
+def _load_libwebp_lossless():
+    for cand in ("/lib/x86_64-linux-gnu/libwebp.so.7",
+                 ctypes.util.find_library("webp")):
+        if not cand:
+            continue
+        try:
+            lib = ctypes.CDLL(cand)
+            lib.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+            lib.WebPEncodeLosslessRGB.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ]
+            lib.WebPFree.argtypes = [ctypes.c_void_p]
+            return lib
+        except (OSError, AttributeError):
+            continue
+    return None
+
+
+_LOSSLESS_LIB = _load_libwebp_lossless()
+needs_libwebp_lossless = pytest.mark.skipif(
+    _LOSSLESS_LIB is None, reason="libwebp not available"
+)
+
+
+def _sys_lossless(arr: np.ndarray) -> bytes:
+    h, w, _ = arr.shape
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = _LOSSLESS_LIB.WebPEncodeLosslessRGB(
+        np.ascontiguousarray(arr).tobytes(), w, h, w * 3, ctypes.byref(out)
+    )
+    data = ctypes.string_at(out, n)
+    _LOSSLESS_LIB.WebPFree(out)
+    return data
+
+
+_SYS_PHOTO_WEBP = bytes.fromhex(
+    "52494646dc020000574542505650384cd00200002f1ec005004d0044d2fede3344f43f"
+    "75a1906d0468fe90f7b11c440c74ff73f00a4043c1d5b6367af5a6f79d67b9bdae83d4"
+    "6118c6429890827e8c8b2c0f69f7621b23ab39701b499196b7a797990ffeff2766ee99"
+    "631c856ddb364098eef1ffb345231e3f3b083a300181c11b7cf841095b78c013ae7081"
+    "17d7e20b67111adc710f0b3c0c003148efae9010ed0441730b07fe1adcd08c8280c307"
+    "4e1a3f380b9050692932af55c80d88f440a2ecdcfc1eaa1c061c40d8c180c4a18ac61f"
+    "530957f93244000e45e7a1d806e8404272b3cf13a648f4fb81700020044ecf63a180ad"
+    "2740991ce604a11a70345382a52a31e1a994ad3e3e512c533b95a193c1630e688d2e65"
+    "206167a44268383b59964fc051206511b1c4dbcd346eb83410f60d5b0bef623893ba06"
+    "7ae20318cd81f45b5eb344c05d68aa2eda5d02a1a3357389da13f796e582029fb4caca"
+    "dc89caf286374d60ae93419d8af0d43de73e9a332b86a841c2f6a37bcf566c40431b3a"
+    "db301d7dff3c596a9bc7c97783e2038464db145a807ddd063639873e68507af5ea2d5a"
+    "032227eabd9a1527580109b94b3487b48229f8d21dc45b595010f09143d041ab46670c"
+    "dcfadebbc6a66047aab6e20a18dde75a2e8bf6090882c288ac765725810f05297a595b"
+    "30fd8deb3f9d26dd5745a601b2e4d89c31ec71ae988ea436a350b7d477466e746d3c9a"
+    "d8ee3ae288a48f896433c19f6efd49cae99e476814b6c24a484bc3edec9a2a602d5601"
+    "84284936d98ff7a5f3e4a745103699dce22efe59fee83c31df784f51d964ff502afe97"
+    "15e9c7a809b8c09a2c1f56627ecc009dec0630ffd387b1ad8043b4acd69a80abaac8be"
+    "6a9059a8901f3b0adb950a8f14f599a26580a059b8f3f462f255ff21b911baa69b2acd"
+    "f4c0b24c259865d49ebbccec81ba163b6155959ae3c4e4d5745f33fae34854389321e6"
+    "e257e630e71333552bba2d2c28cc776d1e43394a86cb58ee30f0957c74118265e05820"
+    "6042ddc903"
+)
+_SYS_PHOTO_SHAPE = (31, 24)
+_SYS_PHOTO_SHA = "c6c374aa1f663d9e42f5f05c4a774ebfbb1043fafa7ff6850113707a433b6e6e"
+
+_SYS_PALETTE_WEBP = bytes.fromhex(
+    "52494646be000000574542505650384cb20000002f19c004001f3023c3335af31f7877"
+    "80220000c168b6d56c9f6d57db8eb66ddbb6ad6c9bd1b6d3be11d1ff50567cd41ae3c1"
+    "3606679e39ff28e77c3f5f6a03045b79df3c9a878fe96e379b2904cc2e366e80094095"
+    "1b5e6088166678cfead83d1ab6fa217b151fa2dfb5f89af410d8c9c595b6f139b86a6b"
+    "0aff948692b06df353f898076c22bd8f8776084f6ff8aac384163bc7793f60eb8a7ec8"
+    "b0512c5a7980a84943884717729769909f65f599c42f20"
+)
+_SYS_PALETTE_SHAPE = (26, 20)
+_SYS_PALETTE_SHA = "aec32fdc7be5f290997285b4df32fbd30ff27074330933f6c79e22ada1628af7"
+
+
+@pytest.mark.parametrize(
+    "payload,shape,sha",
+    [
+        (_SYS_PHOTO_WEBP, _SYS_PHOTO_SHAPE, _SYS_PHOTO_SHA),
+        (_SYS_PALETTE_WEBP, _SYS_PALETTE_SHAPE, _SYS_PALETTE_SHA),
+    ],
+    ids=["sys_photo", "sys_palette"],
+)
+def test_pinned_libwebp_lossless_streams_decode_exact(payload, shape, sha):
+    got = decode_webp(payload)
+    assert got is not None
+    w, h, rgb = got
+    assert (w, h) == shape
+    assert _hashlib.sha256(rgb).hexdigest() == sha
+
+
+@needs_libwebp_lossless
+def test_live_libwebp_lossless_across_content_classes():
+    rng = np.random.default_rng(3)
+    y, x = np.mgrid[0:40, 0:56]
+    imgs = {
+        "noise": rng.integers(0, 256, (33, 47, 3), dtype=np.uint8),
+        "photo": np.clip(
+            np.stack([120 + 60 * np.sin(x / 5.0), 90 + 50 * np.cos(y / 4.0),
+                      (x * 3 + y * 2) % 256], axis=-1), 0, 255
+        ).astype(np.uint8),
+        "palette": (rng.integers(0, 4, (40, 56, 1))
+                    * np.array([[[60, 35, 90]]])).astype(np.uint8),
+        "gradient": np.stack([x * 4 % 256, y * 6 % 256, (x + y) % 256],
+                             axis=-1).astype(np.uint8),
+        "flat": np.full((17, 19, 3), 123, np.uint8),
+        "big_noise": rng.integers(0, 256, (128, 96, 3), dtype=np.uint8),
+        "tiny": rng.integers(0, 256, (1, 1, 3), dtype=np.uint8),
+    }
+    for name, arr in imgs.items():
+        got = decode_webp(_sys_lossless(arr))
+        assert got is not None, name
+        w, h, rgb = got
+        dec = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        assert np.array_equal(dec, arr), name
+
+    # pinned vectors stay regenerable from the same library
+    for payload in (_SYS_PHOTO_WEBP, _SYS_PALETTE_WEBP):
+        assert decode_webp(payload) is not None

@@ -362,3 +362,177 @@ def test_sample_frames_end_to_end(spark):
     assert pa == pb  # same composited pixels -> identical signature
     with pytest.raises(ValueError):
         sample_frames(media, every_n=0)
+
+
+# ---------------------------------------------------------------------------
+# SYSTEM giflib conformance (round 13): everything above round-trips
+# through the in-repo _gif encoder — the self-consistent evidence class.
+# The installed giflib (/usr/lib/x86_64-linux-gnu/libgif.so.7) is an
+# independent reader: its DGifSlurp must decode the repo-encoded
+# streams (incl. the pinned media fixtures) to the EXACT same rasters,
+# so an LZW convention shared by the in-repo encoder/decoder pair
+# cannot hide. Read API only via ctypes (giflib 5.x public structs;
+# no system gif ENCODER exists here, so the encode direction stays
+# covered by the decoder's real-world-semantics tests above).
+
+import ctypes
+import os as _os
+import tempfile as _tempfile
+
+
+class _GifColorType(ctypes.Structure):
+    _fields_ = [("Red", ctypes.c_ubyte), ("Green", ctypes.c_ubyte),
+                ("Blue", ctypes.c_ubyte)]
+
+
+class _ColorMapObject(ctypes.Structure):
+    _fields_ = [("ColorCount", ctypes.c_int), ("BitsPerPixel", ctypes.c_int),
+                ("SortFlag", ctypes.c_bool),
+                ("Colors", ctypes.POINTER(_GifColorType))]
+
+
+class _GifImageDesc(ctypes.Structure):
+    _fields_ = [("Left", ctypes.c_int), ("Top", ctypes.c_int),
+                ("Width", ctypes.c_int), ("Height", ctypes.c_int),
+                ("Interlace", ctypes.c_bool),
+                ("ColorMap", ctypes.POINTER(_ColorMapObject))]
+
+
+class _ExtensionBlock(ctypes.Structure):
+    _fields_ = [("ByteCount", ctypes.c_int),
+                ("Bytes", ctypes.POINTER(ctypes.c_ubyte)),
+                ("Function", ctypes.c_int)]
+
+
+class _SavedImage(ctypes.Structure):
+    _fields_ = [("ImageDesc", _GifImageDesc),
+                ("RasterBits", ctypes.POINTER(ctypes.c_ubyte)),
+                ("ExtensionBlockCount", ctypes.c_int),
+                ("ExtensionBlocks", ctypes.POINTER(_ExtensionBlock))]
+
+
+class _GifFileType(ctypes.Structure):
+    _fields_ = [("SWidth", ctypes.c_int), ("SHeight", ctypes.c_int),
+                ("SColorResolution", ctypes.c_int),
+                ("SBackGroundColor", ctypes.c_int),
+                ("AspectByte", ctypes.c_ubyte),
+                ("SColorMap", ctypes.POINTER(_ColorMapObject)),
+                ("ImageCount", ctypes.c_int), ("Image", _GifImageDesc),
+                ("SavedImages", ctypes.POINTER(_SavedImage)),
+                ("ExtensionBlockCount", ctypes.c_int),
+                ("ExtensionBlocks", ctypes.POINTER(_ExtensionBlock)),
+                ("Error", ctypes.c_int), ("UserData", ctypes.c_void_p),
+                ("Private", ctypes.c_void_p)]
+
+
+def _load_giflib():
+    try:
+        lib = ctypes.CDLL("/usr/lib/x86_64-linux-gnu/libgif.so.7")
+        lib.DGifOpenFileName.restype = ctypes.POINTER(_GifFileType)
+        lib.DGifOpenFileName.argtypes = [ctypes.c_char_p,
+                                         ctypes.POINTER(ctypes.c_int)]
+        lib.DGifSlurp.argtypes = [ctypes.POINTER(_GifFileType)]
+        lib.DGifSlurp.restype = ctypes.c_int
+        lib.DGifCloseFile.argtypes = [ctypes.POINTER(_GifFileType),
+                                      ctypes.POINTER(ctypes.c_int)]
+        return lib
+    except (OSError, AttributeError):
+        return None
+
+
+_GIFLIB = _load_giflib()
+needs_giflib = pytest.mark.skipif(_GIFLIB is None,
+                                  reason="giflib not available")
+
+
+def _giflib_slurp(payload: bytes):
+    """(screen_w, screen_h, [(left, top, interlace, index_raster,
+    palette)]) via the system giflib, or None."""
+    d = _tempfile.mkdtemp(prefix="giflib_")
+    path = _os.path.join(d, "t.gif")
+    with open(path, "wb") as f:
+        f.write(payload)
+    err = ctypes.c_int(0)
+    g = _GIFLIB.DGifOpenFileName(path.encode(), ctypes.byref(err))
+    if not g:
+        return None
+    if _GIFLIB.DGifSlurp(g) != 1:
+        _GIFLIB.DGifCloseFile(g, ctypes.byref(err))
+        return None
+    f = g.contents
+    frames = []
+    for i in range(f.ImageCount):
+        si = f.SavedImages[i]
+        desc = si.ImageDesc
+        n = desc.Width * desc.Height
+        idx = np.ctypeslib.as_array(si.RasterBits, shape=(n,)).copy()
+        idx = idx.reshape(desc.Height, desc.Width)
+        cm = desc.ColorMap if desc.ColorMap else f.SColorMap
+        cc = cm.contents.ColorCount
+        pal = np.array(
+            [(cm.contents.Colors[j].Red, cm.contents.Colors[j].Green,
+              cm.contents.Colors[j].Blue) for j in range(cc)],
+            dtype=np.uint8,
+        )
+        frames.append((desc.Left, desc.Top, bool(desc.Interlace), idx, pal))
+    out = (f.SWidth, f.SHeight, frames)
+    _GIFLIB.DGifCloseFile(g, ctypes.byref(err))
+    return out
+
+
+@needs_giflib
+def test_giflib_agrees_on_repo_encoded_single_frames():
+    rng = np.random.default_rng(5)
+    cases = [
+        ("noise16", rng.integers(0, 16, (21, 33), dtype=np.uint8),
+         rng.integers(0, 256, (16, 3), dtype=np.uint8)),
+        ("bands256", (np.arange(24 * 40).reshape(24, 40) % 256
+                      ).astype(np.uint8),
+         rng.integers(0, 256, (256, 3), dtype=np.uint8)),
+        ("flat", np.zeros((9, 7), np.uint8),
+         np.array([[10, 200, 30], [0, 0, 0]], np.uint8)),
+    ]
+    for name, idx, pal in cases:
+        payload = _gif(idx.shape[1], idx.shape[0], pal,
+                       [dict(idx=idx, left=0, top=0)])
+        # independent reader: exact index raster + palette
+        slurped = _giflib_slurp(payload)
+        assert slurped is not None, name
+        sw, sh, frames = slurped
+        assert (sw, sh) == (idx.shape[1], idx.shape[0])
+        left, top, inter, sys_idx, sys_pal = frames[0]
+        assert not inter and (left, top) == (0, 0)
+        assert np.array_equal(sys_idx, idx), name
+        assert np.array_equal(sys_pal[: len(pal)], pal), name
+        # and the package decoder composites the same pixels
+        w, h, reps = decode_gif(payload)
+        repo_rgb = np.frombuffer(reps[0], dtype=np.uint8).reshape(h, w, 3)
+        assert np.array_equal(repo_rgb, pal[idx]), name
+
+
+@needs_giflib
+def test_giflib_reads_the_pinned_media_fixtures():
+    from travel_data_ingestion_spark.queries import media_literals as ML
+
+    # the still fixture: giflib raster -> palette == the package frame
+    slurped = _giflib_slurp(ML.DELTA_GIF)
+    assert slurped is not None
+    sw, sh, frames = slurped
+    w, h, reps = decode_gif(ML.DELTA_GIF)
+    assert (sw, sh) == (w, h) and len(frames) == len(reps) == 1
+    left, top, inter, idx, pal = frames[0]
+    assert not inter and (left, top) == (0, 0)
+    repo_rgb = np.frombuffer(reps[0], dtype=np.uint8).reshape(h, w, 3)
+    assert np.array_equal(repo_rgb, pal[idx])
+
+    # the 23-frame video fixture: frame count + geometry agree (frames
+    # composite through disposal rules, so rasters anchor geometry)
+    slurped = _giflib_slurp(ML.VIDEO_GIF_23F)
+    assert slurped is not None
+    sw, sh, frames = slurped
+    w, h, reps = decode_gif(ML.VIDEO_GIF_23F)
+    assert (sw, sh) == (w, h)
+    assert len(frames) == len(reps) == 23
+    for left, top, _inter, idx, _pal in frames:
+        assert 0 <= left and 0 <= top
+        assert left + idx.shape[1] <= w and top + idx.shape[0] <= h

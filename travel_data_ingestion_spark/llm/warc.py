@@ -7,7 +7,8 @@ headers, ``Content-Length`` octets of block, then CRLF CRLF. For
 ``response`` records the block is a raw captured HTTP/1.x message, so
 reading one usefully also means parsing the status line + headers and
 undoing ``Transfer-Encoding: chunked`` and ``Content-Encoding:
-gzip/deflate`` (crawlers store the wire bytes).
+gzip/deflate/br`` (crawlers store the wire bytes; brotli decodes
+through the system libbrotlidec — llm/brotli_dec.py).
 
 Everything here is stdlib (zlib) and total: hostile bytes, truncated
 members, lying Content-Lengths, and decompression bombs (per-record
@@ -105,7 +106,7 @@ def _dechunk(body: bytes) -> bytes | None:
 def _parse_http(block: bytes):
     """(status, content_type, body_bytes) from a raw HTTP/1.x response;
     None for non-HTTP blocks. Undoes chunked transfer coding and
-    gzip/deflate content coding."""
+    gzip/deflate/brotli content coding."""
     if not block[:5] == b"HTTP/":
         return None
     parsed = _parse_headers(block)
@@ -124,7 +125,18 @@ def _parse_http(block: bytes):
             return None
         body = de
     enc = headers.get("content-encoding", "").lower()
-    if enc in ("gzip", "x-gzip", "deflate"):
+    if enc == "br":
+        # brotli — the dominant CDN coding on the modern web; decoded
+        # through the system libbrotlidec (llm/brotli_dec.py), same
+        # bomb cap; None (incl. library-absent) drops the record
+        from travel_data_ingestion_spark.llm.brotli_dec import (
+            brotli_decompress,
+        )
+
+        body = brotli_decompress(body, MAX_RECORD_BYTES)
+        if body is None:
+            return None
+    elif enc in ("gzip", "x-gzip", "deflate"):
         coded = body
 
         def _inflate(wbits: int):

@@ -61,6 +61,18 @@ def iter_members(payload: bytes):
                             RuntimeError):
                         continue
             return
+        if payload[:4] == b"\x28\xb5\x2f\xfd":
+            # .tar.zst — the WebDataset/training-shard compression the
+            # stdlib tarfile cannot sniff; the system libzstd undoes
+            # the framing under the whole-archive cap, then the tar
+            # walk below proceeds unchanged
+            from travel_data_ingestion_spark.llm.zstd_dec import (
+                zstd_decompress,
+            )
+
+            payload = zstd_decompress(payload, MAX_ARCHIVE_OUT)
+            if payload is None:
+                return
         with tarfile.open(fileobj=io.BytesIO(payload), mode="r:*") as tf:
             while True:
                 try:

@@ -136,6 +136,13 @@ def _parse_http(block: bytes):
         body = brotli_decompress(body, MAX_RECORD_BYTES)
         if body is None:
             return None
+    elif enc == "zstd":
+        # RFC 8878 content coding, via the system libzstd
+        from travel_data_ingestion_spark.llm.zstd_dec import zstd_decompress
+
+        body = zstd_decompress(body, MAX_RECORD_BYTES)
+        if body is None:
+            return None
     elif enc in ("gzip", "x-gzip", "deflate"):
         coded = body
 

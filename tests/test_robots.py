@@ -164,3 +164,64 @@ def test_rfc9309_totality():
         blob = "".join(chr(rng.randrange(1, 1000)) for _ in range(n))
         is_allowed(blob, "Bot", "http://h/p")
         is_allowed("User-agent: *\nDisallow: " + blob, "Bot", "http://h/p")
+
+
+# ---------------------------------------------------------------------------
+# round-14 ADVICE fixes: ReDoS, percent-encoding, per-agent memoization
+
+
+def test_wildcard_matching_is_linear_time_not_redos():
+    # hostile robots.txt + hostile URL (both untrusted crawled content):
+    # a '.*'-joined backtracking regex hangs on this for >10s; the
+    # linear greedy matcher must answer in well under a second
+    import time as _t
+
+    txt = "User-agent: *\nDisallow: /" + "*a" * 24 + "*ab\n"
+    path = "/" + "a" * 5000  # no 'ab' tail -> no match -> worst case
+    t0 = _t.monotonic()
+    assert is_allowed(txt, "B", "http://h" + path)
+    assert is_allowed(txt, "B", "http://h/" + "a" * 5000 + "ab") is False
+    assert _t.monotonic() - t0 < 1.0
+
+
+def test_wildcard_semantics_survive_linear_rewrite():
+    # anchored + middle segments; overlapping placements
+    txt = "User-agent: *\nDisallow: /a*bc*cd$\n"
+    assert not is_allowed(txt, "B", "http://h/a-bc-cd")
+    assert not is_allowed(txt, "B", "http://h/abccd")      # bc then cd overlap-free
+    assert is_allowed(txt, "B", "http://h/a-bccd-x")       # not end-anchored
+    assert is_allowed(txt, "B", "http://h/a-cd")           # missing 'bc'
+    # '**' runs and trailing '*'
+    txt2 = "User-agent: *\nDisallow: /x**y*\n"
+    assert not is_allowed(txt2, "B", "http://h/x123y456")
+    assert is_allowed(txt2, "B", "http://h/x123z")
+    # single-segment '$' pattern is exact-match only
+    txt3 = "User-agent: *\nDisallow: /x$\n"
+    assert not is_allowed(txt3, "B", "http://h/x")
+    assert is_allowed(txt3, "B", "http://h/xy")
+    assert is_allowed(txt3, "B", "http://h/y/x")  # startswith, not contains
+
+
+def test_percent_encoding_normalization():
+    # RFC 9309 §2.2.2: compare percent-encoded octets consistently —
+    # a raw-UTF8 rule must match the percent-encoded wire path and
+    # vice versa (stdlib robotparser quotes the path the same way)
+    txt_raw = "User-agent: *\nDisallow: /café\n"
+    txt_pct = "User-agent: *\nDisallow: /caf%C3%A9\n"
+    for txt in (txt_raw, txt_pct):
+        assert not is_allowed(txt, "B", "http://h/caf%C3%A9/menu")
+        assert not is_allowed(txt, "B", "http://h/café/menu")
+        assert is_allowed(txt, "B", "http://h/cafe/menu")
+    # ASCII paths are untouched by normalization (reserved chars stay)
+    txt3 = "User-agent: *\nDisallow: /*?session=\n"
+    assert not is_allowed(txt3, "B", "http://h/p?session=1")
+
+
+def test_rules_for_is_memoized_per_agent():
+    from travel_data_ingestion_spark.llm.robots import Rfc9309Rules
+
+    r = Rfc9309Rules(_ROBOTS)
+    first = r._rules_for("GenericBot/1.0")
+    again = r._rules_for("genericbot")  # same normalized token
+    assert first is again  # same list object -> no per-call rebuild
+    assert r._rules_for("SpecialBot") is r._rules_for("specialbot/9")

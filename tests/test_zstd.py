@@ -138,3 +138,30 @@ def test_tar_xz_and_bz2_sniff_via_stdlib():
     for comp in (lzma.compress, bz2.compress):
         members = list(iter_members(comp(buf.getvalue())))
         assert members == [("a.txt", b"hello compressed tars", False)], comp
+
+
+@needs_zstd_enc
+def test_tar_zst_with_leading_skippable_frame():
+    # RFC 8878 §3.1.2: a zstd file may open with a SKIPPABLE frame
+    # (magic 0x184D2A50..5F LE — seek tables etc.) before the first
+    # standard frame. ZSTD_decompressStream skips them, so the sniff
+    # must route such payloads to the zstd path instead of letting
+    # tarfile fail and the shard silently yield no members.
+    import struct
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        data = b"behind a skippable frame"
+        ti = tarfile.TarInfo("a.txt")
+        ti.size = len(data)
+        tf.addfile(ti, io.BytesIO(data))
+    for magic in (0x184D2A50, 0x184D2A5F):  # range endpoints
+        skip_payload = b"seek-table-ish junk"
+        skippable = (struct.pack("<I", magic)
+                     + struct.pack("<I", len(skip_payload)) + skip_payload)
+        shard = skippable + _zc(buf.getvalue(), 9)
+        # decoder itself skips the frame
+        assert zstd_decompress(shard, 1 << 20) == buf.getvalue()
+        # and the archive sniff now recognizes it as zstd
+        members = list(iter_members(shard))
+        assert members == [("a.txt", b"behind a skippable frame", False)]

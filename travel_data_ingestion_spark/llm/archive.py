@@ -61,11 +61,18 @@ def iter_members(payload: bytes):
                             RuntimeError):
                         continue
             return
-        if payload[:4] == b"\x28\xb5\x2f\xfd":
+        if payload[:4] == b"\x28\xb5\x2f\xfd" or (
+            len(payload) >= 4
+            and payload[1:4] == b"\x2a\x4d\x18"
+            and 0x50 <= payload[0] <= 0x5F
+        ):
             # .tar.zst — the WebDataset/training-shard compression the
             # stdlib tarfile cannot sniff; the system libzstd undoes
             # the framing under the whole-archive cap, then the tar
-            # walk below proceeds unchanged
+            # walk below proceeds unchanged. A zstd file may legally
+            # open with a SKIPPABLE frame (magic 0x184D2A50..5F LE,
+            # seek tables etc.) before the first standard frame —
+            # ZSTD_decompressStream skips those, so sniff them too.
             from travel_data_ingestion_spark.llm.zstd_dec import (
                 zstd_decompress,
             )

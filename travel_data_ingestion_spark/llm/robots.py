@@ -39,20 +39,40 @@ join broadcasts the robots side; evaluation itself is map-only.
 from __future__ import annotations
 
 import io
-import re
 import urllib.robotparser
-from urllib.parse import urlsplit
+from urllib.parse import quote, unquote, urlsplit
+
+# every printable ASCII char except '%' stays literal, so ASCII rule
+# patterns and paths are untouched by normalization; only non-ASCII /
+# control / space octets (and bare '%') get one consistent encoding
+_PCT_SAFE = "".join(chr(c) for c in range(0x21, 0x7F) if chr(c) != "%")
+
+
+def _pctnorm(s: str) -> str:
+    """Map a rule pattern segment or URL path to one consistent
+    percent-encoding (RFC 9309 §2.2.2 compares percent-encoded octets;
+    stdlib robotparser uses the same unquote-then-requote trick), so
+    ``Disallow: /café`` matches the wire path ``/caf%C3%A9`` and vice
+    versa. Total."""
+    try:
+        return quote(unquote(s), safe=_PCT_SAFE)
+    except Exception:
+        return s
 
 
 class Rfc9309Rules:
     """One parsed robots.txt under RFC 9309 semantics. Total: any
     parse trouble degrades toward allow."""
 
-    __slots__ = ("groups",)
+    __slots__ = ("groups", "_agent_rules")
 
     def __init__(self, content: str | None):
         # groups: list of (set[agent_token_lower], [(allow, pattern)])
         self.groups: list = []
+        # memoized merged rule list per normalized agent token — the
+        # frontier hot loop calls can_fetch once per URL and must not
+        # rebuild the group scan each time
+        self._agent_rules: dict = {}
         if not content:
             return
         agents: set[str] = set()
@@ -76,7 +96,7 @@ class Rfc9309Rules:
                 if agents and val:
                     try:
                         matcher, plen = self._compile(val)
-                    except re.error:
+                    except Exception:
                         continue
                     rules.append((key == "allow", matcher, plen))
                 # empty value = no rule (the classic "Disallow:" allow-all)
@@ -89,26 +109,73 @@ class Rfc9309Rules:
     @staticmethod
     def _compile(pattern: str):
         """(matcher, priority): plain patterns match by startswith (the
-        overwhelmingly common case — no regex on the hot path);
-        patterns with '*' runs or a '$' end-anchor precompile once at
-        parse time. Priority is the pattern's octet count (RFC 9309
-        'most octets' rule, wildcard characters included, matching the
-        reference-crawler convention)."""
-        if "*" not in pattern and not pattern.endswith("$"):
-            return pattern, len(pattern)
+        overwhelmingly common case); wildcard/anchored patterns get a
+        LINEAR-TIME greedy segment matcher built once at parse time —
+        never a backtracking regex (robots.txt is untrusted crawled
+        content; a '.*'-joined regex is a ReDoS on hostile patterns
+        like '/*a*a*...*ab', as Google's reference robots.cc also
+        avoids). Priority is the pattern's octet count (RFC 9309 'most
+        octets' rule, wildcard/anchor characters included), measured on
+        the percent-normalized form so '/café' and '/caf%C3%A9' rank
+        identically."""
         anchored = pattern.endswith("$")
         body = pattern[:-1] if anchored else pattern
-        rx = ".*".join(re.escape(part) for part in body.split("*"))
-        return re.compile(rx + ("$" if anchored else "")).match, len(pattern)
+        # normalize each literal segment; '*' separators and the '$'
+        # anchor are structural, never percent-encoded
+        parts = [_pctnorm(p) for p in body.split("*")]
+        plen = sum(len(p) for p in parts) + (len(parts) - 1) + anchored
+        if len(parts) == 1 and not anchored:
+            return parts[0], plen  # startswith fast path
+        first, rest = parts[0], parts[1:]
+        if anchored:
+            if not rest:
+                return (lambda path, _p=first: path == _p), plen
+
+            def match(path, _first=first, _mids=rest[:-1], _last=rest[-1]):
+                # greedy leftmost placement of middle segments gives
+                # the minimal end offset, so the end-anchored last
+                # segment fits iff any placement fits — O(len(path))
+                if not path.startswith(_first):
+                    return False
+                i = len(_first)
+                for seg in _mids:
+                    j = path.find(seg, i)
+                    if j < 0:
+                        return False
+                    i = j + len(seg)
+                return len(path) - len(_last) >= i and path.endswith(_last)
+
+            return match, plen
+
+        def match(path, _first=first, _rest=rest):
+            if not path.startswith(_first):
+                return False
+            i = len(_first)
+            for seg in _rest:
+                if not seg:  # '**' runs / trailing '*': match anything
+                    continue
+                j = path.find(seg, i)
+                if j < 0:
+                    return False
+                i = j + len(seg)
+            return True
+
+        return match, plen
 
     def _rules_for(self, agent: str):
         token = agent.split("/", 1)[0].strip().lower()
+        cached = self._agent_rules.get(token)
+        if cached is not None:
+            return cached
         exact = [r for agents, rules in self.groups if token in agents
                  for r in rules]
-        if exact or any(token in agents for agents, _ in self.groups):
-            return exact
-        return [r for agents, rules in self.groups if "*" in agents
-                for r in rules]
+        if not exact and not any(
+            token in agents for agents, _ in self.groups
+        ):
+            exact = [r for agents, rules in self.groups if "*" in agents
+                     for r in rules]
+        self._agent_rules[token] = exact
+        return exact
 
     def can_fetch(self, agent: str, url: str) -> bool:
         try:
@@ -120,6 +187,7 @@ class Rfc9309Rules:
             return True
         if path == "/robots.txt":
             return True
+        path = _pctnorm(path)
         best_len = -1
         best_allow = True
         for allow, matcher, plen in self._rules_for(agent):

@@ -43,6 +43,19 @@ def session_token(spark: SparkSession) -> str:
     return tok
 
 
+def _export_pythonpath(effective_master: str) -> bool:
+    """Whether to export the driver's repo root as
+    spark.executorEnv.PYTHONPATH. Only correct when executors share
+    the driver's filesystem: local / local-cluster masters (executor
+    JVMs on this machine). On yarn/k8s/standalone-remote the driver's
+    paths mean nothing on executors, so the export is skipped and
+    --py-files/wheels is the documented shipping mechanism;
+    SPARK_EXPORT_PYTHONPATH=1 opts in for shared-FS standalone."""
+    return effective_master.startswith("local") or (
+        os.environ.get("SPARK_EXPORT_PYTHONPATH") == "1"
+    )
+
+
 def get_spark(
     app_name: str = "travel_data_ingestion_spark",
     master: str | None = None,
@@ -94,17 +107,27 @@ def get_spark(
             "spark.executor.memory", os.environ["SPARK_EXECUTOR_MEMORY"]
         )
     # Executor-side Python workers must import this package. In
-    # local[*] they inherit the driver's sys.path; in local-cluster /
-    # standalone the executor JVMs spawn their own workers, so the
-    # repo root is exported explicitly (a real cluster deployment
-    # ships a wheel via --py-files; same mechanism, packaged).
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))
-    exec_pp = os.environ.get("PYTHONPATH", "")
-    builder = builder.config(
-        "spark.executorEnv.PYTHONPATH",
-        repo_root + (os.pathsep + exec_pp if exec_pp else ""),
+    # local[*] they inherit the driver's sys.path; in local-cluster
+    # the executor JVMs spawn their own workers ON THIS MACHINE, so
+    # the repo root is exported explicitly. The export is gated on
+    # masters whose executors share the driver's filesystem (local /
+    # local-cluster) — on a real cluster the driver's paths mean
+    # nothing on remote executors, and --py-files/wheels is the
+    # documented shipping mechanism (SPARK_EXPORT_PYTHONPATH=1
+    # opts in anyway for shared-filesystem standalone setups).
+    effective_master = (
+        master
+        or os.environ.get("SPARK_MASTER")
+        or f"local[{cores}]"
     )
+    if _export_pythonpath(effective_master):
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))
+        exec_pp = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            repo_root + (os.pathsep + exec_pp if exec_pp else ""),
+        )
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
     for k, v in (extra_conf or {}).items():

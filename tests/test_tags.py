@@ -194,3 +194,24 @@ def test_id3v24_per_frame_unsync_flag():
     frame2 = b"TIT2" + _syncsafe(len(stuffed)) + b"\x00\x00" + stuffed
     tag2 = b"ID3\x04\x00\x80" + _syncsafe(len(frame2)) + frame2
     assert audio_tags(tag2)["title"] == "Tïtle"
+
+
+def test_audio_tag_rows_batch_wrapper(spark):
+    # the Spark-shaped wrapper: mapInPandas, tags out, payloads never
+    # back to the JVM; None payload is total
+    from travel_data_ingestion_spark.llm.tags import audio_tag_rows
+
+    tag = _id3v23([(b"TIT2", b"\x00Row Title"), (b"TCON", b"\x00jazz")])
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(tag + b"\xff\xfb" + bytes(32))),
+            (2, bytearray(b"not audio")),
+            (3, None),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_tag_rows(df).collect()}
+    assert rows[1].container == "id3v2"
+    assert rows[1].title == "Row Title" and rows[1].genre == "jazz"
+    assert rows[2].container is None and rows[2].title is None
+    assert rows[3].container is None and rows[3].title is None

@@ -249,3 +249,67 @@ def audio_tags(payload: bytes) -> dict:
         return {}
     except (IndexError, ValueError, OverflowError):
         return {}
+
+
+def tag_container(payload: bytes) -> str | None:
+    """Which tag home the payload leads with (id3v2 / mp3-id3v1 /
+    flac / ogg / wav), or None — a sniff, not a decode."""
+    try:
+        if payload[:3] == b"ID3":
+            return "id3v2"
+        if payload[:2] in (b"\xff\xfb", b"\xff\xf3") or (
+            len(payload) > 1
+            and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+        ):
+            return "mp3"
+        if payload[:4] == b"fLaC":
+            return "flac"
+        if payload[:4] == b"OggS":
+            return "ogg"
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return "wav"
+        return None
+    except IndexError:
+        return None
+
+
+def audio_tag_rows(df, payload_col: str = "payload"):
+    """(media_id, payload) -> (media_id, container, title, artist,
+    album, date_tag, genre): Arrow-batched tag extraction. Payload
+    bytes cross to Python once per row and never return to the JVM —
+    only the small normalized tag row does, so a 100 TB media corpus
+    stays map-only with no payload shuffle (the mm01/warc_records
+    shape)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("container", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("artist", T.StringType()),
+            T.StructField("album", T.StringType()),
+            T.StructField("date_tag", T.StringType()),
+            T.StructField("genre", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in schema.fields}
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                tags = audio_tags(raw)
+                out["media_id"].append(mid)
+                out["container"].append(tag_container(raw))
+                out["title"].append(tags.get("title"))
+                out["artist"].append(tags.get("artist"))
+                out["album"].append(tags.get("album"))
+                out["date_tag"].append(tags.get("date"))
+                out["genre"].append(tags.get("genre"))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=schema)

@@ -12,6 +12,7 @@ full WARC -> HTTP -> HTML -> text chain in one graded row.
 
 from __future__ import annotations
 
+import functools
 import gzip
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,6 +65,20 @@ _PLANTED_HTML: list[tuple[int, str, str, str, int]] = [
         "",
         "plain text only © 2026",
         0,
+    ),
+    (
+        # inline-svg <title> (an accessibility label) precedes the real
+        # document <title>: the svg subtree is dropped wholesale and
+        # its title must NOT shadow the document title (the r12 ADVICE
+        # fix, now graded — a regression flips both title and text)
+        9_000_000_005,
+        '<div><svg viewBox="0 0 8 8"><title>svg shadow label</title>'
+        '<desc>nope</desc><circle r="4"/></svg>icon</div>'
+        '<head><title>Real &amp; Actual</title></head>'
+        '<p>after svg</p><a href="/l">link</a>',
+        "Real & Actual",
+        "icon after svg link",
+        1,
     ),
 ]
 
@@ -125,7 +140,8 @@ def _planted_values_sql() -> str:
     "one regexp whitespace-collapse over the original text), plus "
     "hand-adversarial planted markup (nested unclosed tags, fake "
     "markup inside script CDATA, numeric/named entities, &nbsp; as "
-    "unicode whitespace, uppercase tags, self-closing void tags) "
+    "unicode whitespace, uppercase tags, self-closing void tags, an "
+    "inline-svg <title> that must not shadow the document title) "
     "whose expected extractions are HAND-WRITTEN literals — the "
     "expectation is independent of the extractor. Map-only "
     "Arrow-batched mapInPandas; raw HTML crosses to Python once.",
@@ -171,6 +187,7 @@ def _rec(headers: dict, body: bytes) -> bytes:
     return head.encode() + body + b"\r\n\r\n"
 
 
+@functools.lru_cache(maxsize=1)
 def planted_warc_gz() -> bytes:
     r3 = (
         b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
@@ -222,7 +239,22 @@ def planted_warc_gz() -> bytes:
              + "<html><body><p>Ol\u00e1 caf\u00e9 \u00a1se\u00f1or!"
                "</p></body></html>".encode("latin1")),
     ]
-    return b"".join(gzip.compress(r, mtime=0) for r in records)
+    # adversarial member planted MID-archive (the r12 ADVICE fix, now
+    # graded): a gzip member whose decompressed record blows the
+    # 64 MiB bomb cap must be skipped WITHOUT dropping the rest of the
+    # archive \u2014 a regression to stop-at-cap loses the four records
+    # behind it and the hand-written oracle rows 5..8 catch it. The
+    # skipped member yields nothing, so ordinals are unchanged.
+    bomb = _rec(
+        {"WARC-Type": "response",
+         "WARC-Target-URI": "http://example.com/bomb",
+         "Content-Type": "application/http;msgtype=response"},
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+        + bytes((1 << 26) + 1),
+    )
+    members = [gzip.compress(r, mtime=0) for r in records]
+    members.insert(5, gzip.compress(bomb, mtime=0, compresslevel=1))
+    return b"".join(members)
 
 
 # hand-written expected rows: (ordinal, type, uri, status, http_ct,
@@ -270,7 +302,9 @@ _WARC_EXPECTED = """
     "and gzip content decoding, then HTML -> text on text/html bodies "
     "— the full WARC -> HTTP -> HTML -> text chain in one graded row, "
     "incl. a declared-charset (ISO-8859-1) page whose text must decode "
-    "per the Content-Type parameter, not as UTF-8 "
+    "per the Content-Type parameter, not as UTF-8, and a mid-archive "
+    "gzip member over the 64 MiB bomb cap that must be skipped without "
+    "dropping the records behind it "
     "(warcinfo/request/response/resource/revisit all typed). Oracle = "
     "hand-written record literals (lengths counted from the fixed "
     "body strings), independent of the parser; one record's raw bytes "
@@ -508,3 +542,118 @@ def t19_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return urls.mapInPandas(batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# t20: crawled-audio tag extraction
+#
+# The metadata join key a media crawl actually uses (title/artist/
+# album/date/genre) across the tag homes llm/tags.py reads. Planted
+# payloads are hand-assembled from the published tag layouts at import
+# (deterministic, no shared builder with the parser); expected rows
+# are hand-written literals. The ID3v2.3 WHOLE-TAG unsynchronisation
+# and v2.4 per-frame unsync fixtures grade the r12 ADVICE fix class —
+# a regression to naive frame walking corrupts both titles.
+
+
+def _t20_syncsafe(v: int) -> bytes:
+    return bytes(((v >> s) & 0x7F) for s in (21, 14, 7, 0))
+
+
+def _t20_vc(pairs: list[tuple[str, str]]) -> bytes:
+    import struct
+
+    out = struct.pack("<I", 1) + b"x" + struct.pack("<I", len(pairs))
+    for k, v in pairs:
+        item = f"{k}={v}".encode()
+        out += struct.pack("<I", len(item)) + item
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def planted_audio() -> list[tuple[int, bytes]]:
+    import struct
+
+    # 1: mp3 w/ ID3v2.3 whole-tag unsynchronisation (header flag 0x80:
+    # 0x00 stuffed after every 0xFF across the body; the UTF-16 BOM is
+    # the common real-world trigger)
+    tit = b"\x01" + "Uñsync Title".encode("utf-16")
+    body = b"TIT2" + struct.pack(">I", len(tit)) + b"\x00\x00" + tit
+    body += b"TPE1" + struct.pack(">I", 5) + b"\x00\x00" + b"\x00Art\xff"
+    body += b"TCON" + struct.pack(">I", 5) + b"\x00\x00" + b"\x00Rock"
+    stuffed = body.replace(b"\xff", b"\xff\x00")
+    a1 = (b"ID3\x03\x00\x80" + _t20_syncsafe(len(stuffed)) + stuffed
+          + b"\xff\xfb" + bytes(64))
+    # 2: ID3v2.4 per-frame unsync (format flag 0x02, stored syncsafe
+    # size counts the stuffed bytes) + a plain TDRC frame
+    t24 = b"\x01" + "Tïtle 24".encode("utf-16")
+    st24 = t24.replace(b"\xff", b"\xff\x00")
+    fr = b"TIT2" + _t20_syncsafe(len(st24)) + b"\x00\x02" + st24
+    fr += b"TDRC" + _t20_syncsafe(5) + b"\x00\x00" + b"\x002026"
+    a2 = b"ID3\x04\x00\x00" + _t20_syncsafe(len(fr)) + fr
+    # 3: bare mp3 frame sync with only the ID3v1 128-byte trailer
+    v1 = (b"TAG" + b"V1 Crawl".ljust(30, b"\x00")
+          + b"V1 Artist".ljust(30, b"\x00")
+          + b"V1 Album".ljust(30, b"\x00") + b"1999" + bytes(31))
+    a3 = b"\xff\xfb" + bytes(200) + v1
+    # 4: WAV LIST INFO chunk after the data chunk
+    info = (b"INAM" + struct.pack("<I", 10) + b"Wav Crawl\x00"
+            + b"IART" + struct.pack("<I", 8) + b"Wav Art\x00"
+            + b"IGNR" + struct.pack("<I", 6) + b"field\x00")
+    lst = b"LIST" + struct.pack("<I", 4 + len(info)) + b"INFO" + info
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wbody = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+             + b"data" + struct.pack("<I", 4) + bytes(4) + lst)
+    a4 = b"RIFF" + struct.pack("<I", 4 + len(wbody)) + b"WAVE" + wbody
+    # 5: native FLAC VORBIS_COMMENT metadata block
+    vc = _t20_vc([("TITLE", "Flac Crawl"), ("DATE", "2026-01-02")])
+    a5 = (b"fLaC" + bytes([0x00]) + (34).to_bytes(3, "big") + bytes(34)
+          + bytes([0x84]) + len(vc).to_bytes(3, "big") + vc)
+    # 6: not audio at all -> container NULL, no tags
+    a6 = b"just some crawled text bytes"
+    return [
+        (7_000_000_001, a1), (7_000_000_002, a2), (7_000_000_003, a3),
+        (7_000_000_004, a4), (7_000_000_005, a5), (7_000_000_006, a6),
+    ]
+
+
+_AUDIO_TAG_EXPECTED = """
+    (7000000001, 'id3v2', 'Uñsync Title', 'Artÿ', NULL, NULL, 'Rock'),
+    (7000000002, 'id3v2', 'Tïtle 24', NULL, NULL, '2026', NULL),
+    (7000000003, 'mp3', 'V1 Crawl', 'V1 Artist', 'V1 Album', '1999',
+     NULL),
+    (7000000004, 'wav', 'Wav Crawl', 'Wav Art', NULL, NULL, 'field'),
+    (7000000005, 'flac', 'Flac Crawl', NULL, NULL, '2026-01-02', NULL),
+    (7000000006, NULL, NULL, NULL, NULL, NULL, NULL)
+"""
+
+
+@register(
+    "t20_audio_tags",
+    f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id, container, title,
+           artist, album, date_tag, genre
+    FROM (VALUES
+        {_AUDIO_TAG_EXPECTED}
+    ) AS tags(media_id, container, title, artist, album, date_tag,
+              genre)
+    """,
+    survey_ops=("X-CRAWL-6",),
+    doc="Crawled-audio tag extraction (llm/tags.py): ID3v2.2-2.4 "
+    "(incl. WHOLE-TAG v2.3 unsynchronisation and per-frame v2.4 "
+    "unsync — the r12 ADVICE fix class, graded), the ID3v1 trailer "
+    "fallback, RIFF LIST INFO, and native-FLAC Vorbis comments, "
+    "normalized to title/artist/album/date/genre. Planted payloads "
+    "hand-assembled from the published layouts; oracle rows are "
+    "hand-written literals. Arrow-batched mapInPandas — payload "
+    "bytes cross to Python once and never return to the JVM, so a "
+    "100 TB media corpus stays map-only with no payload shuffle.",
+)
+def t20_audio_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.llm.tags import audio_tag_rows
+
+    media = spark.createDataFrame(
+        [(mid, bytearray(p)) for mid, p in planted_audio()],
+        "media_id long, payload binary",
+    )
+    return audio_tag_rows(media)

@@ -161,15 +161,19 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "t12_crossdoc_span_dedup",
             "t16_warc_records",
             "t17_webdataset_samples",
+            "t20_audio_tags",
         ],
         "Corpus-level text suite: vocabulary statistics, TF-IDF "
         "keyword extraction, training-sequence packing, Gopher-style "
         "repetition stats, cross-document boilerplate coverage, "
         "unigram-LM quality scoring, cross-document repeated-span "
         "detection (exact-substring dedup family), WARC crawl-"
-        "archive ingestion (per-record gzip members, chunked/gzip "
-        "HTTP decode, the WARC -> HTTP -> HTML -> text chain), and "
-        "WebDataset tar-shard sample grouping.",
+        "archive ingestion (per-record gzip members incl. a planted "
+        "over-the-bomb-cap member, chunked/gzip HTTP decode, the "
+        "WARC -> HTTP -> HTML -> text chain), WebDataset tar-shard "
+        "sample grouping, and crawled-audio tag extraction (ID3v1/"
+        "v2 incl. unsynchronisation, RIFF INFO, FLAC Vorbis "
+        "comments).",
     ),
     "su08_incremental_index_suite": (
         [

@@ -108,9 +108,7 @@ _DOC_ONLY_PREFIXES = ("dd", "t0", "t1", "cu", "mm")
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from pyspark.sql import functions as F
-
-    from travel_data_ingestion_spark.queries import load_table, member_queries
+    from travel_data_ingestion_spark.queries import member_queries
     from travel_data_ingestion_spark.session import get_spark
 
     spark = get_spark(app_name="scale_probe")
@@ -118,87 +116,16 @@ def main() -> None:
 
     # Build the scaled copies: shift every key-like id per replica so
     # join fan-outs stay realistic (no artificial key collisions).
-    shutil.rmtree(OUT, ignore_errors=True)
-    os.makedirs(OUT, exist_ok=True)
+    # Replication lives in tools/replicate_sf.py (shared with the
+    # lc_check spilltest); near-dup vs density documents shapes are
+    # documented there and in this module's docstring.
+    from tools.replicate_sf import replicate_tables
+
     doc_only = bool(_FILTER) and all(
         q.startswith(_DOC_ONLY_PREFIXES) for q in PROBE_QUERIES
     )
-    shifts = {
-        "lineitem": ["l_orderkey"],
-        "orders": ["o_orderkey", "o_custkey"],
-        "customer": ["c_custkey"],
-        "events": ["event_id", "user_id"],
-    }
-    if doc_only:
-        for table in shifts:
-            shutil.copy(f"{BASE}/{table}.parquet", f"{OUT}/{table}.parquet")
-        shifts = {}
-    for table in ("region", "nation", "supplier", "part", "embeddings"):
-        shutil.copy(f"{BASE}/{table}.parquet", f"{OUT}/{table}.parquet")
-    # documents: shift doc_id per replica and append a replica marker
-    # token — replicas stay NEAR-dups of the original (high Jaccard but
-    # not byte-identical), which is the honest duplicate-heavy shape a
-    # dedup sweep faces; dd01 groups stay size-1, dd03's verify load
-    # grows with the planted near-dup groups.
-    docs = load_table(spark, BASE, "documents")
-    max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
-    def _fresh_filler_text(r: int) -> F.Column:
-        """Replica-salted token perturbation for density mode (see
-        module docstring): substitute the token at position i whenever
-        i % 4 == 0 (hard break — no 5 original tokens in a row) or a
-        (doc, position, replica) hash is odd. Substitutes hash the doc
-        id too (docs sharing a base phrase must NOT share its
-        perturbation, else filler manufactures new cross-doc spans) but
-        draw from a bounded vocabulary (99991 values), so at scale the
-        filler keeps a document-frequency tail by birthday collision —
-        buckets still see load, it just never verifies into pairs."""
-        salt = F.lit(r * 7919)
-        toks = F.split(F.trim(F.col("text")), r"\s+")
-        pert = F.transform(
-            toks,
-            lambda t, i: F.when(
-                (F.pmod(i, F.lit(4)) != 0)
-                & (F.pmod(F.xxhash64(F.col("doc_id"), i, salt), F.lit(2)) == 0),
-                t,
-            ).otherwise(
-                F.concat(
-                    F.lit("q"),
-                    F.pmod(
-                        F.xxhash64(t, i, salt, F.col("doc_id")), F.lit(99991)
-                    ).cast("string"),
-                )
-            ),
-        )
-        return F.array_join(pert, " ")
-
-    doc_reps = []
-    for r in range(MULT):
-        rep = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * max_doc))
-        if r > 0:
-            rep = rep.withColumn(
-                "text",
-                _fresh_filler_text(r)
-                if DENSITY
-                else F.concat(F.col("text"), F.lit(f" rep{r}")),
-            )
-        doc_reps.append(rep)
-    out_docs = doc_reps[0]
-    for rep in doc_reps[1:]:
-        out_docs = out_docs.unionByName(rep)
-    out_docs.write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
-    for table, keys in shifts.items():
-        df = load_table(spark, BASE, table)
-        max_ids = {k: df.agg(F.max(k)).first()[0] + 1 for k in keys}
-        replicas = []
-        for r in range(MULT):
-            rep = df
-            for k in keys:
-                rep = rep.withColumn(k, F.col(k) + F.lit(r * max_ids[k]))
-            replicas.append(rep)
-        out = replicas[0]
-        for rep in replicas[1:]:
-            out = out.unionByName(rep)
-        out.write.mode("overwrite").parquet(f"{OUT}/{table}.parquet")
+    replicate_tables(spark, BASE, OUT, MULT, density=DENSITY,
+                     doc_only=doc_only)
 
     def _gc_millis() -> int:
         """Cumulative stop-the-world GC time of this JVM — driver ==

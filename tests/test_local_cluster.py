@@ -122,3 +122,26 @@ def test_streaming_ingest_exactly_once_under_executor_loss(tmp_path):
     assert out["executor_gone"] is True
     assert out["result_identical"] is True
     assert out["rows"] == 120 * 25
+
+
+def test_shuffle_heavy_queries_complete_and_spill_under_memory_pressure():
+    # the deliberate memory-pressure probe (the one failure mode no
+    # other test exercises): the shuffle-heaviest queries run under
+    # tight executor JVMs with scarce execution memory
+    # (spark.memory.fraction=0.2, 4 fat shuffle partitions) over an
+    # 8x-replicated sf0.1 corpus (density documents + key-shifted
+    # TPC-H; sf0.1 alone fits even 800 MB executors — measured) — the
+    # probe requires NONZERO memoryBytesSpilled (the pressure was
+    # real, the spill path actually ran) AND oracle-equal values on
+    # the SAME scaled dir (the spill path is correct). At 100 TB every
+    # one of these operators runs beyond executor memory; this proves
+    # the overflow path instead of assuming it.
+    out = _run(
+        ["spilltest",
+         os.environ.get("LC_SPILL_SF_DIR", "/root/testdata/sf0.1"),
+         "q05_region_nation_revenue,dd04_simhash,t12_crossdoc_span_dedup",
+         os.environ.get("LC_SPILL_MULT", "8")],
+        timeout=1800,
+    )
+    assert out["memory_spilled_mb"] > 0
+    assert out["failures"] == []

@@ -312,6 +312,129 @@ def streamkill(workdir: str) -> dict:
     }
 
 
+def _total_spill(spark) -> tuple[int, int]:
+    """(memoryBytesSpilled, diskBytesSpilled) summed over all stages of
+    this application, via the documented REST monitoring API (the same
+    numbers the UI's stage table shows)."""
+    import urllib.request
+
+    sc = spark.sparkContext
+    url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages"
+           f"?status=complete")
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        stages = json.load(resp)
+    mem = sum(s.get("memoryBytesSpilled", 0) for s in stages)
+    disk = sum(s.get("diskBytesSpilled", 0) for s in stages)
+    return mem, disk
+
+
+def spilltest(sf_dir: str, names: list[str], mult: int = 1) -> dict:
+    """Deliberate memory-pressure probe: run shuffle-heavy queries
+    under executors tightened until the shuffle/aggregation path
+    SPILLS (nonzero memoryBytesSpilled), and require the results to
+    stay value-identical to the DuckDB oracle. At 100 TB every big
+    aggregation and bucket join runs beyond executor memory — this
+    proves the spill path completes correctly instead of assuming it.
+
+    The session is deliberately hostile: small executor JVMs (the
+    master's per-worker MB, default 1200), a low spark.memory.fraction
+    so execution memory is scarce, and FEW shuffle partitions so each
+    partition decisively overflows what's left. sf0.1 per-task shuffle
+    volumes fit even 800 MB executors (measured r14: zero spill), so
+    ``mult`` replicates the corpus first (tools/replicate_sf.py,
+    density documents + key-shifted TPC-H) to make data >> memory
+    actually true; the DuckDB oracle runs on the SAME scaled dir.
+    Completion + nonzero spill + oracle-equal values is the claim.
+    """
+    import duckdb
+
+    from tools.replicate_sf import replicate_tables
+    from travel_data_ingestion_spark.queries import TABLES, member_queries
+
+    master = os.environ.get("SPARK_LC_SPILL_MASTER",
+                            "local-cluster[2,4,1200]")
+    mem_mb = master.rsplit(",", 1)[-1].rstrip("]")
+    from travel_data_ingestion_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="lc-spilltest",
+        master=master,
+        extra_conf={
+            "spark.executor.memory": f"{mem_mb}m",
+            "spark.driver.memory": "6g",
+            # scarce execution memory + big partitions -> guaranteed
+            # overflow through the UnsafeExternalSorter spill path
+            "spark.memory.fraction": "0.2",
+            "spark.sql.shuffle.partitions": "4",
+            # keep AQE from re-coalescing the few partitions we forced
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            # the REST monitoring API is the spill-metric source
+            "spark.ui.enabled": "true",
+        },
+    )
+    if mult > 1:
+        scaled = os.environ.get("SPARK_LC_SPILL_DIR", "/tmp/lc_spill_scaled")
+        replicate_tables(spark, sf_dir, scaled, mult, density=True)
+        sf_dir = scaled
+    specs = member_queries()
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        # Spark writes the replicated tables as parquet DIRECTORIES;
+        # DuckDB needs the part-file glob for those
+        pat = f"{src}/*.parquet" if os.path.isdir(src) else src
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
+        )
+    failures = []
+    per_query = {}
+    for name in names:
+        spec = specs[name]
+        m0, d0 = _total_spill(spark)
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as exc:  # OOM/kill shows up here
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+            continue
+        elapsed = round(time.time() - t0, 2)
+        m1, d1 = _total_spill(spark)
+        per_query[name] = {
+            "sec": elapsed,
+            "memory_spilled_mb": round((m1 - m0) / 2**20, 1),
+            "disk_spilled_mb": round((d1 - d0) / 2**20, 1),
+            "rows": len(srows),
+        }
+        if spec.oracle is None:
+            continue
+        orc = con.execute(spec.oracle)
+        ocols = [d[0] for d in orc.description]
+        orows = orc.fetchall()
+        if sorted(scols) != sorted(ocols) or len(srows) != len(orows):
+            failures.append(f"{name}: shape mismatch under pressure")
+            continue
+        _, s_canon = _frame_key(scols, [[r[c] for c in scols] for r in srows])
+        _, o_canon = _frame_key(ocols, orows)
+        if s_canon != o_canon:
+            failures.append(f"{name}: value mismatch under pressure")
+    total_mem = sum(q["memory_spilled_mb"] for q in per_query.values())
+    total_disk = sum(q["disk_spilled_mb"] for q in per_query.values())
+    spark.stop()
+    if mult > 1 and not os.environ.get("SPARK_LC_SPILL_KEEP"):
+        import shutil
+
+        shutil.rmtree(sf_dir, ignore_errors=True)
+    return {
+        "ok": not failures and total_mem > 0,
+        "mode": "spilltest", "master": master, "mult": mult,
+        "memory_spilled_mb": round(total_mem, 1),
+        "disk_spilled_mb": round(total_disk, 1),
+        "queries": per_query, "failures": failures,
+    }
+
+
 def main() -> None:
     mode = sys.argv[1]
     if mode == "parity":
@@ -320,6 +443,9 @@ def main() -> None:
         out = killtest(sys.argv[2], sys.argv[3])
     elif mode == "streamkill":
         out = streamkill(sys.argv[2])
+    elif mode == "spilltest":
+        out = spilltest(sys.argv[2], sys.argv[3].split(","),
+                        int(sys.argv[4]) if len(sys.argv) > 4 else 1)
     else:
         out = skewtest()
     print(json.dumps(out))

@@ -225,3 +225,40 @@ def test_rules_for_is_memoized_per_agent():
     again = r._rules_for("genericbot")  # same normalized token
     assert first is again  # same list object -> no per-call rebuild
     assert r._rules_for("SpecialBot") is r._rules_for("specialbot/9")
+
+
+def test_robots_size_cap_and_global_records():
+    from travel_data_ingestion_spark.llm.robots import (
+        _MAX_ROBOTS_CHARS,
+        Rfc9309Rules,
+    )
+
+    # RFC 9309 §2.5: at least 500 KiB parsed, the rest may be ignored
+    # — rules inside the window bind, rules beyond it are dropped, and
+    # parse work on a hostile 100 MB robots.txt stays bounded
+    head = "User-agent: *\nDisallow: /blocked\n"
+    filler = "# pad\n" * ((_MAX_ROBOTS_CHARS - len(head)) // 6 + 1)
+    tail = "User-agent: *\nDisallow: /late\n"
+    r = Rfc9309Rules(head + filler + tail)
+    assert not r.can_fetch("B", "http://h/blocked/x")
+    assert r.can_fetch("B", "http://h/late/x")  # beyond the cap
+
+    # sitemaps are global; crawl-delay is group-scoped, exact beats *,
+    # merged groups take the most conservative value
+    txt = (
+        "Sitemap: https://h/s1.xml\n"
+        "User-agent: *\nCrawl-delay: 1\nDisallow: /x\n"
+        "Sitemap: https://h/s2.xml\n"
+        "User-agent: FooBot\nCrawl-delay: 2.5\n"
+        "User-agent: FooBot\nCrawl-delay: 10\n"
+        "User-agent: BadBot\nCrawl-delay: nonsense\n"
+    )
+    r2 = Rfc9309Rules(txt)
+    assert r2.sitemaps == ["https://h/s1.xml", "https://h/s2.xml"]
+    assert r2.crawl_delay("FooBot/9.1") == 10.0
+    assert r2.crawl_delay("OtherBot") == 1.0
+    # unparseable delay in an agent's OWN group: no value, and no
+    # inheritance from the * group (same selection rule as the rules)
+    assert r2.crawl_delay("BadBot") is None
+    # a crawl-delay line must not terminate its group's rules
+    assert not r2.can_fetch("OtherBot", "http://h/x/page")

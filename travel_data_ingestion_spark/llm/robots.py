@@ -60,21 +60,32 @@ def _pctnorm(s: str) -> str:
         return s
 
 
+# RFC 9309 §2.5: parsers must handle at least 500 KiB and MAY ignore
+# the rest — a hard cap here also bounds parse work on hostile giant
+# robots.txt (the same untrusted-input budget as the rule matcher)
+_MAX_ROBOTS_CHARS = 500 * 1024
+
+
 class Rfc9309Rules:
     """One parsed robots.txt under RFC 9309 semantics. Total: any
     parse trouble degrades toward allow."""
 
-    __slots__ = ("groups", "_agent_rules")
+    __slots__ = ("groups", "sitemaps", "_delays", "_agent_rules")
 
     def __init__(self, content: str | None):
         # groups: list of (set[agent_token_lower], [(allow, pattern)])
         self.groups: list = []
+        # sitemap lines are global (not group-scoped) per the spec
+        self.sitemaps: list[str] = []
+        # (agents, delay_seconds) per group that declared one
+        self._delays: list = []
         # memoized merged rule list per normalized agent token — the
         # frontier hot loop calls can_fetch once per URL and must not
         # rebuild the group scan each time
         self._agent_rules: dict = {}
         if not content:
             return
+        content = content[:_MAX_ROBOTS_CHARS]
         agents: set[str] = set()
         rules: list = []
         open_group = False  # collecting consecutive user-agent lines
@@ -100,8 +111,23 @@ class Rfc9309Rules:
                         continue
                     rules.append((key == "allow", matcher, plen))
                 # empty value = no rule (the classic "Disallow:" allow-all)
+            elif key == "sitemap":
+                # global record, not group-terminating
+                if val:
+                    self.sitemaps.append(val)
+            elif key == "crawl-delay":
+                # de-facto extension (Bing/Yandex honor it); scoped to
+                # the current group, not group-terminating
+                open_group = False
+                if agents:
+                    try:
+                        d = float(val)
+                    except ValueError:
+                        continue
+                    if d >= 0:
+                        self._delays.append((agents, d))
             else:
-                # sitemap/crawl-delay/unknown: not group-terminating
+                # unknown keys: not group-terminating
                 continue
         if agents:
             self.groups.append((agents, rules))
@@ -176,6 +202,22 @@ class Rfc9309Rules:
                      for r in rules]
         self._agent_rules[token] = exact
         return exact
+
+    def crawl_delay(self, agent: str) -> float | None:
+        """Seconds between fetches this host asks of this agent (the
+        de-facto Crawl-delay extension), or None. Exact-token groups
+        win over ``*``; merged groups take the most conservative
+        (largest) declared delay."""
+        token = agent.split("/", 1)[0].strip().lower()
+        exact = [d for agents, d in self._delays if token in agents]
+        if exact:
+            return max(exact)
+        # an agent with its OWN group (even delay-less) never inherits
+        # the * group's delay — same selection rule as _rules_for
+        if any(token in agents for agents, _ in self.groups):
+            return None
+        star = [d for agents, d in self._delays if "*" in agents]
+        return max(star) if star else None
 
     def can_fetch(self, agent: str, url: str) -> bool:
         try:

@@ -65,13 +65,19 @@ def test_filter_frontier_broadcasts_and_flags(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
-    got = {r.url: r.allowed for r in out.collect()}
+    rows = out.collect()
+    got = {r.url: r.allowed for r in rows}
     assert got == {
         "http://a.com/open": True,
         "http://a.com/private/x": False,
         "http://a.com/private/public-bit/y": True,
         "http://b.com/anything": True,
     }
+    # the scheduler column: _ROBOTS declares Crawl-delay: 2 in the *
+    # group; a host with no robots row has no delay
+    delays = {r.host: r.crawl_delay for r in rows}
+    assert delays["a.com"] == 2.0
+    assert delays["b.com"] is None
 
 
 # ---------------------------------------------------------------------------

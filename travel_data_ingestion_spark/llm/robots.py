@@ -279,10 +279,14 @@ def is_allowed(content: str | None, agent: str, url: str,
 def filter_frontier(frontier_df, robots_df, agent: str = "*",
                     rfc9309: bool = True):
     """frontier (host, url) x robots (host, robots_txt) -> (host, url,
-    allowed). Semantics per ``robots_rules(rfc9309=...)``. The robots side is broadcast (one small row per host);
-    evaluation is an Arrow-batched map over the joined rows with a
-    per-batch parser cache, so each host's rules parse once per batch
-    rather than once per URL."""
+    allowed, crawl_delay). Semantics per ``robots_rules(rfc9309=...)``;
+    ``crawl_delay`` is the per-host seconds the scheduler should wait
+    between fetches for this agent (RFC 9309 default engine only —
+    NULL under the stdlib fallback and for hosts that declare none).
+    The robots side is broadcast (one small row per host); evaluation
+    is an Arrow-batched map over the joined rows with a per-batch
+    parser cache, so each host's rules parse once per batch rather
+    than once per URL."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -297,6 +301,7 @@ def filter_frontier(frontier_df, robots_df, agent: str = "*",
             T.StructField("host", T.StringType()),
             T.StructField("url", T.StringType()),
             T.StructField("allowed", T.BooleanType()),
+            T.StructField("crawl_delay", T.DoubleType()),
         ]
     )
 
@@ -304,6 +309,7 @@ def filter_frontier(frontier_df, robots_df, agent: str = "*",
         cache: dict = {}
         for pdf in it:
             allowed = []
+            delays = []
             for host, url, txt in zip(pdf["host"], pdf["url"],
                                       pdf["robots_txt"]):
                 key = host
@@ -316,8 +322,15 @@ def filter_frontier(frontier_df, robots_df, agent: str = "*",
                     allowed.append(bool(rp.can_fetch(agent, url)))
                 except Exception:
                     allowed.append(True)
+                try:
+                    delays.append(rp.crawl_delay(agent)
+                                  if isinstance(rp, Rfc9309Rules) else None)
+                except Exception:
+                    delays.append(None)
             yield pd.DataFrame(
-                {"host": pdf["host"], "url": pdf["url"], "allowed": allowed}
+                {"host": pdf["host"], "url": pdf["url"],
+                 "allowed": allowed,
+                 "crawl_delay": pd.array(delays, dtype="float64")}
             )
 
     return joined.mapInPandas(batches, schema=schema)

@@ -268,3 +268,43 @@ def test_robots_size_cap_and_global_records():
     assert r2.crawl_delay("BadBot") is None
     # a crawl-delay line must not terminate its group's rules
     assert not r2.can_fetch("OtherBot", "http://h/x/page")
+
+
+def test_linear_matcher_equals_regex_dual_fuzz():
+    # semantic pin for the ReDoS rewrite: on small inputs (where a
+    # backtracking regex is safe) the linear greedy matcher must agree
+    # with an independent regex rendering of the same RFC 9309 pattern
+    # language — '*' spans anything, '$' end-anchors, otherwise prefix
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from travel_data_ingestion_spark.llm.robots import Rfc9309Rules
+
+    alphabet = "ab/*"
+
+    def regex_match(pattern: str, path: str) -> bool:
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = ".*".join(_re.escape(p) for p in body.split("*"))
+        m = _re.compile(rx + ("$" if anchored else "")).match(path)
+        return m is not None
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet=alphabet, min_size=1, max_size=8),
+        st.booleans(),
+        st.text(alphabet="ab/", min_size=0, max_size=12),
+    )
+    def check(body, anchored, path):
+        pattern = body + ("$" if anchored else "")
+        try:
+            matcher, _ = Rfc9309Rules._compile(pattern)
+        except Exception:
+            return
+        got = (path.startswith(matcher) if isinstance(matcher, str)
+               else bool(matcher(path)))
+        assert got == regex_match(pattern, path), (pattern, path)
+
+    check()

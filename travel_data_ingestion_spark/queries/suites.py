@@ -162,6 +162,7 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "t16_warc_records",
             "t17_webdataset_samples",
             "t20_audio_tags",
+            "t21_robots_frontier",
         ],
         "Corpus-level text suite: vocabulary statistics, TF-IDF "
         "keyword extraction, training-sequence packing, Gopher-style "
@@ -171,9 +172,11 @@ SUITES: dict[str, tuple[list[str], str]] = {
         "archive ingestion (per-record gzip members incl. a planted "
         "over-the-bomb-cap member, chunked/gzip HTTP decode, the "
         "WARC -> HTTP -> HTML -> text chain), WebDataset tar-shard "
-        "sample grouping, and crawled-audio tag extraction (ID3v1/"
+        "sample grouping, crawled-audio tag extraction (ID3v1/"
         "v2 incl. unsynchronisation, RIFF INFO, FLAC Vorbis "
-        "comments).",
+        "comments), and RFC 9309 robots.txt frontier filtering "
+        "(longest-match, wildcards/anchors, agent groups, "
+        "crawl-delay).",
     ),
     "su08_incremental_index_suite": (
         [

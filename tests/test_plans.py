@@ -398,3 +398,21 @@ def test_su07_df_joins_are_not_broadcast(spark):
         assert "ShuffledHashJoin" in plan, name
         blocks = re.findall(r"BroadcastExchange[\s\S]{0,400}?Generate", plan)
         assert len(blocks) <= allowed, (name, len(blocks))
+
+
+def test_frontier_robots_join_is_not_force_broadcast(spark):
+    """filter_frontier's robots side is one row per host — kilobytes
+    each, but MILLIONS of hosts at 100 TB: tens of GB, past Spark's
+    8 GB broadcast hard cap, so a forced F.broadcast() hint aborts the
+    job exactly at design scale (the t06/t12 trap family). The join
+    must stay UNHINTED — AQE broadcasts while the robots table is
+    genuinely small and demotes to a host-keyed shuffle join when it
+    isn't. A reintroduced hint resolves to `ResolvedHint
+    (strategy=broadcast)` in the analyzed plan and fails here."""
+    df = SPECS["t21_robots_frontier"].fn(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, (
+        "filter_frontier join must stay unhinted (AQE decides):\n"
+        + analyzed
+    )
+    assert "UnresolvedHint" not in analyzed

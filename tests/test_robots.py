@@ -39,7 +39,7 @@ def test_missing_or_garbage_robots_allows():
         is_allowed(blob, "Bot", "http://h/p")
 
 
-def test_filter_frontier_broadcasts_and_flags(spark):
+def test_filter_frontier_join_policy_and_flags(spark):
     from travel_data_ingestion_spark.llm.robots import filter_frontier
 
     frontier = spark.createDataFrame(
@@ -55,17 +55,20 @@ def test_filter_frontier_broadcasts_and_flags(spark):
         [("a.com", _ROBOTS)], "host string, robots_txt string"
     )
     out = filter_frontier(frontier, robots, agent="GenericBot")
-    # plan: robots side broadcast, no shuffle of the frontier
-    import contextlib
-    import io as _io
-
-    buf = _io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        out.explain("formatted")
-    plan = buf.getvalue()
-    assert "BroadcastHashJoin" in plan
-    assert "Exchange hashpartitioning" not in plan
+    # join policy: UNHINTED — at 100 TB the robots table is millions
+    # of kilobyte rows (tens of GB, past the 8 GB broadcast cap), so a
+    # forced broadcast hint aborts at design scale; AQE broadcasts
+    # while genuinely small and demotes to a host-keyed shuffle when
+    # not. At THIS scale the stats-based planner still picks a
+    # broadcast on its own — the size-aware behavior we want.
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
     rows = out.collect()
+    # after execution AQE has re-planned with true sizes: the tiny
+    # robots side is broadcast AT RUNTIME (no hint needed) — the
+    # size-aware demotion behavior the unhinted join buys us
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final
     got = {r.url: r.allowed for r in rows}
     assert got == {
         "http://a.com/open": True,
@@ -249,6 +252,20 @@ def test_robots_size_cap_and_global_records():
     assert not r.can_fetch("B", "http://h/blocked/x")
     assert r.can_fetch("B", "http://h/late/x")  # beyond the cap
 
+    # a rule STRADDLING the cap must be dropped whole, never parsed as
+    # the shorter pattern the file never declared: position the cap
+    # mid-way through 'Disallow: /private' and check '/pri...' does
+    # NOT become blocked by the truncated prefix
+    head2 = "User-agent: *\nDisallow: /blocked\n"
+    straddle = "Disallow: /private\n"
+    pad_len = _MAX_ROBOTS_CHARS - len(head2) - len("Disallow: /pri")
+    pad = "#" + "x" * (pad_len - 2) + "\n"
+    assert len(head2 + pad) + len("Disallow: /pri") == _MAX_ROBOTS_CHARS
+    r2 = Rfc9309Rules(head2 + pad + straddle + "Disallow: /after\n")
+    assert not r2.can_fetch("B", "http://h/blocked/x")  # inside cap
+    assert r2.can_fetch("B", "http://h/pri")      # truncated rule gone
+    assert r2.can_fetch("B", "http://h/private")  # straddler dropped
+
     # sitemaps are global; crawl-delay is group-scoped, exact beats *,
     # merged groups take the most conservative value
     txt = (
@@ -308,3 +325,39 @@ def test_linear_matcher_equals_regex_dual_fuzz():
         assert got == regex_match(pattern, path), (pattern, path)
 
     check()
+
+
+def test_crawl_delay_rejects_non_finite_and_clamps():
+    """A hostile robots.txt must never propagate inf/NaN (or an absurd
+    finite value) into the scheduler's crawl_delay column: 'inf' and
+    the overflow literal '1e309' both parse as float but are rejected;
+    finite values clamp to the one-day ceiling."""
+    from travel_data_ingestion_spark.llm.robots import (
+        _MAX_CRAWL_DELAY,
+        Rfc9309Rules,
+    )
+
+    for bad in ("inf", "Infinity", "1e309", "nan", "-inf", "-1"):
+        r = Rfc9309Rules(f"User-agent: *\nCrawl-delay: {bad}\nDisallow: /x\n")
+        assert r.crawl_delay("B") is None, bad
+    r = Rfc9309Rules("User-agent: *\nCrawl-delay: 1e6\n")
+    assert r.crawl_delay("B") == _MAX_CRAWL_DELAY
+    r = Rfc9309Rules("User-agent: *\nCrawl-delay: 2.5\n")
+    assert r.crawl_delay("B") == 2.5
+
+
+def test_lc_mem_mb_parses_only_local_cluster_masters():
+    """SPARK_LC_SPILL_MASTER=local[8] used to yield the nonsense
+    executor memory 'local[8m' via naive rsplit; the parser must read
+    the MB only from local-cluster[n,c,mem] shapes and fall back to
+    the caller's default otherwise."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.lc_check import _lc_mem_mb
+
+    assert _lc_mem_mb("local-cluster[2,4,1200]", 999) == 1200
+    assert _lc_mem_mb("local-cluster[ 3 , 4 , 3072 ]", 999) == 3072
+    assert _lc_mem_mb("local[8]", 999) == 999
+    assert _lc_mem_mb("spark://host:7077", 999) == 999
+    assert _lc_mem_mb("local-cluster[2,4]", 999) == 999

@@ -39,6 +39,23 @@ sys.path.insert(0, REPO)
 
 MASTER = os.environ.get("SPARK_LC_MASTER", "local-cluster[3,4,3072]")
 
+_LC_RE = None
+
+
+def _lc_mem_mb(master: str, default: int) -> int:
+    """Per-worker memory MB from a ``local-cluster[n,c,mem]`` master.
+    Any other master shape (``local[8]``, ``spark://...``) falls back
+    to ``default`` — naive ``rsplit(',')`` parsing on ``local[8]``
+    used to yield the nonsense executor memory ``'local[8m'`` and a
+    confusing session failure."""
+    global _LC_RE
+    if _LC_RE is None:
+        import re
+
+        _LC_RE = re.compile(r"^local-cluster\[\s*\d+\s*,\s*\d+\s*,\s*(\d+)\s*\]$")
+    m = _LC_RE.match(master.strip())
+    return int(m.group(1)) if m else default
+
 
 def _canon(val):
     if val is None:
@@ -60,7 +77,7 @@ def _get_spark(app, extra=None):
     from travel_data_ingestion_spark.session import get_spark
 
     conf = {
-        "spark.executor.memory": MASTER.rsplit(",", 1)[-1].rstrip("]") + "m",
+        "spark.executor.memory": f"{_lc_mem_mb(MASTER, 3072)}m",
         "spark.driver.memory": "6g",
         "spark.sql.shuffle.partitions": "12",
     }
@@ -353,7 +370,7 @@ def spilltest(sf_dir: str, names: list[str], mult: int = 1) -> dict:
 
     master = os.environ.get("SPARK_LC_SPILL_MASTER",
                             "local-cluster[2,4,1200]")
-    mem_mb = master.rsplit(",", 1)[-1].rstrip("]")
+    mem_mb = _lc_mem_mb(master, 1200)
     from travel_data_ingestion_spark.session import get_spark
 
     spark = get_spark(

@@ -31,16 +31,26 @@ Batch-shaped wrappers:
   against a (host, robots_txt) table and emits an ``allowed`` flag per
   URL, Arrow-batched per host group.
 
-At 100 TB the robots table is tiny (one row per host — millions of
-rows, kilobytes each) next to the frontier (billions of URLs), so the
-join broadcasts the robots side; evaluation itself is map-only.
+At 100 TB the robots table is small per-row (one row per host,
+kilobytes each) next to the frontier (billions of URLs) — but with
+millions of hosts it totals tens of GB, past Spark's 8 GB broadcast
+cap, so the join is deliberately UNHINTED: AQE broadcasts while the
+robots table is actually small and demotes to a host-keyed shuffle
+join when it isn't (the same host-keyed shuffle a per-host politeness
+scheduler needs anyway). Evaluation itself is map-only.
 """
 
 from __future__ import annotations
 
 import io
+import math
 import urllib.robotparser
 from urllib.parse import quote, unquote, urlsplit
+
+# ceiling for the de-facto Crawl-delay extension: a robots.txt asking
+# for more than a day between fetches is hostile or broken, and a
+# non-finite value must never reach the scheduler column
+_MAX_CRAWL_DELAY = 86400.0
 
 # every printable ASCII char except '%' stays literal, so ASCII rule
 # patterns and paths are untouched by normalization; only non-ASCII /
@@ -53,7 +63,11 @@ def _pctnorm(s: str) -> str:
     percent-encoding (RFC 9309 §2.2.2 compares percent-encoded octets;
     stdlib robotparser uses the same unquote-then-requote trick), so
     ``Disallow: /café`` matches the wire path ``/caf%C3%A9`` and vice
-    versa. Total."""
+    versa. Known conflation (shared with stdlib robotparser, deviating
+    from strict RFC 9309 octet-wise comparison): unquote-then-requote
+    collapses double-encoded paths onto once-encoded ones, so
+    ``/a%2520`` and ``/a%20`` normalize identically and compare equal
+    under rule matching. Total."""
     try:
         return quote(unquote(s), safe=_PCT_SAFE)
     except Exception:
@@ -85,7 +99,13 @@ class Rfc9309Rules:
         self._agent_rules: dict = {}
         if not content:
             return
-        content = content[:_MAX_ROBOTS_CHARS]
+        if len(content) > _MAX_ROBOTS_CHARS:
+            # truncate at the last newline inside the cap: a rule
+            # straddling the boundary must be DROPPED, not parsed as a
+            # shorter pattern the file never declared ('Disallow:
+            # /private' sliced to 'Disallow: /pri' silently blocks
+            # unintended paths)
+            content = content[:_MAX_ROBOTS_CHARS].rsplit("\n", 1)[0]
         agents: set[str] = set()
         rules: list = []
         open_group = False  # collecting consecutive user-agent lines
@@ -124,8 +144,11 @@ class Rfc9309Rules:
                         d = float(val)
                     except ValueError:
                         continue
-                    if d >= 0:
-                        self._delays.append((agents, d))
+                    # hostile values ('inf', '1e309') parse as float
+                    # and would propagate infinity into the
+                    # scheduler's crawl_delay column; clamp to a day
+                    if math.isfinite(d) and d >= 0:
+                        self._delays.append((agents, min(d, _MAX_CRAWL_DELAY)))
             else:
                 # unknown keys: not group-terminating
                 continue
@@ -283,18 +306,22 @@ def filter_frontier(frontier_df, robots_df, agent: str = "*",
     ``crawl_delay`` is the per-host seconds the scheduler should wait
     between fetches for this agent (RFC 9309 default engine only —
     NULL under the stdlib fallback and for hosts that declare none).
-    The robots side is broadcast (one small row per host); evaluation
-    is an Arrow-batched map over the joined rows with a per-batch
-    parser cache, so each host's rules parse once per batch rather
-    than once per URL."""
+    The robots-side join is deliberately UNHINTED: one row per host
+    sounds small, but at design scale "millions of kilobyte rows" is
+    tens of GB — past Spark's 8 GB broadcast hard cap — so a forced
+    broadcast would abort the job exactly when it matters. AQE
+    broadcasts while the robots table is genuinely under the
+    threshold and demotes to a host-keyed shuffle join when it isn't.
+    Evaluation is an Arrow-batched map over the joined rows with a
+    per-batch parser cache, so each host's rules parse once per batch
+    rather than once per URL."""
     from collections.abc import Iterator
 
     import pandas as pd
-    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     joined = frontier_df.join(
-        F.broadcast(robots_df.select("host", "robots_txt")), "host", "left"
+        robots_df.select("host", "robots_txt"), "host", "left"
     ).select("host", "url", "robots_txt")
     schema = T.StructType(
         [

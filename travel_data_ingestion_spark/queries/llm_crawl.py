@@ -728,10 +728,12 @@ _ROBOTS_FRONTIER: list[tuple[str, str, bool, float | None]] = [
     "per-host Crawl-delay surfaced for the scheduler, missing-robots "
     "hosts allowed, /robots.txt itself always fetchable. Expected "
     "rows hand-derived from RFC 9309 §2.2.2, independent of the "
-    "matcher. Robots side broadcast (one small row per host; at "
-    "100 TB the frontier is billions of URLs, the robots table "
-    "millions of kilobyte rows), evaluation Arrow-batched map-only "
-    "with a per-batch parser cache — no frontier shuffle.",
+    "matcher. The robots-side join is UNHINTED: at 100 TB the "
+    "frontier is billions of URLs and the robots table millions of "
+    "kilobyte rows — tens of GB, past Spark's 8 GB broadcast cap — "
+    "so AQE broadcasts while small and demotes to a host-keyed "
+    "shuffle join when it isn't; evaluation is an Arrow-batched map "
+    "with a per-batch parser cache.",
 )
 def t21_robots_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from travel_data_ingestion_spark.llm.robots import filter_frontier

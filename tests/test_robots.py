@@ -361,3 +361,64 @@ def test_lc_mem_mb_parses_only_local_cluster_masters():
     assert _lc_mem_mb("local[8]", 999) == 999
     assert _lc_mem_mb("spark://host:7077", 999) == 999
     assert _lc_mem_mb("local-cluster[2,4]", 999) == 999
+
+
+def test_schedule_frontier_orders_caps_and_defaults(spark):
+    """Politeness semantics pinned: per-host serialization in url
+    order, fetch_after = seq * crawl_delay, default delay for hosts
+    declaring none, max_per_host budget drop, disallowed rows never
+    scheduled — and the plan stays native (no Python eval nodes for
+    the window/scheduling stage)."""
+    from travel_data_ingestion_spark.llm.robots import schedule_frontier
+
+    filtered = spark.createDataFrame(
+        [
+            ("a.com", "http://a.com/c", True, 2.0),
+            ("a.com", "http://a.com/a", True, 2.0),
+            ("a.com", "http://a.com/b", True, 2.0),
+            ("a.com", "http://a.com/x", False, 2.0),   # disallowed
+            ("b.com", "http://b.com/only", True, None),  # no delay
+        ],
+        "host string, url string, allowed boolean, crawl_delay double",
+    )
+    out = schedule_frontier(filtered, default_delay=0.5, max_per_host=2)
+    rows = {(r.host, r.url): (r.fetch_seq, r.fetch_after)
+            for r in out.collect()}
+    assert rows == {
+        ("a.com", "http://a.com/a"): (0, 0.0),
+        ("a.com", "http://a.com/b"): (1, 2.0),   # /c dropped by cap
+        ("b.com", "http://b.com/only"): (0, 0.0),
+    }
+    # default delay applies when a host never declares one
+    out2 = schedule_frontier(
+        filtered.filter("host = 'b.com'")
+        .union(spark.createDataFrame(
+            [("b.com", "http://b.com/z", True, None)],
+            "host string, url string, allowed boolean, crawl_delay double",
+        )),
+        default_delay=0.5,
+    )
+    got = {r.url: r.fetch_after for r in out2.collect()}
+    assert got == {"http://b.com/only": 0.0, "http://b.com/z": 0.5}
+
+
+def test_sitemap_urls_global_scope_dedup_and_nulls(spark):
+    from travel_data_ingestion_spark.llm.robots import sitemap_urls
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "Sitemap: https://a.com/s1.xml\n"
+             "User-agent: *\nDisallow: /x\n"
+             "Sitemap: https://a.com/s2.xml\n"      # mid-group: global
+             "Sitemap: https://a.com/s1.xml\n"),    # dup -> one row
+            ("b.com", "User-agent: *\nDisallow:\n"),
+            ("c.com", None),
+        ],
+        "host string, robots_txt string",
+    )
+    rows = sorted((r.host, r.sitemap_url) for r in sitemap_urls(robots).collect())
+    assert rows == [
+        ("a.com", "https://a.com/s1.xml"),
+        ("a.com", "https://a.com/s2.xml"),
+    ]

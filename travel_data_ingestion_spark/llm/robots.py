@@ -361,3 +361,89 @@ def filter_frontier(frontier_df, robots_df, agent: str = "*",
             )
 
     return joined.mapInPandas(batches, schema=schema)
+
+
+def sitemap_urls(robots_df):
+    """robots (host, robots_txt) -> (host, sitemap_url): the per-host
+    sitemap URLs declared in robots.txt (RFC 9309 treats ``Sitemap:``
+    lines as global records, not group-scoped — the standard frontier
+    seed for a crawl). One output row per distinct sitemap URL per
+    host, in first-declaration order deduplicated within the host's
+    row, so the whole operator is an Arrow-batched map over the robots
+    table — no join, no shuffle, any corpus size."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("host", T.StringType()),
+            T.StructField("sitemap_url", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hosts = []
+            urls = []
+            for host, txt in zip(pdf["host"], pdf["robots_txt"]):
+                try:
+                    maps = Rfc9309Rules(
+                        txt if isinstance(txt, str) else None
+                    ).sitemaps
+                except Exception:
+                    maps = []
+                seen = set()
+                for u in maps:
+                    if u not in seen:
+                        seen.add(u)
+                        hosts.append(host)
+                        urls.append(u)
+            yield pd.DataFrame({"host": hosts, "sitemap_url": urls})
+
+    return robots_df.select("host", "robots_txt").mapInPandas(
+        batches, schema=schema
+    )
+
+
+def schedule_frontier(filtered_df, default_delay: float = 1.0,
+                      max_per_host: int | None = None):
+    """Politeness scheduler over a ``filter_frontier`` output: (host,
+    url, allowed, crawl_delay) -> (host, url, fetch_seq, fetch_after).
+
+    Only ``allowed`` URLs are scheduled. Politeness is PER-HOST
+    serialization — one fetch at a time per host, ``crawl_delay``
+    seconds apart — so the operator is a window partitioned by host:
+    ``fetch_seq`` numbers the host's URLs in deterministic (url) order
+    and ``fetch_after = fetch_seq * delay`` is the earliest offset
+    (seconds from the host's first fetch) the scheduler may issue it;
+    hosts that declare no Crawl-delay get ``default_delay``.
+    ``max_per_host`` caps each host's batch (the standard crawl-budget
+    knob) — rows with ``fetch_seq >= max_per_host`` are dropped.
+
+    100 TB shape: the host-keyed window shuffle is the SAME partition-
+    ing the unhinted robots join in ``filter_frontier`` demotes to at
+    scale, so AQE reuses one exchange for both. Per-host window size is
+    the host's frontier share; a mega-host's URLs must serialize onto
+    one partition because per-host ordering is the semantics, and
+    ``max_per_host`` bounds the per-partition sort in practice (budget
+    capping is how real crawlers bound exactly this). All expressions
+    are native Catalyst — no Python in the plan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("host").orderBy("url")
+    out = (
+        filtered_df.filter(F.col("allowed"))
+        .withColumn("fetch_seq", (F.row_number().over(w) - 1).cast("long"))
+    )
+    if max_per_host is not None:
+        out = out.filter(F.col("fetch_seq") < max_per_host)
+    delay = F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+    return out.select(
+        "host",
+        "url",
+        "fetch_seq",
+        (F.col("fetch_seq") * delay).cast("double").alias("fetch_after"),
+    )

@@ -747,3 +747,132 @@ def t21_robots_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host string, robots_txt string",
     )
     return filter_frontier(frontier, robots, agent="DataBot/2.0")
+
+
+# ---------------------------------------------------------------------------
+# t22: per-host politeness scheduling
+#
+# crawl_delay became a column in t21; this grades the operator that
+# CONSUMES it: group the allowed frontier by host, order within host,
+# and assign each URL the earliest offset (seconds from the host's
+# first fetch) the scheduler may issue it. Expected rows are derived
+# by hand from the t21 fixtures: per host, urls sort lexicographically,
+# fetch_seq counts from 0, fetch_after = fetch_seq * crawl_delay
+# (default 1.0 for hosts declaring none), and max_per_host=3 drops
+# a.com's 4th allowed URL (its robots.txt) — the crawl-budget knob.
+
+_SCHEDULE_EXPECTED = """
+    ('a.com', 'http://a.com/data/big.zip.txt', 0, 0.0),
+    ('a.com', 'http://a.com/open/page', 1, 1.5),
+    ('a.com', 'http://a.com/private/public/y', 2, 3.0),
+    ('b.com', 'http://b.com/ok', 0, 0.0),
+    ('b.com', 'http://b.com/raw', 1, 1.0),
+    ('c.com', 'http://c.com/anything', 0, 0.0),
+    ('d.com', 'http://d.com/anything', 0, 0.0)
+"""
+
+
+@register(
+    "t22_politeness_schedule",
+    f"""
+    SELECT host, url, CAST(fetch_seq AS BIGINT) AS fetch_seq,
+           CAST(fetch_after AS DOUBLE) AS fetch_after
+    FROM (VALUES
+        {_SCHEDULE_EXPECTED}
+    ) AS sched(host, url, fetch_seq, fetch_after)
+    """,
+    survey_ops=("X-CRAWL-8",),
+    doc="Per-host politeness scheduling (llm/robots.py "
+    "schedule_frontier): the operator that CONSUMES t21's crawl_delay "
+    "column — the RFC-filtered frontier is grouped by host, ordered "
+    "within host, and each URL gets fetch_seq (per-host issue order) "
+    "and fetch_after = fetch_seq * crawl_delay seconds (default 1.0 "
+    "when the host declares none); max_per_host=3 exercises the "
+    "crawl-budget cap (a.com's 4th allowed URL drops). Expected rows "
+    "hand-derived from the t21 fixtures. At 100 TB: one host-keyed "
+    "window — the SAME partitioning the unhinted robots join demotes "
+    "to at scale, so the exchange is reused; per-host ordering IS the "
+    "politeness semantics, and max_per_host bounds the per-host sort "
+    "the way real crawl budgets do. Native expressions only.",
+)
+def t22_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.llm.robots import (
+        filter_frontier,
+        schedule_frontier,
+    )
+
+    frontier = spark.createDataFrame(
+        [(h, u) for h, u, _a, _d in _ROBOTS_FRONTIER],
+        "host string, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", _ROBOTS_A), ("b.com", _ROBOTS_B), ("c.com", _ROBOTS_C)],
+        "host string, robots_txt string",
+    )
+    filtered = filter_frontier(frontier, robots, agent="DataBot/2.0")
+    return schedule_frontier(filtered, default_delay=1.0, max_per_host=3)
+
+
+# ---------------------------------------------------------------------------
+# t23: sitemap capture
+#
+# Rfc9309Rules.sitemaps parsed `Sitemap:` records since r14; this
+# surfaces them end-to-end as the per-host sitemap-URL table a crawler
+# seeds its frontier from. Fixtures exercise the records' GLOBAL scope
+# (a Sitemap line inside a group still binds to the whole file), a
+# duplicate declaration (deduplicated per host), a sitemap-only
+# robots.txt with no groups, a cross-host sitemap URL (the protocol
+# allows it), and sitemap-less / missing robots bodies (no rows).
+
+_ROBOTS_SM_E = (
+    "Sitemap: https://e.com/sitemap.xml\n"          # before any group
+    "User-agent: *\n"
+    "Disallow: /x\n"
+    "Sitemap: https://e.com/sitemap-news.xml\n"     # mid-group: global
+    "User-agent: Other\n"
+    "Disallow: /\n"
+    "Sitemap: https://e.com/sitemap.xml\n"          # duplicate -> dedup
+)
+_ROBOTS_SM_F = "User-agent: *\nDisallow:\n"         # none declared
+_ROBOTS_SM_G = "Sitemap: https://cdn.g-static.com/sm/root.xml.gz\n"
+
+_SITEMAP_EXPECTED = """
+    ('e.com', 'https://e.com/sitemap.xml'),
+    ('e.com', 'https://e.com/sitemap-news.xml'),
+    ('g.com', 'https://cdn.g-static.com/sm/root.xml.gz')
+"""
+
+
+@register(
+    "t23_sitemap_capture",
+    f"""
+    SELECT host, sitemap_url
+    FROM (VALUES
+        {_SITEMAP_EXPECTED}
+    ) AS sm(host, sitemap_url)
+    """,
+    survey_ops=("X-CRAWL-9",),
+    doc="Sitemap capture (llm/robots.py sitemap_urls): per-host "
+    "sitemap-URL table extracted from the robots corpus — the "
+    "standard crawl-frontier seed. `Sitemap:` records are GLOBAL "
+    "(file-scoped even when they appear inside an agent group, per "
+    "RFC 9309 / sitemaps.org), duplicates dedupe within the host's "
+    "row, sitemap-only files with no groups parse, cross-host URLs "
+    "pass through verbatim, and hosts with no declaration (or a NULL "
+    "body) emit nothing. Expected rows are hand literals. At 100 TB: "
+    "an Arrow-batched map over the one-row-per-host robots table — "
+    "no join, no shuffle, nothing driver-side.",
+)
+def t23_sitemap_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.llm.robots import sitemap_urls
+
+    robots = spark.createDataFrame(
+        [
+            ("e.com", _ROBOTS_SM_E),
+            ("f.com", _ROBOTS_SM_F),
+            ("g.com", _ROBOTS_SM_G),
+            ("h.com", None),
+        ],
+        "host string, robots_txt string",
+    )
+    return sitemap_urls(robots)

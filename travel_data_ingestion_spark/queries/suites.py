@@ -163,6 +163,8 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "t17_webdataset_samples",
             "t20_audio_tags",
             "t21_robots_frontier",
+            "t22_politeness_schedule",
+            "t23_sitemap_capture",
         ],
         "Corpus-level text suite: vocabulary statistics, TF-IDF "
         "keyword extraction, training-sequence packing, Gopher-style "
@@ -176,7 +178,10 @@ SUITES: dict[str, tuple[list[str], str]] = {
         "v2 incl. unsynchronisation, RIFF INFO, FLAC Vorbis "
         "comments), and RFC 9309 robots.txt frontier filtering "
         "(longest-match, wildcards/anchors, agent groups, "
-        "crawl-delay).",
+        "crawl-delay), per-host politeness scheduling (fetch_seq/"
+        "fetch_after from crawl_delay with a max_per_host budget), and "
+        "sitemap capture (global Sitemap records -> per-host frontier "
+        "seed table).",
     ),
     "su08_incremental_index_suite": (
         [

@@ -416,3 +416,21 @@ def test_frontier_robots_join_is_not_force_broadcast(spark):
         + analyzed
     )
     assert "UnresolvedHint" not in analyzed
+
+
+def test_span_attribution_broadcasts_benchmark_and_salts_nothing(spark):
+    """cu16: the attributed benchmark shingle set is benchmark-bounded
+    (eval-suite scale) -> broadcast like cu03/cu08/cu11; the island
+    merge windows over (doc_id, benchmark_id) — per-partition size is
+    hits per (doc, benchmark), never corpus-scaled; no Python in the
+    plan."""
+    import re
+
+    plan = _formatted_plan(spark, "cu16_span_attribution")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the window partitions by BOTH keys (an unattributed doc_id-only
+    # window here would silently merge cross-benchmark islands)
+    m = re.search(r"Arguments: \[[^\]]*\], \[(doc_id[^\]]*)\], \[pos", plan)
+    assert m and "benchmark_id" in m.group(1), plan

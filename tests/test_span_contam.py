@@ -161,3 +161,80 @@ def test_crossdoc_span_dedup_planted(spark, tmp_path):
     # doc 1: shared run at tokens [0,5] -> hits at pos 0 and 1 -> one span
     # doc 2: shared run at tokens [3,8] -> hits at pos 3 and 4 -> one span
     assert got == {(1, 0, 5, 6), (2, 3, 8, 6)}
+
+
+def test_attribution_splits_merged_islands(spark):
+    """The semantic cu11 cannot express: one contiguous hit region
+    quoting TWO different benchmark docs reports two attributed spans
+    keyed by benchmark_id where the unattributed merge yields one
+    island. Planted: positions 0-1 hit benchmark 100, positions 2-3
+    hit benchmark 200 — adjacent, so cu11-style merging over plain
+    (doc_id, pos) gives one span [0,5], while attribution keeps
+    [0,3]@100 and [2,5]@200 apart."""
+    attributed = spark.createDataFrame(
+        [(1, 100, 0), (1, 100, 1), (1, 200, 2), (1, 200, 3)],
+        "doc_id int, benchmark_id int, pos int",
+    )
+    rows = {
+        (r.doc_id, r.benchmark_id, r.span_idx): (r.span_start, r.span_end)
+        for r in merge_hit_spans(
+            attributed, 3, keys=("doc_id", "benchmark_id")
+        ).collect()
+    }
+    assert rows == {(1, 100, 1): (0, 3), (1, 200, 1): (2, 5)}
+    merged = {
+        (r.doc_id, r.span_idx): (r.span_start, r.span_end)
+        for r in merge_hit_spans(
+            attributed.select("doc_id", "pos").distinct(), 3
+        ).collect()
+    }
+    assert merged == {(1, 1): (0, 5)}
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_attribution_lockstep_with_generated_oracle(spark, ddb, n):
+    """cu16's helpers with n != 3 must equal the _span_attr_ctes(n)-
+    generated DuckDB SQL — same same-parameter-generation guarantee as
+    the cu11/cu13 lockstep test; the registered cu16 oracle is the
+    n=3 instance."""
+    from travel_data_ingestion_spark.queries.llm_curation import (
+        _benchmark_hits_attributed,
+        _span_attr_ctes,
+    )
+
+    got = {
+        (r.doc_id, r.benchmark_id, r.span_idx): (
+            r.span_start, r.span_end, r.span_tokens, r.n_hit_shingles,
+        )
+        for r in merge_hit_spans(
+            _benchmark_hits_attributed(spark, SF_DIR, n), n,
+            keys=("doc_id", "benchmark_id"),
+        ).collect()
+    }
+    want = {
+        (d, b, i): (s, e, t, h)
+        for d, b, i, s, e, t, h in ddb.execute(
+            f"WITH {_span_attr_ctes(n)} SELECT doc_id, benchmark_id, "
+            "span_idx, span_start, span_end, span_tokens, "
+            "n_hit_shingles FROM attr_spans"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_attribution_unions_to_cu11_islands(spark):
+    """Consistency across the family at the graded n=3: the union of a
+    doc's attributed hit positions IS the doc's unattributed hit set,
+    so cu11's islands must equal re-merging cu16's underlying
+    positions with attribution dropped."""
+    from travel_data_ingestion_spark.queries.llm_curation import (
+        _benchmark_hits,
+        _benchmark_hits_attributed,
+    )
+
+    plain = {(r.doc_id, r.pos)
+             for r in _benchmark_hits(spark, SF_DIR, 3).collect()}
+    attr = {(r.doc_id, r.pos)
+            for r in _benchmark_hits_attributed(spark, SF_DIR, 3)
+            .select("doc_id", "pos").distinct().collect()}
+    assert plain == attr and plain, "attribution changed the hit set"

@@ -270,12 +270,15 @@ def _benchmark_hits(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     )
 
 
-def merge_hit_spans(hits: DataFrame, n: int) -> DataFrame:
-    """Merge hit shingle start positions ``(doc_id, pos)`` into maximal
+def merge_hit_spans(hits: DataFrame, n: int,
+                    keys: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Merge hit shingle start positions ``(*keys, pos)`` into maximal
     contiguous token spans (each hit covers tokens ``[pos, pos+n-1]``;
     spans merge when overlapping or adjacent). Gaps-and-islands over a
-    per-document window — partition size is bounded by hits per doc."""
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    per-key window — partition size is bounded by hits per key group
+    (per doc for cu11/cu13; per (doc, benchmark) for cu16's
+    attribution, which is even more bounded)."""
+    w = Window.partitionBy(*keys).orderBy("pos")
     prev_end = F.max(F.col("pos") + n - 1).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -286,7 +289,7 @@ def merge_hit_spans(hits: DataFrame, n: int) -> DataFrame:
         "span_idx",
         F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    return numbered.groupBy("doc_id", "span_idx").agg(
+    return numbered.groupBy(*keys, "span_idx").agg(
         F.min("pos").alias("span_start"),
         (F.max("pos") + n - 1).alias("span_end"),
         (F.max("pos") + n - 1 - F.min("pos") + 1).alias("span_tokens"),
@@ -1154,4 +1157,133 @@ def cu05_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_count(raw, F.lit(_PHONE_PAT)).cast("long").alias("n_phones"),
             F.md5(redacted).alias("redacted_md5"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cu16: span contamination with BENCHMARK ATTRIBUTION
+#
+# cu11 locates the contaminated token ranges; cu16 answers the audit
+# question cu11 can't: WHICH benchmark document does each range quote?
+# The attribution is per (training doc, benchmark doc) pair — one span
+# row per maximal contiguous range of that benchmark's shingles, so a
+# paragraph quoting two different benchmark items reports two
+# attributed spans even where cu11 merges them into one island.
+
+
+def _span_attr_ctes(n: int = 3) -> str:
+    """Oracle CTE chain for attributed spans — same machinery as
+    _span_ctes(n) with the benchmark shingle set keeping its source
+    doc_id and the island merge partitioned by (doc_id, benchmark_id).
+    Generated from the same ``n`` the Spark helpers take, so the two
+    sides cannot drift."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"""
+    eligible AS (
+      SELECT doc_id, {_TOKENIZE_SQL} AS t
+      FROM documents
+      WHERE len({_TOKENIZE_SQL}) >= {n}
+    ),
+    bench_sh AS (
+      SELECT DISTINCT doc_id AS benchmark_id, {gram} AS shingle
+      FROM eligible, UNNEST(range(1, greatest(len(t) - {n - 2}, 1))) AS r(i)
+      WHERE doc_id % 50 = 0
+    ),
+    pos_sh AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             {gram} AS shingle
+      FROM eligible, UNNEST(range(1, greatest(len(t) - {n - 2}, 1))) AS r(i)
+      WHERE doc_id % 50 <> 0
+    ),
+    hits AS (
+      SELECT p.doc_id, b.benchmark_id, p.pos
+      FROM pos_sh p JOIN bench_sh b USING (shingle)
+    ),
+    isl AS (
+      SELECT doc_id, benchmark_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + {n - 1}) OVER (
+                    PARTITION BY doc_id, benchmark_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM hits
+    ),
+    num AS (
+      SELECT doc_id, benchmark_id, pos,
+             CAST(SUM(is_new) OVER (
+                    PARTITION BY doc_id, benchmark_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS span_idx
+      FROM isl
+    ),
+    attr_spans AS (
+      SELECT doc_id, benchmark_id, span_idx,
+             MIN(pos) AS span_start,
+             MAX(pos) + {n - 1} AS span_end,
+             MAX(pos) + {n - 1} - MIN(pos) + 1 AS span_tokens,
+             COUNT(*) AS n_hit_shingles
+      FROM num
+      GROUP BY doc_id, benchmark_id, span_idx
+    )
+"""
+
+
+def _benchmark_hits_attributed(
+    spark: SparkSession, sf_dir: str, n: int = 3
+) -> DataFrame:
+    """Positions ``(doc_id, benchmark_id, pos)`` of every training-doc
+    n-gram that appears in benchmark doc ``benchmark_id`` — the
+    attributed twin of _benchmark_hits. One position can hit several
+    benchmark docs (one row each); (doc, benchmark, pos) is unique."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    eligible = docs.filter(F.size(toks) >= n)
+    bench_sh = (
+        eligible.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").alias("benchmark_id"),
+            F.explode(_shingles(n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    return (
+        positional_shingles(eligible.filter(F.col("doc_id") % 50 != 0), n)
+        .join(F.broadcast(bench_sh), "shingle")
+        .select("doc_id", "benchmark_id", "pos")
+    )
+
+
+@register(
+    "cu16_span_attribution",
+    f"""
+    WITH {_span_attr_ctes(3)}
+    SELECT doc_id, benchmark_id, span_start, span_end, span_tokens,
+           n_hit_shingles
+    FROM attr_spans
+    """,
+    survey_ops=("X-CURATE-16",),
+    doc="Span contamination with benchmark ATTRIBUTION: for every "
+    "(training doc, benchmark doc) pair, the maximal contiguous token "
+    "ranges of the training doc whose 3-token shingles appear in THAT "
+    "benchmark doc — the audit-trail complement to cu11's unattributed "
+    "report (which benchmark item was quoted, where, and how much), "
+    "the row shape a takedown/excision review needs. Same "
+    "gaps-and-islands machinery as cu11 keyed by (doc_id, "
+    "benchmark_id), so a paragraph quoting two benchmark items "
+    "reports two attributed spans where cu11 merges one island. At "
+    "100 TB: the attributed benchmark shingle set is still "
+    "benchmark-bounded (eval suites are thousands of docs, not "
+    "corpus-scale) -> broadcast, same policy as cu03/cu08/cu11; the "
+    "hit stream fans out only by benchmarks-sharing-a-shingle; the "
+    "island window partitions by (doc, benchmark) — strictly more "
+    "bounded than cu11's per-doc partitions.",
+)
+def cu16_span_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = 3
+    return merge_hit_spans(
+        _benchmark_hits_attributed(spark, sf_dir, n),
+        n,
+        keys=("doc_id", "benchmark_id"),
+    ).select(
+        "doc_id", "benchmark_id", "span_start", "span_end",
+        "span_tokens", "n_hit_shingles",
     )

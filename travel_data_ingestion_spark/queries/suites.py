@@ -121,10 +121,12 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "cu13_span_excision",
             "cu14_token_budget_mix",
             "cu15_epoch_repeat_mix",
+            "cu16_span_attribution",
         ],
         "Corpus-curation suite: deterministic hash sampling, stratified "
         "quotas, benchmark decontamination, per-source stats, PII "
-        "redaction, span-level contamination reporting and excision, "
+        "redaction, span-level contamination reporting (with per-"
+        "benchmark attribution) and excision, "
         "config-weighted curriculum export, token-budget mixture "
         "selection, multi-epoch source repetition.",
     ),

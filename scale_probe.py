@@ -40,6 +40,9 @@ import shutil
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from tools.probe_util import gc_millis, plan_fingerprint  # noqa: E402
+
 SIMSKEW = len(sys.argv) > 1 and sys.argv[1] == "simskew"
 DENSITY = len(sys.argv) > 1 and sys.argv[1] == "density"
 _MODAL = SIMSKEW or DENSITY
@@ -106,6 +109,7 @@ if _FILTER:
 _DOC_ONLY_PREFIXES = ("dd", "t0", "t1", "cu", "mm")
 
 
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from travel_data_ingestion_spark.queries import member_queries
@@ -128,48 +132,9 @@ def main() -> None:
                      doc_only=doc_only)
 
     def _gc_millis() -> int:
-        """Cumulative stop-the-world GC time of this JVM — driver ==
-        executors in local mode, so a per-rep delta attributes run-time
-        variance to GC churn vs real work."""
-        beans = (
-            spark.sparkContext._jvm.java.lang.management.ManagementFactory
-            .getGarbageCollectorMXBeans()
-        )
-        return sum(b.getCollectionTime() for b in beans)
+        return gc_millis(spark)
 
-    def _plan_fingerprint(jqe) -> str:
-        """md5 of a physical-plan dump with volatile tokens (expression
-        ids, codegen/query-stage ids, plan ids, paths, stats)
-        normalized. Two uses downstream: the PRE-execution dump
-        (initial adaptive plan — deterministic, so rep-to-rep drift
-        here always means a real plan change) and the POST-execution
-        dump (AQE-final plan — shows runtime re-planning across scales,
-        but can legitimately differ between reps of the same data when
-        exchange-reuse depends on stage completion order)."""
-        import hashlib
-        import re
-
-        s = jqe.executedPlan().toString()
-        s = re.sub(r"#\d+[A-Z]*", "#x", s)
-        s = re.sub(r"\*\(\d+\)", "*", s)  # whole-stage-codegen ids
-        s = re.sub(r"\[plan_id=\d+\]|\[id=#?\w+\]", "", s)
-        s = re.sub(r"(file|hdfs|s3a?):[^\s,\]\)]+", "<path>", s)
-        s = re.sub(r"Statistics\([^)]*\)", "", s)
-        # session-global counters: higher-order-function lambda variable
-        # names (x_4 vs x_8), cached-RDD/subquery ids, query-stage ids
-        s = re.sub(r"\blambda ([A-Za-z]+)_\d+", r"lambda \1", s)
-        s = re.sub(r"\b(CachedRDD|Subquery|ReusedExchange)\s*#?\d*", r"\1", s)
-        s = re.sub(
-            r"\b(ResultQueryStage|ShuffleQueryStage|BroadcastQueryStage"
-            r"|TableCacheQueryStage)\s+\d+",
-            r"\1",
-            s,
-        )
-        # width-truncated expression dumps cut at shifting offsets once
-        # ids of different digit counts are involved — collapse any
-        # token the renderer elided
-        s = re.sub(r"\S*\.\.\.", "<trunc>", s)
-        return hashlib.md5(s.encode()).hexdigest()[:16]
+    _plan_fingerprint = plan_fingerprint
 
     def run_set(sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
         def _materialize(df):

@@ -131,6 +131,9 @@ def test_shuffle_heavy_queries_complete_and_spill_under_memory_pressure():
     # (spark.memory.fraction=0.2, 4 fat shuffle partitions) over an
     # 8x-replicated sf0.1 corpus (density documents + key-shifted
     # TPC-H; sf0.1 alone fits even 800 MB executors — measured) — the
+    # list includes dd03 (r14 verdict ask #3: the LC probes show it is
+    # the heaviest shuffler with the widest straggler tail; its
+    # LSH-band joins are the likeliest real-scale spill path) — the
     # probe requires NONZERO memoryBytesSpilled (the pressure was
     # real, the spill path actually ran) AND oracle-equal values on
     # the SAME scaled dir (the spill path is correct). At 100 TB every
@@ -139,9 +142,42 @@ def test_shuffle_heavy_queries_complete_and_spill_under_memory_pressure():
     out = _run(
         ["spilltest",
          os.environ.get("LC_SPILL_SF_DIR", "/root/testdata/sf0.1"),
-         "q05_region_nation_revenue,dd04_simhash,t12_crossdoc_span_dedup",
+         "q05_region_nation_revenue,dd04_simhash,t12_crossdoc_span_dedup,"
+         "dd03_minhash_lsh_pairs",
          os.environ.get("LC_SPILL_MULT", "8")],
         timeout=1800,
     )
     assert out["memory_spilled_mb"] > 0
     assert out["failures"] == []
+
+
+def test_lc_bench_arbitered_child_contract():
+    """The arbitered LC bench's child protocol (BASELINE.md round-15
+    addendum): one fresh local-cluster session per query, min-of-N
+    reps with per-rep plan fingerprints and interleaved LC reference-
+    probe samples. One child run at sf0.001 pins the JSON contract the
+    parent merge and the cross-round normalization rule depend on."""
+    env = dict(os.environ)
+    env.pop("SPARK_MASTER", None)
+    env["SPARK_GRAFT_SF_DIR"] = SF_DIR
+    env["SPARK_LC"] = "2,4,3072"
+    env["SPARK_LC_BENCH_REPS"] = "2"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "lc_bench.py"),
+         "one", "q01_pricing_summary"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    d = json.loads(r.stdout.strip().splitlines()[-1])
+    assert d["query"] == "q01_pricing_summary"
+    assert d["sec"] == min(d["reps_sec"]) > 0
+    assert len(d["reps_sec"]) == 2
+    # plan fingerprints: drift between reps of identical data would be
+    # a real plan change — the arbiter's noise/regression separator
+    assert len(set(d["plan_fp"])) == 1
+    # the LC probe: one per rep (warm samples recorded separately so
+    # fresh-JVM compilation never widens the steady-state noise band)
+    assert len(d["lc_probe_samples"]) == 2
+    assert len(d["lc_probe_warm"]) == 2
+    assert all(x > 0 for x in d["lc_probe_samples"] + d["lc_probe_warm"])
+    assert d["executors"] == 2

@@ -876,3 +876,103 @@ def t23_sitemap_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host string, robots_txt string",
     )
     return sitemap_urls(robots)
+
+
+# ---------------------------------------------------------------------------
+# t24: sitemap XML parsing
+#
+# The consumer of t23's sitemap-URL table: parse the fetched sitemap
+# documents themselves (sitemaps.org protocol) into the frontier-seed
+# URL table. Fixtures exercise <urlset> with all optional fields, a
+# CDATA loc (whose &amp; stays literal — CDATA is not entity-decoded),
+# a loc-less entry (dropped), junk and out-of-range <priority>
+# (-> NULL), a namespace-PREFIXED <sitemapindex> (kind='sitemap'), a
+# gzipped document, a DOCTYPE entity bomb (rejected whole — protocol
+# sitemaps have no DTD), and plain garbage (zero rows).
+
+_SM_URLSET = (
+    b'<?xml version="1.0" encoding="UTF-8"?>\n'
+    b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+    b"  <url><loc>https://e.com/a</loc><lastmod>2026-01-02</lastmod>"
+    b"<changefreq>daily</changefreq><priority>0.8</priority></url>\n"
+    b"  <url><loc><![CDATA[https://e.com/b?x=1&amp;y=2]]></loc></url>\n"
+    b"  <url><lastmod>2026-01-01</lastmod></url>\n"
+    b"  <url><loc>https://e.com/c</loc><priority>junk</priority></url>\n"
+    b"  <url><loc>https://e.com/d</loc><priority>7</priority></url>\n"
+    b"</urlset>"
+)
+_SM_INDEX = (
+    b'<sm:sitemapindex xmlns:sm="http://www.sitemaps.org/schemas/'
+    b'sitemap/0.9">\n'
+    b" <sm:sitemap><sm:loc>https://f.com/s1.xml</sm:loc>"
+    b"<sm:lastmod>2025-12-31</sm:lastmod></sm:sitemap>\n"
+    b"</sm:sitemapindex>"
+)
+_SM_BOMB = (
+    b'<?xml version="1.0"?><!DOCTYPE lolz [<!ENTITY lol "lol">]>'
+    b"<urlset><url><loc>https://h.com/x</loc></url></urlset>"
+)
+
+_SITEMAP_PARSE_EXPECTED = """
+    ('e.com', 'https://e.com/sitemap.xml', 'url', 'https://e.com/a',
+     '2026-01-02', 'daily', CAST(0.8 AS DOUBLE)),
+    ('e.com', 'https://e.com/sitemap.xml', 'url',
+     'https://e.com/b?x=1&amp;y=2', NULL, NULL, CAST(NULL AS DOUBLE)),
+    ('e.com', 'https://e.com/sitemap.xml', 'url', 'https://e.com/c',
+     NULL, NULL, CAST(NULL AS DOUBLE)),
+    ('e.com', 'https://e.com/sitemap.xml', 'url', 'https://e.com/d',
+     NULL, NULL, CAST(NULL AS DOUBLE)),
+    ('f.com', 'https://f.com/sitemap_index.xml', 'sitemap',
+     'https://f.com/s1.xml', '2025-12-31', NULL, CAST(NULL AS DOUBLE)),
+    ('g.com', 'https://g.com/sitemap.xml.gz', 'url', 'https://g.com/z',
+     NULL, 'weekly', CAST(0.1 AS DOUBLE))
+"""
+
+
+@register(
+    "t24_sitemap_parse",
+    f"""
+    SELECT host, sitemap_url, kind, loc, lastmod, changefreq, priority
+    FROM (VALUES
+        {_SITEMAP_PARSE_EXPECTED}
+    ) AS sm(host, sitemap_url, kind, loc, lastmod, changefreq, priority)
+    """,
+    survey_ops=("X-CRAWL-10",),
+    doc="Sitemap XML parsing (llm/sitemap.py, sitemaps.org protocol): "
+    "fetched sitemap documents -> the frontier-seed URL table. "
+    "<urlset> entries with loc/lastmod/changefreq/priority (junk or "
+    "out-of-range priority -> NULL, loc-less entries dropped, CDATA "
+    "locs kept verbatim), namespace-prefixed <sitemapindex> children "
+    "as kind='sitemap' recursion rows, gzip members sniffed and "
+    "bomb-capped (50 MB / 50k entries, the protocol limits doubling "
+    "as hostile-input budgets), DOCTYPE rejected whole (no DTD in the "
+    "protocol; closes entity-expansion bombs), malformed XML -> zero "
+    "rows. Expected rows hand-written. At 100 TB: Arrow-batched "
+    "mapInPandas over the fetched documents — payload bytes cross to "
+    "Python once, map-only, no shuffle.",
+)
+def t24_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import gzip
+
+    from travel_data_ingestion_spark.llm.sitemap import parse_sitemaps
+
+    gz = gzip.compress(
+        b"<urlset><url><loc>https://g.com/z</loc>"
+        b"<changefreq>weekly</changefreq><priority>0.1</priority>"
+        b"</url></urlset>",
+        mtime=0,
+    )
+    docs = spark.createDataFrame(
+        [
+            ("e.com", "https://e.com/sitemap.xml", bytearray(_SM_URLSET)),
+            ("f.com", "https://f.com/sitemap_index.xml",
+             bytearray(_SM_INDEX)),
+            ("g.com", "https://g.com/sitemap.xml.gz", bytearray(gz)),
+            ("h.com", "https://h.com/sitemap.xml", bytearray(_SM_BOMB)),
+            ("i.com", "https://i.com/sitemap.xml",
+             bytearray(b"<html><body>nope</body></html>")),
+            ("j.com", "https://j.com/sitemap.xml", None),
+        ],
+        "host string, sitemap_url string, content binary",
+    )
+    return parse_sitemaps(docs)

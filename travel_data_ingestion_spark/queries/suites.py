@@ -167,6 +167,7 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "t21_robots_frontier",
             "t22_politeness_schedule",
             "t23_sitemap_capture",
+            "t24_sitemap_parse",
         ],
         "Corpus-level text suite: vocabulary statistics, TF-IDF "
         "keyword extraction, training-sequence packing, Gopher-style "
@@ -183,7 +184,8 @@ SUITES: dict[str, tuple[list[str], str]] = {
         "crawl-delay), per-host politeness scheduling (fetch_seq/"
         "fetch_after from crawl_delay with a max_per_host budget), and "
         "sitemap capture (global Sitemap records -> per-host frontier "
-        "seed table).",
+        "seed table), and sitemap XML parsing (urlset/sitemapindex, "
+        "gzip, protocol caps, DTD rejection).",
     ),
     "su08_incremental_index_suite": (
         [

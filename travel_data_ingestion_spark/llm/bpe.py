@@ -1,0 +1,130 @@
+"""BPE merge training — learning a tokenizer from the corpus.
+
+t07 counts tokens under a FIXED BPE-style regex; a training-data
+pipeline also needs the other direction: learn the merge table itself
+from the corpus (the classic byte-pair-encoding trainer of Sennrich et
+al. 2016). The algorithm is inherently iterative — k rounds of "count
+adjacent symbol pairs, merge the most frequent everywhere" — and this
+module implements it Spark-shaped:
+
+- the unit of distribution is the DISTINCT-WORD table (word, count,
+  symbol string), not the corpus: pair statistics are identical when
+  weighted by word count, and the word table is orders of magnitude
+  smaller than 100 TB of text (a few hundred million rows at crawl
+  scale vs trillions of tokens);
+- each round is ONE distributed aggregation (explode adjacent pairs,
+  weighted count, global top-1) plus a map-only merge application;
+  the only driver traffic is the single winning pair per round — a
+  k-row control plane, the same bounded-iteration shape as dd06's
+  connected-components loop;
+- the evolving word table is re-persisted each round (and the
+  previous round unpersisted) so round i+1 scans a materialized
+  table instead of recomputing i rounds of lineage.
+
+Exact semantics (pinned so the DuckDB oracle generator
+``queries.llm_text._bpe_oracle_sql`` cannot drift — both sides are
+the same algorithm over the same representation):
+
+- words: lowercased ``[a-z]+`` runs of ``text``, words longer than
+  ``max_word_chars`` (default 16) dropped — the standard trainer
+  hygiene cap (crawl-scale "words" beyond that are junk: hashes,
+  URLs fragments, DNA strings) which also bounds the merge-application
+  pass count;
+- initial symbols: the word's characters joined by one space (no
+  end-of-word marker — documented simplification; adding one is a
+  representation change, not an algorithm change);
+- pair selection: maximum total count, ties broken by ascending pair
+  string — fully deterministic;
+- merge application: the literal pattern ``" L R "`` is replaced by
+  ``" LR "`` on the space-padded symbol string, repeated
+  ``max_word_chars // 2`` times. A single left-to-right
+  non-overlapping replace pass misses an occurrence whose leading
+  separator was consumed by the previous match (`` a b a b `` merges
+  only the first ``a b``); each extra pass picks up the survivors,
+  and ⌈occurrences/2⌉ ≤ ``max_word_chars // 2`` passes reach the
+  fixpoint. Spark's ``replace`` and DuckDB's ``replace`` share this
+  per-pass semantics, so the unrolled form is engine-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_WORD_PAT = "[a-z]+"
+
+
+def word_symbol_table(docs: DataFrame, max_word_chars: int = 16) -> DataFrame:
+    """documents(text) -> (word, cnt, symbols): the distinct-word table
+    BPE trains on, with the initial per-character symbol string."""
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_WORD_PAT), 0)
+        ).alias("word")
+    ).filter(F.length("word") <= max_word_chars)
+    sym = F.expr(
+        "array_join(transform(sequence(1, length(word)),"
+        " i -> substr(word, i, 1)), ' ')"
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("symbols", sym)
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(pair, pc): adjacent symbol pairs weighted by word count."""
+    pairs = F.expr(
+        "transform(sequence(1, size(split(symbols, ' ')) - 1),"
+        " j -> concat(element_at(split(symbols, ' '), j), ' ',"
+        "             element_at(split(symbols, ' '), j + 1)))"
+    )
+    return (
+        words.filter(F.size(F.split("symbols", " ")) >= 2)
+        .select("cnt", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("pc"))
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame, k: int, max_word_chars: int = 16
+) -> DataFrame:
+    """Learn the first ``k`` BPE merges from documents(text); returns
+    (merge_rank, left_sym, right_sym, pair_count) — the merge table a
+    tokenizer applies in rank order. Distributed per round: one pair
+    aggregation over the word table + a map-only merge application;
+    driver traffic is one row per round (the winner)."""
+    spark = docs.sparkSession
+    words = word_symbol_table(docs, max_word_chars).persist()
+    passes = max(1, max_word_chars // 2)
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, k + 1):
+            top = (
+                _pair_counts(words)
+                .orderBy(F.desc("pc"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # every word is a single symbol already
+            pair, pc = top[0]["pair"], int(top[0]["pc"])
+            left, right = pair.split(" ", 1)
+            merges.append((rank, left, right, pc))
+            col = F.concat(F.lit(" "), F.col("symbols"), F.lit(" "))
+            for _ in range(passes):
+                col = F.replace(
+                    col, F.lit(f" {pair} "), F.lit(f" {left}{right} ")
+                )
+            nxt = words.withColumn("symbols", F.trim(col)).persist()
+            nxt.count()  # materialize before dropping the parent
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, left_sym string, right_sym string, pair_count long",
+    )

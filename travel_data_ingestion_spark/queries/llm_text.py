@@ -881,3 +881,90 @@ def t14_incremental_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _T14_CACHE.pop(next(iter(_T14_CACHE)))
     _T14_CACHE[key] = out
     return out
+
+
+# ---------------------------------------------------------------------------
+# t25: BPE merge training (llm/bpe.py)
+#
+# The oracle is GENERATED from the same (k, max_word_chars) the Spark
+# trainer takes — k unrolled stages of (pair count -> top-1 -> merge
+# application), the merge application being the same bounded multi-
+# pass literal replace on the same space-joined symbol representation,
+# so the two sides are one algorithm in two engines and cannot drift.
+
+
+def _bpe_oracle_sql(k: int, max_word_chars: int = 16) -> str:
+    passes = max(1, max_word_chars // 2)
+
+    def rep(expr: str) -> str:
+        for _ in range(passes):
+            expr = (
+                f"replace({expr}, ' ' || b.pair || ' ',"
+                f" ' ' || replace(b.pair, ' ', '') || ' ')"
+            )
+        return expr
+
+    ctes = [f"""
+    words0 AS (
+      SELECT word, COUNT(*) AS cnt,
+             array_to_string(list_transform(range(1, length(word) + 1),
+                                            i -> word[i]), ' ') AS symbols
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents)
+      WHERE length(word) <= {max_word_chars}
+      GROUP BY word
+    )"""]
+    for i in range(1, k + 1):
+        prev = f"words{i - 1}"
+        ctes.append(f"""
+    pairs{i} AS (
+      SELECT l[j] || ' ' || l[j + 1] AS pair, SUM(cnt) AS pc
+      FROM (SELECT cnt, string_split(symbols, ' ') AS l FROM {prev}),
+           UNNEST(range(1, len(l))) AS r(j)
+      GROUP BY 1
+    ),
+    best{i} AS (
+      SELECT pair, pc FROM pairs{i} ORDER BY pc DESC, pair ASC LIMIT 1
+    ),
+    words{i} AS (
+      SELECT w.word, w.cnt,
+             trim({rep("' ' || w.symbols || ' '")}) AS symbols
+      FROM {prev} w, best{i} b
+    )""")
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank,"
+        f" split_part(pair, ' ', 1) AS left_sym,"
+        f" split_part(pair, ' ', 2) AS right_sym,"
+        f" CAST(pc AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",".join(ctes) + "\n    " + sel
+
+
+_BPE_K = 6
+
+
+@register(
+    "t25_bpe_train",
+    _bpe_oracle_sql(_BPE_K),
+    survey_ops=("X-TEXT-25",),
+    doc="BPE merge TRAINING (llm/bpe.py, Sennrich et al. 2016): learn "
+    "the first k=6 merges from the corpus — the complement of t07's "
+    "fixed-regex tokenization (count tokens vs learn the tokenizer). "
+    "Distribution unit is the distinct-word table (word, count, "
+    "symbol string) — pair statistics are identical when weighted by "
+    "word count and the table is orders of magnitude smaller than "
+    "the corpus. Each round: one distributed pair aggregation + "
+    "map-only merge application (bounded multi-pass literal replace, "
+    "identical semantics in Spark replace and DuckDB replace); "
+    "driver traffic is ONE row per round (the winning pair) — the "
+    "same bounded-iteration control plane as dd06's connected "
+    "components. The evolving word table re-persists each round so "
+    "round i+1 scans a materialized table, not i rounds of lineage. "
+    "Oracle generated from the same (k, cap) parameters.",
+)
+def t25_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.llm.bpe import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return bpe_train_merges(docs, k=_BPE_K)

@@ -168,6 +168,7 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "t22_politeness_schedule",
             "t23_sitemap_capture",
             "t24_sitemap_parse",
+            "t25_bpe_train",
         ],
         "Corpus-level text suite: vocabulary statistics, TF-IDF "
         "keyword extraction, training-sequence packing, Gopher-style "
@@ -184,8 +185,10 @@ SUITES: dict[str, tuple[list[str], str]] = {
         "crawl-delay), per-host politeness scheduling (fetch_seq/"
         "fetch_after from crawl_delay with a max_per_host budget), and "
         "sitemap capture (global Sitemap records -> per-host frontier "
-        "seed table), and sitemap XML parsing (urlset/sitemapindex, "
-        "gzip, protocol caps, DTD rejection).",
+        "seed table), sitemap XML parsing (urlset/sitemapindex, "
+        "gzip, protocol caps, DTD rejection), and BPE merge training "
+        "(learn the first k merges from the corpus; bounded-iteration "
+        "distributed trainer over the distinct-word table).",
     ),
     "su08_incremental_index_suite": (
         [

@@ -849,3 +849,71 @@ def test_stream_ingest_media_full_container_matrix(spark, tmp_path):
         for b in sorted(aud_ids)[i + 1 :]
     }
     assert all(r.hamming <= 3 for r in aud_pairs)
+
+
+def test_streaming_politeness_scheduler_counts_across_batches(spark, tmp_path):
+    """scheduled_frontier_stream: the per-host issue counter and crawl
+    budget are STATE — fetch_seq continues across micro-batches, the
+    max_per_host budget is lifetime (not per batch), disallowed rows
+    never schedule — and when arrival order respects url order, the
+    union of streaming outputs equals the batch schedule_frontier on
+    the same frontier (the batch-twin contract)."""
+    from travel_data_ingestion_spark.llm.robots import schedule_frontier
+    from travel_data_ingestion_spark.streaming import (
+        scheduled_frontier_stream,
+    )
+    from travel_data_ingestion_spark.streaming.frontier import INPUT_SCHEMA
+
+    src = os.path.join(str(tmp_path), "frontier_src")
+    os.makedirs(src)
+
+    b1 = [
+        ("a.com", "http://a.com/1", True, 2.0),
+        ("a.com", "http://a.com/2", True, 2.0),
+        ("a.com", "http://a.com/x", False, 2.0),   # never scheduled
+        ("b.com", "http://b.com/1", True, None),   # default delay
+    ]
+    b2 = [
+        ("a.com", "http://a.com/3", True, 2.0),
+        ("a.com", "http://a.com/4", True, 2.0),    # over budget: drop
+        ("b.com", "http://b.com/2", True, None),
+    ]
+    for name, rows in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(rows, INPUT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, name))
+
+    stream = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        scheduled_frontier_stream(stream, default_delay=0.5, max_per_host=3)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sched_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.host, r.url): (r.fetch_seq, r.fetch_after)
+        for r in spark.sql("SELECT * FROM sched_out").collect()
+    }
+    assert got == {
+        ("a.com", "http://a.com/1"): (0, 0.0),
+        ("a.com", "http://a.com/2"): (1, 2.0),
+        ("a.com", "http://a.com/3"): (2, 4.0),   # counter persisted
+        ("b.com", "http://b.com/1"): (0, 0.0),
+        ("b.com", "http://b.com/2"): (1, 0.5),   # default delay
+    }
+    # batch-twin contract: same frontier, one batch, same knobs
+    batch = schedule_frontier(
+        spark.createDataFrame(b1 + b2, INPUT_SCHEMA),
+        default_delay=0.5,
+        max_per_host=3,
+    )
+    want = {(r.host, r.url): (r.fetch_seq, r.fetch_after)
+            for r in batch.collect()}
+    assert got == want

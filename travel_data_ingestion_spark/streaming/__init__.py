@@ -15,8 +15,15 @@ path kept semantically equivalent:
   the streaming twin of dd01 for continuous corpus ingestion.
 - ``neardup``: continuous NEAR-dup detection — foreachBatch feeding the
   incremental MinHash index (dedup_index), the streaming twin of dd03.
+- ``frontier``: per-host politeness scheduling over a continuously
+  arriving crawl frontier — applyInPandasWithState keeping the
+  per-host issue counter and crawl budget across micro-batches, the
+  streaming twin of t22's batch schedule_frontier.
 """
 
+from travel_data_ingestion_spark.streaming.frontier import (
+    scheduled_frontier_stream,
+)
 from travel_data_ingestion_spark.streaming.dedup import (
     deduped_doc_stream,
     deduped_stream,
@@ -37,6 +44,7 @@ from travel_data_ingestion_spark.streaming.windows import (
 )
 
 __all__ = [
+    "scheduled_frontier_stream",
     "stream_ingest_csv",
     "windowed_event_stats",
     "sessionized_counts",

@@ -123,3 +123,43 @@ def test_trainer_lockstep_with_generated_oracle_nondefault_k(spark, ddb):
     )
     want = sorted(ddb.execute(_bpe_oracle_sql(3)).fetchall())
     assert got == [tuple(w) for w in want]
+
+
+def test_bpe_apply_counts_match_reference(spark):
+    """bpe_apply under a fixed merge table: per-doc subword counts
+    equal tokenizing each word with the reference merge application in
+    rank order; over-cap words count as one opaque token."""
+    from travel_data_ingestion_spark.llm.bpe import bpe_apply
+
+    merges = [("e", "r"), ("t", "h"), ("th", "e")]
+    docs = [
+        (1, "The weather thermometer"),
+        (2, "er er THE the"),
+        (3, "supercalifragilisticexpialidocious x"),  # over cap + tiny
+    ]
+
+    def ref_count(word: str) -> int:
+        if len(word) > 16:
+            return 1
+        syms = list(word)
+        for left, right in merges:
+            syms = _apply_merge_ref(syms, left, right)
+        return len(syms)
+
+    import re
+
+    want = {}
+    for doc_id, text in docs:
+        ws = re.findall("[a-z]+", text.lower())
+        want[doc_id] = (len(ws), sum(ref_count(w) for w in ws))
+
+    got = {
+        r.doc_id: (r.n_words, r.n_subwords)
+        for r in bpe_apply(
+            spark.createDataFrame(docs, "doc_id long, text string"), merges
+        ).collect()
+    }
+    assert got == want
+    # non-vacuous: the chained merge ('th','e') must have fired —
+    # 'the' tokenizes to ONE symbol, not three
+    assert ref_count("the") == 1

@@ -143,7 +143,7 @@ def test_shuffle_heavy_queries_complete_and_spill_under_memory_pressure():
         ["spilltest",
          os.environ.get("LC_SPILL_SF_DIR", "/root/testdata/sf0.1"),
          "q05_region_nation_revenue,dd04_simhash,t12_crossdoc_span_dedup,"
-         "dd03_minhash_lsh_pairs",
+         "dd03_minhash_lsh_pairs,mm03_phash_dedup",
          os.environ.get("LC_SPILL_MULT", "8")],
         timeout=1800,
     )

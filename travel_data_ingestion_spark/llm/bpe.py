@@ -128,3 +128,53 @@ def bpe_train_merges(
         merges,
         "merge_rank long, left_sym string, right_sym string, pair_count long",
     )
+
+
+def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
+              max_word_chars: int = 16) -> DataFrame:
+    """Tokenize with a LEARNED merge table: apply ``merges`` in rank
+    order to every word and count the resulting subword tokens per
+    document — the inference side of ``bpe_train_merges`` (and the
+    learned-vocabulary upgrade of t07's fixed-regex counting).
+
+    ``merges`` is driver-known (a tokenizer's merge table is a small
+    artifact by definition — 32k–100k rows in production — and k
+    literal patterns compile into the plan), so the whole operator is
+    MAP-ONLY: per word, the same bounded multi-pass literal replace
+    the trainer uses, applied merge-by-merge in rank order; then one
+    per-doc aggregation of subword counts. Words over the trainer's
+    length cap count as one opaque token each (they were never merge
+    candidates)."""
+    passes = max(1, max_word_chars // 2)
+    words = F.regexp_extract_all(F.lower("text"), F.lit(_WORD_PAT), 0)
+
+    def tokens_of(word_col):
+        sym = F.concat(
+            F.lit(" "),
+            F.expr(
+                "array_join(transform(sequence(1, length(w)),"
+                " i -> substr(w, i, 1)), ' ')"
+            ),
+            F.lit(" "),
+        )
+        for left, right in merges:
+            for _ in range(passes):
+                sym = F.replace(
+                    sym, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+                )
+        return F.when(
+            F.length(word_col) <= max_word_chars,
+            F.size(F.split(F.trim(sym), " ")),
+        ).otherwise(F.lit(1))
+
+    exploded = (
+        docs.select("doc_id", F.explode(words).alias("w"))
+    )
+    return (
+        exploded.select("doc_id", tokens_of(F.col("w")).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n").cast("long").alias("n_subwords"),
+        )
+    )

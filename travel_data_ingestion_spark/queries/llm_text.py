@@ -968,3 +968,62 @@ def t25_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("text")
     return bpe_train_merges(docs, k=_BPE_K)
+
+
+# ---------------------------------------------------------------------------
+# t26: BPE tokenization under a GIVEN merge table (llm/bpe.py)
+#
+# The inference side of t25: a tokenizer's merge table is a fixed
+# artifact at deployment, so the graded member applies a FIXED,
+# SF-independent table (with a rank-2 merge ('t','h') that a rank-3
+# merge ('th','e') depends on — rank ORDER is value-graded) and counts
+# per-doc subwords. The oracle is generated from the same merge list
+# and cap, nested-literal-replace for nested-literal-replace.
+
+_BPE_APPLY_MERGES = [
+    ("e", "r"), ("t", "h"), ("th", "e"), ("i", "n"), ("er", "s"),
+    ("o", "u"),
+]
+
+
+def _bpe_apply_oracle_sql(merges, max_word_chars: int = 16) -> str:
+    passes = max(1, max_word_chars // 2)
+    expr = ("' ' || array_to_string(list_transform("
+            "range(1, length(w) + 1), i -> w[i]), ' ') || ' '")
+    for left, right in merges:
+        for _ in range(passes):
+            expr = f"replace({expr}, ' {left} {right} ', ' {left}{right} ')"
+    return f"""
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(CASE WHEN length(w) <= {max_word_chars}
+                         THEN len(string_split(trim({expr}), ' '))
+                         ELSE 1 END) AS BIGINT) AS n_subwords
+    FROM (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents)
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "t26_bpe_apply",
+    _bpe_apply_oracle_sql(_BPE_APPLY_MERGES),
+    survey_ops=("X-TEXT-26",),
+    doc="BPE tokenization under a LEARNED merge table (llm/bpe.py "
+    "bpe_apply — the inference side of t25's trainer): apply a fixed "
+    "merge list in rank order to every word (the graded table chains "
+    "('t','h') -> ('th','e'), so rank order is value-graded) and "
+    "count per-doc subword tokens; words over the trainer's length "
+    "cap count as one opaque token. The merge table is a small "
+    "deployment artifact -> its literal patterns compile into the "
+    "plan and the WHOLE operator is map-only (explode words, nested "
+    "literal replaces in codegen, one per-doc aggregation) — no "
+    "shuffle but the final groupBy, no Python. Oracle generated from "
+    "the same merge list and cap.",
+)
+def t26_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.llm.bpe import bpe_apply
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_apply(docs, _BPE_APPLY_MERGES)

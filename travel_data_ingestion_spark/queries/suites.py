@@ -169,6 +169,7 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "t23_sitemap_capture",
             "t24_sitemap_parse",
             "t25_bpe_train",
+            "t26_bpe_apply",
         ],
         "Corpus-level text suite: vocabulary statistics, TF-IDF "
         "keyword extraction, training-sequence packing, Gopher-style "
@@ -186,9 +187,10 @@ SUITES: dict[str, tuple[list[str], str]] = {
         "fetch_after from crawl_delay with a max_per_host budget), and "
         "sitemap capture (global Sitemap records -> per-host frontier "
         "seed table), sitemap XML parsing (urlset/sitemapindex, "
-        "gzip, protocol caps, DTD rejection), and BPE merge training "
-        "(learn the first k merges from the corpus; bounded-iteration "
-        "distributed trainer over the distinct-word table).",
+        "gzip, protocol caps, DTD rejection), and BPE merge training + "
+        "application (learn the first k merges from the corpus via the "
+        "bounded-iteration distributed trainer over the distinct-word "
+        "table; tokenize under a given merge table map-only).",
     ),
     "su08_incremental_index_suite": (
         [

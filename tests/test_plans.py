@@ -434,3 +434,21 @@ def test_span_attribution_broadcasts_benchmark_and_salts_nothing(spark):
     # window here would silently merge cross-benchmark islands)
     m = re.search(r"Arguments: \[[^\]]*\], \[(doc_id[^\]]*)\], \[pos", plan)
     assert m and "benchmark_id" in m.group(1), plan
+
+
+def test_politeness_schedule_window_is_host_keyed_and_native(spark):
+    """t22: the scheduling window must partition by host (politeness IS
+    per-host serialization — a global window would drag the whole
+    frontier through one partition at 100 TB) and the whole operator
+    stays native (no Python eval nodes after the frontier filter's
+    mapInPandas)."""
+    import re
+
+    plan = _formatted_plan(spark, "t22_politeness_schedule")
+    m = re.search(r"Arguments: \[row_number\(\)[^\]]*\], \[([^\]]*)\],", plan)
+    assert m and "host" in m.group(1), plan
+    # exactly one Python node: filter_frontier's Arrow kernel; the
+    # schedule itself adds none (tree form "MapInPandas (n)" appears
+    # once per operator; the detail section repeats it)
+    assert plan.count("MapInPandas (") == 1
+    assert "BatchEvalPython" not in plan

@@ -132,3 +132,21 @@ def test_parse_sitemaps_wrapper_schema_and_nulls(spark):
     assert (r.host, r.kind, r.loc, r.priority) == (
         "a.com", "url", "https://a.com/x", 0.3)
     assert r.lastmod is None and r.changefreq is None
+
+
+def test_recrawl_priority_case_and_boundary(spark):
+    """changefreq matches case-insensitively; the overdue boundary is
+    >= (due exactly now = overdue, staleness 0)."""
+    from travel_data_ingestion_spark.llm.sitemap import recrawl_priority
+
+    entries = spark.createDataFrame(
+        [
+            ("a", "u1", "2026-01-31 23:00:00", "Hourly"),   # due == now
+            ("a", "u2", "2026-01-31 23:00:01", "HOURLY"),   # 1s early
+        ],
+        "host string, loc string, lastmod string, changefreq string",
+    )
+    rows = {r.loc: (r.interval_sec, r.next_due, r.overdue, r.staleness_sec)
+            for r in recrawl_priority(entries, "2026-02-01 00:00:00").collect()}
+    assert rows["u1"] == (3600, "2026-02-01 00:00:00", True, 0)
+    assert rows["u2"] == (3600, "2026-02-01 00:00:01", False, -1)

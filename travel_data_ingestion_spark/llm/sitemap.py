@@ -194,3 +194,74 @@ def parse_sitemaps(sitemap_df):
     return sitemap_df.select("host", "sitemap_url", "content").mapInPandas(
         batches, schema=schema
     )
+
+
+# changefreq -> seconds (sitemaps.org enumerated values); 'always' is
+# "changes on every access" -> zero interval, 'never' -> NULL (archive
+# URLs are excluded from freshness scheduling, not fetched constantly)
+_CHANGEFREQ_SEC = {
+    "always": 0,
+    "hourly": 3600,
+    "daily": 86400,
+    "weekly": 604800,
+    "monthly": 2592000,   # 30 days, the crawler convention
+    "yearly": 31536000,   # 365 days
+}
+
+
+def recrawl_priority(entries_df, now: str):
+    """Freshness scheduling over parsed sitemap entries (the consumer
+    of ``parse_sitemaps``): (host, loc, lastmod, changefreq) ->
+    (host, loc, interval_sec, next_due, overdue, staleness_sec).
+
+    - ``interval_sec``: the sitemaps.org changefreq enum mapped to
+      seconds ('always'=0, 'never'/unknown/absent -> NULL — no
+      freshness contract, excluded from due computation);
+    - ``next_due = lastmod + interval_sec`` (lastmod parsed with
+      try-semantics: W3C datetime dates or full timestamps; garbage
+      -> NULL);
+    - ``overdue`` / ``staleness_sec``: against the caller-supplied
+      ``now`` (a literal, never the wall clock — replay-deterministic
+      and oracle-comparable).
+
+    Native expressions only: a small CASE chain and timestamp
+    arithmetic, map-only at any corpus size."""
+    from pyspark.sql import functions as F
+
+    interval = F.lit(None).cast("long")
+    for name, sec in _CHANGEFREQ_SEC.items():
+        interval = F.when(
+            F.lower(F.col("changefreq")) == name, F.lit(sec)
+        ).otherwise(interval)
+    lastmod_ts = F.coalesce(
+        F.try_to_timestamp(F.col("lastmod"),
+                           F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(F.col("lastmod"), F.lit("yyyy-MM-dd")),
+    )
+    now_ts = F.to_timestamp(F.lit(now))
+    next_due = F.timestamp_seconds(
+        F.unix_timestamp(lastmod_ts) + F.col("interval_sec")
+    )
+    return (
+        entries_df.select(
+            "host", "loc", "lastmod", "changefreq",
+            interval.alias("interval_sec"),
+        )
+        .withColumn("next_due", next_due)
+        .withColumn(
+            "staleness_sec",
+            F.when(
+                F.col("next_due").isNotNull(),
+                F.unix_timestamp(now_ts) - F.unix_timestamp("next_due"),
+            ),
+        )
+        .withColumn(
+            "overdue",
+            F.when(F.col("next_due").isNotNull(),
+                   F.col("staleness_sec") >= 0),
+        )
+        .select("host", "loc", "interval_sec",
+                F.date_format("next_due", "yyyy-MM-dd HH:mm:ss")
+                .alias("next_due"),
+                "overdue", "staleness_sec")
+    )

@@ -976,3 +976,90 @@ def t24_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host string, sitemap_url string, content binary",
     )
     return parse_sitemaps(docs)
+
+
+# ---------------------------------------------------------------------------
+# t27: recrawl freshness scheduling
+#
+# The freshness consumer of t24: sitemap lastmod/changefreq ->
+# next-due computation against a FIXED reference instant (never the
+# wall clock, so outputs replay and oracle-compare). Fixture covers
+# every changefreq enum, a full-timestamp lastmod, a date-only
+# lastmod, garbage lastmod (-> NULL due), 'never' and absent
+# changefreq (no freshness contract -> NULL interval), and both the
+# overdue and not-yet-due sides of the boundary.
+
+_RECRAWL_NOW = "2026-02-01 00:00:00"
+_RECRAWL_ENTRIES = [
+    # (host, loc, lastmod, changefreq)
+    ("e.com", "https://e.com/a", "2026-01-31 23:00:00", "hourly"),
+    ("e.com", "https://e.com/b", "2026-01-31 23:00:01", "hourly"),
+    ("e.com", "https://e.com/c", "2026-01-25", "weekly"),
+    ("e.com", "https://e.com/d", "2026-01-31", "always"),
+    ("f.com", "https://f.com/x", "2026-01-01", "monthly"),
+    ("f.com", "https://f.com/y", "2025-01-01", "yearly"),
+    ("f.com", "https://f.com/z", "2026-01-31", "daily"),
+    ("g.com", "https://g.com/n", "2026-01-31", "never"),
+    ("g.com", "https://g.com/m", "2026-01-31", None),
+    ("g.com", "https://g.com/g", "not a date", "daily"),
+    ("g.com", "https://g.com/h", None, "daily"),
+]
+
+
+@register(
+    "t27_recrawl_priority",
+    f"""
+    WITH entries(host, loc, lastmod, changefreq) AS (VALUES
+        {",".join(
+            "(" + ", ".join(
+                "NULL" if v is None else f"'{v}'" for v in row
+            ) + ")"
+            for row in _RECRAWL_ENTRIES
+        )}
+    ),
+    mapped AS (
+      SELECT host, loc, lastmod, changefreq,
+             CASE lower(changefreq)
+               WHEN 'always' THEN 0 WHEN 'hourly' THEN 3600
+               WHEN 'daily' THEN 86400 WHEN 'weekly' THEN 604800
+               WHEN 'monthly' THEN 2592000 WHEN 'yearly' THEN 31536000
+             END AS interval_sec,
+             COALESCE(try_strptime(lastmod, '%Y-%m-%d %H:%M:%S'),
+                      try_strptime(lastmod, '%Y-%m-%d')) AS lm
+      FROM entries
+    ),
+    due AS (
+      SELECT host, loc, CAST(interval_sec AS BIGINT) AS interval_sec,
+             lm + to_seconds(interval_sec) AS due_ts
+      FROM mapped
+    )
+    SELECT host, loc, interval_sec,
+           strftime(due_ts, '%Y-%m-%d %H:%M:%S') AS next_due,
+           CASE WHEN due_ts IS NOT NULL
+                THEN epoch(TIMESTAMP '{_RECRAWL_NOW}') - epoch(due_ts) >= 0
+           END AS overdue,
+           CASE WHEN due_ts IS NOT NULL
+                THEN CAST(epoch(TIMESTAMP '{_RECRAWL_NOW}')
+                          - epoch(due_ts) AS BIGINT)
+           END AS staleness_sec
+    FROM due
+    """,
+    survey_ops=("X-CRAWL-11",),
+    doc="Recrawl freshness scheduling (llm/sitemap.py recrawl_priority "
+    "— the consumer of t24's lastmod/changefreq): the sitemaps.org "
+    "changefreq enum maps to seconds ('always'=0; 'never'/unknown/"
+    "absent -> NULL, no freshness contract), lastmod parses with "
+    "try-semantics (W3C date or full timestamp; garbage -> NULL), "
+    "next_due = lastmod + interval, and overdue/staleness_sec are "
+    "computed against a FIXED reference instant (never the wall "
+    "clock — replay-deterministic, oracle-comparable). Native CASE "
+    "chain + timestamp arithmetic, map-only at any corpus size.",
+)
+def t27_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.llm.sitemap import recrawl_priority
+
+    entries = spark.createDataFrame(
+        _RECRAWL_ENTRIES,
+        "host string, loc string, lastmod string, changefreq string",
+    )
+    return recrawl_priority(entries, now=_RECRAWL_NOW)

@@ -170,6 +170,7 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "t24_sitemap_parse",
             "t25_bpe_train",
             "t26_bpe_apply",
+            "t27_recrawl_priority",
         ],
         "Corpus-level text suite: vocabulary statistics, TF-IDF "
         "keyword extraction, training-sequence packing, Gopher-style "
@@ -187,7 +188,9 @@ SUITES: dict[str, tuple[list[str], str]] = {
         "fetch_after from crawl_delay with a max_per_host budget), and "
         "sitemap capture (global Sitemap records -> per-host frontier "
         "seed table), sitemap XML parsing (urlset/sitemapindex, "
-        "gzip, protocol caps, DTD rejection), and BPE merge training + "
+        "gzip, protocol caps, DTD rejection), recrawl freshness "
+        "scheduling (changefreq/lastmod -> next-due against a fixed "
+        "instant), and BPE merge training + "
         "application (learn the first k merges from the corpus via the "
         "bounded-iteration distributed trainer over the distinct-word "
         "table; tokenize under a given merge table map-only).",

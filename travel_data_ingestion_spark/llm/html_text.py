@@ -139,3 +139,125 @@ def html_extract(df, html_col: str = "html"):
             )
 
     return cols.mapInPandas(batches, schema=schema)
+
+
+# -- outlink extraction: the crawl DISCOVERY side ----------------------------
+
+# frontier-fetchable schemes after resolution; everything else
+# (javascript:, mailto:, tel:, data:, about:, ftp:) is not a crawl URL
+_FETCHABLE = ("http", "https")
+
+# hostile-input budget: links per document
+_MAX_OUTLINKS = 10_000
+
+
+class _LinkExtractor(HTMLParser):
+    """Collect <a href> targets with the document's effective base URL
+    (the FIRST <base href> in the document wins, per HTML spec) and
+    the rel=nofollow flag; links inside dropped subtrees (svg/template
+    /noscript/...) are presentation or fallback, not discovery."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.base: str | None = None
+        self.links: list[tuple[str, bool]] = []
+        self.drop_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP:
+            self.drop_depth += 1
+            return
+        if self.drop_depth:
+            return
+        d = dict(attrs)
+        if tag == "base" and self.base is None and d.get("href"):
+            self.base = d["href"].strip()
+        elif tag == "a" and d.get("href") is not None:
+            if len(self.links) < _MAX_OUTLINKS:
+                rel = (d.get("rel") or "").lower().split()
+                self.links.append((d["href"].strip(), "nofollow" in rel))
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag in _DROP:
+            self.drop_depth = max(0, self.drop_depth - 1)
+
+
+def extract_outlinks(html: str, page_url: str) -> list[tuple[str, bool]]:
+    """(link, nofollow) pairs from one HTML document: hrefs resolved
+    against the page URL (or the document's first ``<base href>`` when
+    present, per spec), fragments stripped (frontier convention),
+    non-fetchable schemes dropped, per-document order-preserving
+    dedup (first rel flag wins). Total — malformed markup yields
+    best-effort links, never an exception."""
+    from urllib.parse import urldefrag, urljoin, urlsplit
+
+    try:
+        p = _LinkExtractor()
+        p.feed(html)
+        p.close()
+    except Exception:
+        return []
+    base = urljoin(page_url, p.base) if p.base else page_url
+    out: list[tuple[str, bool]] = []
+    seen: set[str] = set()
+    for href, nofollow in p.links:
+        try:
+            url = urldefrag(urljoin(base, href))[0]
+            if urlsplit(url).scheme not in _FETCHABLE or not url:
+                continue
+        except ValueError:
+            continue
+        if url not in seen:
+            seen.add(url)
+            out.append((url, nofollow))
+    return out
+
+
+def html_outlinks(df, url_col: str = "url", html_col: str = "html"):
+    """Arrow-batched discovery over (doc_id, url, html): one row per
+    extracted outlink — (doc_id, url, link, nofollow), the frontier
+    feed. Map-only; raw HTML crosses to Python once per batch and
+    never returns to the JVM."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("link", T.StringType()),
+            T.StructField("nofollow", T.BooleanType()),
+        ]
+    )
+    cols = df.select("doc_id", url_col, html_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, urls, links, nofs = [], [], [], []
+            for doc_id, page_url, html in zip(
+                pdf["doc_id"], pdf[url_col], pdf[html_col]
+            ):
+                if not isinstance(html, str):
+                    continue
+                for link, nof in extract_outlinks(
+                    html, page_url if isinstance(page_url, str) else ""
+                ):
+                    ids.append(doc_id)
+                    urls.append(page_url)
+                    links.append(link)
+                    nofs.append(nof)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "url": urls,
+                    "link": links,
+                    "nofollow": pd.array(nofs, dtype="boolean"),
+                }
+            )
+
+    return cols.mapInPandas(batches, schema=schema)

@@ -1063,3 +1063,75 @@ def t27_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host string, loc string, lastmod string, changefreq string",
     )
     return recrawl_priority(entries, now=_RECRAWL_NOW)
+
+
+# ---------------------------------------------------------------------------
+# t28: outlink extraction — the crawl DISCOVERY side
+#
+# The frontier's input feed: every <a href> of a fetched page resolved
+# to an absolute fetchable URL. Fixtures exercise <base href> override
+# (the spec's first-wins rule), relative/absolute-path/protocol-
+# relative resolution, fragment stripping, javascript:/mailto: scheme
+# drops, per-doc dedup, rel=nofollow capture (case-insensitive,
+# multi-token rel), links inside dropped subtrees (inline <svg>)
+# excluded, and href-less anchors ignored. Expected rows hand-derived
+# from RFC 3986 resolution.
+
+_OUTLINK_PAGES = [
+    (1, "https://e.com/dir/page1",
+     '<html><head><base href="https://cdn.e.com/app/"></head><body>'
+     '<a href="page2">r</a>'
+     '<a href="/root">a</a>'
+     '<a href="https://other.com/x#frag">f</a>'
+     '<a href="//proto.com/y">p</a>'
+     '<a href="javascript:void(0)">j</a>'
+     '<a href="mailto:a@b.c">m</a>'
+     '<a href="page2">dup</a>'
+     '<a rel="NoFollow external" href="https://nf.com/">n</a>'
+     '<svg><a href="https://svg.com/drop">s</a></svg>'
+     "<a>nohref</a></body></html>"),
+    (2, "https://f.com/a/b/c",
+     '<a href="../up">u</a><a href="?q=1">q</a>'),
+    (3, "https://g.com/", "<p>no links at all</p>"),
+]
+
+_OUTLINK_EXPECTED = """
+    (1, 'https://e.com/dir/page1', 'https://cdn.e.com/app/page2', FALSE),
+    (1, 'https://e.com/dir/page1', 'https://cdn.e.com/root', FALSE),
+    (1, 'https://e.com/dir/page1', 'https://other.com/x', FALSE),
+    (1, 'https://e.com/dir/page1', 'https://proto.com/y', FALSE),
+    (1, 'https://e.com/dir/page1', 'https://nf.com/', TRUE),
+    (2, 'https://f.com/a/b/c', 'https://f.com/a/up', FALSE),
+    (2, 'https://f.com/a/b/c', 'https://f.com/a/b/c?q=1', FALSE)
+"""
+
+
+@register(
+    "t28_outlink_extract",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, url, link, nofollow
+    FROM (VALUES
+        {_OUTLINK_EXPECTED}
+    ) AS ol(doc_id, url, link, nofollow)
+    """,
+    survey_ops=("X-CRAWL-12",),
+    doc="Outlink extraction (llm/html_text.py html_outlinks — the "
+    "crawl DISCOVERY side feeding the frontier): every <a href> of a "
+    "fetched page resolved to an absolute URL per RFC 3986 against "
+    "the page URL or the document's first <base href> (the spec's "
+    "first-wins rule), fragments stripped, non-fetchable schemes "
+    "(javascript:/mailto:/data:) dropped, per-document "
+    "order-preserving dedup, rel=nofollow captured case-"
+    "insensitively from multi-token rel, links inside dropped "
+    "subtrees (inline svg/template/noscript) excluded, 10k-per-doc "
+    "hostile-input budget. Expected rows hand-derived. Arrow-batched "
+    "mapInPandas, map-only — HTML crosses to Python once and never "
+    "returns.",
+)
+def t28_outlink_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.llm.html_text import html_outlinks
+
+    pages = spark.createDataFrame(
+        _OUTLINK_PAGES, "doc_id long, url string, html string"
+    )
+    return html_outlinks(pages)

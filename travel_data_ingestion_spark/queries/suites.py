@@ -171,6 +171,7 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "t25_bpe_train",
             "t26_bpe_apply",
             "t27_recrawl_priority",
+            "t28_outlink_extract",
         ],
         "Corpus-level text suite: vocabulary statistics, TF-IDF "
         "keyword extraction, training-sequence packing, Gopher-style "
@@ -190,7 +191,8 @@ SUITES: dict[str, tuple[list[str], str]] = {
         "seed table), sitemap XML parsing (urlset/sitemapindex, "
         "gzip, protocol caps, DTD rejection), recrawl freshness "
         "scheduling (changefreq/lastmod -> next-due against a fixed "
-        "instant), and BPE merge training + "
+        "instant), outlink extraction (RFC 3986 resolution w/ base-tag "
+        "override, scheme filtering, nofollow), and BPE merge training + "
         "application (learn the first k merges from the corpus via the "
         "bounded-iteration distributed trainer over the distinct-word "
         "table; tokenize under a given merge table map-only).",

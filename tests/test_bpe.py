@@ -31,26 +31,29 @@ def _apply_merge_ref(symbols: list[str], left: str, right: str) -> list[str]:
     return out
 
 
-def _apply_merge_replace(symbols: list[str], left: str, right: str,
-                         passes: int) -> list[str]:
-    """The string-encoded multi-pass replace both engines unroll."""
-    s = " " + " ".join(symbols) + " "
-    for _ in range(passes):
-        s = s.replace(f" {left} {right} ", f" {left}{right} ")
-    return s.strip().split(" ") if s.strip() else []
+def _apply_merge_replace(symbols: list[str], left: str,
+                         right: str) -> list[str]:
+    """The double-separator single-pass replace both engines run: a
+    match consumes only ONE of the two spaces on each side, so the
+    next symbol keeps its own boundary and the scan can merge again
+    immediately — the encoding that makes one replace pass equal the
+    textbook scan (a single-space encoding diverges on e.g.
+    'a a a a a' + (a,a), skipping the symbol after each merge)."""
+    s = " " + "  ".join(symbols) + " "
+    s = s.replace(f" {left}  {right} ", f" {left}{right} ")
+    return s.strip().split("  ") if s.strip() else []
 
 
 @settings(max_examples=400, deadline=None)
 @given(
     st.lists(st.sampled_from(["a", "b", "ab", "ba", "aa"]),
              min_size=1, max_size=12),
-    st.sampled_from([("a", "b"), ("a", "a"), ("ab", "a"), ("b", "ba")]),
+    st.sampled_from([("a", "b"), ("a", "a"), ("ab", "a"), ("b", "ba"),
+                     ("aa", "aa"), ("ba", "ab")]),
 )
-def test_multipass_replace_equals_textbook_merge(symbols, pair):
+def test_single_pass_replace_equals_textbook_merge(symbols, pair):
     left, right = pair
-    # passes = len//2 bounds occurrences; the module uses cap//2
-    got = _apply_merge_replace(symbols, left, right,
-                               passes=max(1, len(symbols) // 2))
+    got = _apply_merge_replace(symbols, left, right)
     want = _apply_merge_ref(symbols, left, right)
     assert got == want, (symbols, pair)
 
@@ -163,3 +166,40 @@ def test_bpe_apply_counts_match_reference(spark):
     # non-vacuous: the chained merge ('th','e') must have fired —
     # 'the' tokenizes to ONE symbol, not three
     assert ref_count("the") == 1
+
+
+def test_pagerank_reference_and_conservation(spark):
+    """pagerank vs a dict-based reference power iteration on the same
+    planted graph: values equal to 1e-9, ranks conserve to 1.0, the
+    hub outranks everyone, and the dangling node's mass flows back in
+    (no sink leak)."""
+    from travel_data_ingestion_spark.llm.linkgraph import pagerank
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (3, 4), (4, 1), (2, 1),
+             (6, 5)]
+    k, d = 7, 0.85
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(k):
+        dmass = sum(r[v] for v in nodes if v not in out)
+        nr = {v: (1 - d) / n + d * dmass / n for v in nodes}
+        for s, ts in out.items():
+            for t in ts:
+                nr[t] += d * r[s] / len(ts)
+        r = nr
+    got = {
+        row.node: row.rank
+        for row in pagerank(
+            spark.createDataFrame(edges, "src long, dst long"), k=k,
+            damping=d,
+        ).collect()
+    }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[v]) < 1e-8, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert got[1] == max(got.values())  # the hub

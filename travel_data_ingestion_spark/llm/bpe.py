@@ -28,22 +28,25 @@ the same algorithm over the same representation):
 - words: lowercased ``[a-z]+`` runs of ``text``, words longer than
   ``max_word_chars`` (default 16) dropped — the standard trainer
   hygiene cap (crawl-scale "words" beyond that are junk: hashes,
-  URLs fragments, DNA strings) which also bounds the merge-application
-  pass count;
-- initial symbols: the word's characters joined by one space (no
+  URL fragments, DNA strings);
+- initial symbols: the word's characters joined by two spaces (no
   end-of-word marker — documented simplification; adding one is a
   representation change, not an algorithm change);
 - pair selection: maximum total count, ties broken by ascending pair
   string — fully deterministic;
-- merge application: the literal pattern ``" L R "`` is replaced by
-  ``" LR "`` on the space-padded symbol string, repeated
-  ``max_word_chars // 2`` times. A single left-to-right
-  non-overlapping replace pass misses an occurrence whose leading
-  separator was consumed by the previous match (`` a b a b `` merges
-  only the first ``a b``); each extra pass picks up the survivors,
-  and ⌈occurrences/2⌉ ≤ ``max_word_chars // 2`` passes reach the
-  fixpoint. Spark's ``replace`` and DuckDB's ``replace`` share this
-  per-pass semantics, so the unrolled form is engine-identical.
+- symbol strings join symbols with TWO spaces and merge application
+  pads with one flanking space and runs ONE literal replace:
+  ``" L  R "`` -> ``" LR "``. The double separator is load-bearing:
+  a match consumes only ONE of the two spaces on each side, so the
+  neighbouring symbols keep their own boundaries and the replace
+  scan can match again IMMEDIATELY after a merge — which makes a
+  single left-to-right non-overlapping replace pass exactly the
+  textbook BPE merge application (hypothesis-pinned against a
+  reference scan, including the self-overlapping ``a a a a a`` +
+  ``(a,a)`` case where single-space encodings skip the symbol after
+  each merge and diverge). Spark's ``replace`` and DuckDB's
+  ``replace`` share the scan semantics, so the form is
+  engine-identical.
 """
 
 from __future__ import annotations
@@ -64,7 +67,7 @@ def word_symbol_table(docs: DataFrame, max_word_chars: int = 16) -> DataFrame:
     ).filter(F.length("word") <= max_word_chars)
     sym = F.expr(
         "array_join(transform(sequence(1, length(word)),"
-        " i -> substr(word, i, 1)), ' ')"
+        " i -> substr(word, i, 1)), '  ')"
     )
     return (
         words.groupBy("word")
@@ -76,12 +79,12 @@ def word_symbol_table(docs: DataFrame, max_word_chars: int = 16) -> DataFrame:
 def _pair_counts(words: DataFrame) -> DataFrame:
     """(pair, pc): adjacent symbol pairs weighted by word count."""
     pairs = F.expr(
-        "transform(sequence(1, size(split(symbols, ' ')) - 1),"
-        " j -> concat(element_at(split(symbols, ' '), j), ' ',"
-        "             element_at(split(symbols, ' '), j + 1)))"
+        "transform(sequence(1, size(split(symbols, '  ')) - 1),"
+        " j -> concat(element_at(split(symbols, '  '), j), ' ',"
+        "             element_at(split(symbols, '  '), j + 1)))"
     )
     return (
-        words.filter(F.size(F.split("symbols", " ")) >= 2)
+        words.filter(F.size(F.split("symbols", "  ")) >= 2)
         .select("cnt", F.explode(pairs).alias("pair"))
         .groupBy("pair")
         .agg(F.sum("cnt").alias("pc"))
@@ -98,7 +101,6 @@ def bpe_train_merges(
     driver traffic is one row per round (the winner)."""
     spark = docs.sparkSession
     words = word_symbol_table(docs, max_word_chars).persist()
-    passes = max(1, max_word_chars // 2)
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(1, k + 1):
@@ -113,11 +115,11 @@ def bpe_train_merges(
             pair, pc = top[0]["pair"], int(top[0]["pc"])
             left, right = pair.split(" ", 1)
             merges.append((rank, left, right, pc))
-            col = F.concat(F.lit(" "), F.col("symbols"), F.lit(" "))
-            for _ in range(passes):
-                col = F.replace(
-                    col, F.lit(f" {pair} "), F.lit(f" {left}{right} ")
-                )
+            col = F.replace(
+                F.concat(F.lit(" "), F.col("symbols"), F.lit(" ")),
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {left}{right} "),
+            )
             nxt = words.withColumn("symbols", F.trim(col)).persist()
             nxt.count()  # materialize before dropping the parent
             words.unpersist()
@@ -140,12 +142,11 @@ def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
     ``merges`` is driver-known (a tokenizer's merge table is a small
     artifact by definition — 32k–100k rows in production — and k
     literal patterns compile into the plan), so the whole operator is
-    MAP-ONLY: per word, the same bounded multi-pass literal replace
-    the trainer uses, applied merge-by-merge in rank order; then one
-    per-doc aggregation of subword counts. Words over the trainer's
+    MAP-ONLY: per word, the same single-pass double-separator literal
+    replace the trainer uses, applied merge-by-merge in rank order;
+    then one per-doc aggregation of subword counts. Words over the trainer's
     length cap count as one opaque token each (they were never merge
     candidates)."""
-    passes = max(1, max_word_chars // 2)
     words = F.regexp_extract_all(F.lower("text"), F.lit(_WORD_PAT), 0)
 
     def tokens_of(word_col):
@@ -153,18 +154,17 @@ def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
             F.lit(" "),
             F.expr(
                 "array_join(transform(sequence(1, length(w)),"
-                " i -> substr(w, i, 1)), ' ')"
+                " i -> substr(w, i, 1)), '  ')"
             ),
             F.lit(" "),
         )
         for left, right in merges:
-            for _ in range(passes):
-                sym = F.replace(
-                    sym, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
-                )
+            sym = F.replace(
+                sym, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+            )
         return F.when(
             F.length(word_col) <= max_word_chars,
-            F.size(F.split(F.trim(sym), " ")),
+            F.size(F.split(F.trim(sym), "  ")),
         ).otherwise(F.lit(1))
 
     exploded = (

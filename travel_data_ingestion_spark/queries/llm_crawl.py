@@ -1135,3 +1135,91 @@ def t28_outlink_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         _OUTLINK_PAGES, "doc_id long, url string, html string"
     )
     return html_outlinks(pages)
+
+
+# ---------------------------------------------------------------------------
+# t29: PageRank over the outlink graph
+#
+# Crawl prioritization / page-quality signal over t28's (url, link)
+# edges. The graded graph is a planted literal (a hub, a cycle back
+# into it, a dangling node, and a feeder into the dangling node), so
+# every structural case of the algebra — out-degree split, cycle
+# feedback, dangling-mass redistribution — shows up in the values.
+# The oracle is GENERATED from the same (k, damping): k unrolled SQL
+# stages of the same per-iteration algebra.
+
+_PR_EDGES = [
+    (1, 2), (1, 3), (1, 4),   # hub 1 splits rank three ways
+    (2, 3), (3, 4), (4, 1),   # chain cycling back into the hub
+    (2, 1),                   # second out-edge for node 2
+    (6, 5),                   # feeder into the dangling node 5
+]
+_PR_K = 10
+_PR_DAMPING = 0.85
+
+
+def _pagerank_oracle_sql(edges, k: int, damping: float) -> str:
+    vals = ",".join(f"({s}, {t})" for s, t in edges)
+    d = float(damping)
+    ctes = [f"""
+    edges(src, dst) AS (VALUES {vals}),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst FROM edges)
+    ),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""]
+    for i in range(1, k + 1):
+        prev = f"r{i - 1}"
+        ctes.append(f"""
+    dm{i} AS MATERIALIZED (
+      SELECT COALESCE(SUM(r.rank), 0) AS dmass
+      FROM {prev} r LEFT JOIN outdeg o ON r.node = o.src
+      WHERE o.src IS NULL
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(r.rank / o.outdeg) AS inc
+      FROM {prev} r
+      JOIN outdeg o ON r.node = o.src
+      JOIN edges e ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT nd.node,
+             (1 - {d}) / nn.n
+             + {d} * (COALESCE(c.inc, 0) + dm.dmass / nn.n) AS rank
+      FROM nodes nd
+      CROSS JOIN nn CROSS JOIN dm{i} dm
+      LEFT JOIN c{i} c ON nd.node = c.node
+    )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\n    SELECT CAST(node AS BIGINT) AS node,"
+          f" ROUND(rank, 8) AS rank FROM r{k}"
+    )
+
+
+@register(
+    "t29_pagerank",
+    _pagerank_oracle_sql(_PR_EDGES, _PR_K, _PR_DAMPING),
+    survey_ops=("X-CRAWL-13",),
+    doc="PageRank over the outlink graph (llm/linkgraph.py — crawl "
+    "prioritization / the page-quality signal rank-weighted curation "
+    "samples by): k=10 power iterations at damping 0.85 with uniform "
+    "dangling-mass redistribution. Per iteration: ONE shuffle join "
+    "keyed on the source node + one destination aggregation; the "
+    "dangling mass is a 1-row aggregate attached via crossJoin "
+    "(broadcast nested loop over one row) — nothing data-scaled ever "
+    "reaches the driver; the rank table re-persists per iteration "
+    "(the dd06/BPE loop shape). Graded graph plants a hub, a cycle, "
+    "a dangling node, and its feeder, so out-degree splits, cycle "
+    "feedback, and dangling redistribution are all value-graded; "
+    "oracle generated from the same (k, damping).",
+)
+def t29_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.llm.linkgraph import pagerank
+
+    edges = spark.createDataFrame(_PR_EDGES, "src long, dst long")
+    return pagerank(edges, k=_PR_K, damping=_PR_DAMPING)

@@ -888,27 +888,28 @@ def t14_incremental_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The oracle is GENERATED from the same (k, max_word_chars) the Spark
 # trainer takes — k unrolled stages of (pair count -> top-1 -> merge
-# application), the merge application being the same bounded multi-
-# pass literal replace on the same space-joined symbol representation,
-# so the two sides are one algorithm in two engines and cannot drift.
+# application), the merge application being the same single-pass
+# double-separator literal replace on the same symbol representation
+# (see llm/bpe.py's encoding proof), so the two sides are one
+# algorithm in two engines and cannot drift. Every stage CTE is
+# MATERIALIZED: r/best/words stages are referenced more than once and
+# DuckDB would otherwise inline them — 3^k re-evaluation.
 
 
 def _bpe_oracle_sql(k: int, max_word_chars: int = 16) -> str:
-    passes = max(1, max_word_chars // 2)
-
     def rep(expr: str) -> str:
-        for _ in range(passes):
-            expr = (
-                f"replace({expr}, ' ' || b.pair || ' ',"
-                f" ' ' || replace(b.pair, ' ', '') || ' ')"
-            )
-        return expr
+        # pattern " L  R " (double interior separator) -> " LR ":
+        # single pass == textbook merge under the double-sep encoding
+        return (
+            f"replace({expr}, ' ' || replace(b.pair, ' ', '  ') || ' ',"
+            f" ' ' || replace(b.pair, ' ', '') || ' ')"
+        )
 
     ctes = [f"""
-    words0 AS (
+    words0 AS MATERIALIZED (
       SELECT word, COUNT(*) AS cnt,
              array_to_string(list_transform(range(1, length(word) + 1),
-                                            i -> word[i]), ' ') AS symbols
+                                            i -> word[i]), '  ') AS symbols
       FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
             FROM documents)
       WHERE length(word) <= {max_word_chars}
@@ -917,16 +918,16 @@ def _bpe_oracle_sql(k: int, max_word_chars: int = 16) -> str:
     for i in range(1, k + 1):
         prev = f"words{i - 1}"
         ctes.append(f"""
-    pairs{i} AS (
+    pairs{i} AS MATERIALIZED (
       SELECT l[j] || ' ' || l[j + 1] AS pair, SUM(cnt) AS pc
-      FROM (SELECT cnt, string_split(symbols, ' ') AS l FROM {prev}),
+      FROM (SELECT cnt, string_split(symbols, '  ') AS l FROM {prev}),
            UNNEST(range(1, len(l))) AS r(j)
       GROUP BY 1
     ),
-    best{i} AS (
+    best{i} AS MATERIALIZED (
       SELECT pair, pc FROM pairs{i} ORDER BY pc DESC, pair ASC LIMIT 1
     ),
-    words{i} AS (
+    words{i} AS MATERIALIZED (
       SELECT w.word, w.cnt,
              trim({rep("' ' || w.symbols || ' '")}) AS symbols
       FROM {prev} w, best{i} b
@@ -987,17 +988,15 @@ _BPE_APPLY_MERGES = [
 
 
 def _bpe_apply_oracle_sql(merges, max_word_chars: int = 16) -> str:
-    passes = max(1, max_word_chars // 2)
     expr = ("' ' || array_to_string(list_transform("
-            "range(1, length(w) + 1), i -> w[i]), ' ') || ' '")
+            "range(1, length(w) + 1), i -> w[i]), '  ') || ' '")
     for left, right in merges:
-        for _ in range(passes):
-            expr = f"replace({expr}, ' {left} {right} ', ' {left}{right} ')"
+        expr = f"replace({expr}, ' {left}  {right} ', ' {left}{right} ')"
     return f"""
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(CASE WHEN length(w) <= {max_word_chars}
-                         THEN len(string_split(trim({expr}), ' '))
+                         THEN len(string_split(trim({expr}), '  '))
                          ELSE 1 END) AS BIGINT) AS n_subwords
     FROM (SELECT doc_id,
                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w

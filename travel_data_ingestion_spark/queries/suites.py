@@ -172,6 +172,7 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "t26_bpe_apply",
             "t27_recrawl_priority",
             "t28_outlink_extract",
+            "t29_pagerank",
         ],
         "Corpus-level text suite: vocabulary statistics, TF-IDF "
         "keyword extraction, training-sequence packing, Gopher-style "
@@ -192,7 +193,9 @@ SUITES: dict[str, tuple[list[str], str]] = {
         "gzip, protocol caps, DTD rejection), recrawl freshness "
         "scheduling (changefreq/lastmod -> next-due against a fixed "
         "instant), outlink extraction (RFC 3986 resolution w/ base-tag "
-        "override, scheme filtering, nofollow), and BPE merge training + "
+        "override, scheme filtering, nofollow), PageRank over the "
+        "outlink graph (k power iterations, dangling redistribution, "
+        "checkpoint-truncated lineage), and BPE merge training + "
         "application (learn the first k merges from the corpus via the "
         "bounded-iteration distributed trainer over the distinct-word "
         "table; tokenize under a given merge table map-only).",

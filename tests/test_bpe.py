@@ -203,3 +203,14 @@ def test_pagerank_reference_and_conservation(spark):
         assert abs(got[v] - r[v]) < 1e-8, (v, got[v], r[v])
     assert abs(sum(got.values()) - 1.0) < 1e-6
     assert got[1] == max(got.values())  # the hub
+
+
+def test_pagerank_empty_edges_yields_empty_frame(spark):
+    """No edges -> no nodes -> empty (node, rank) result, not a
+    driver-side ZeroDivisionError from 1/n."""
+    from travel_data_ingestion_spark.llm.linkgraph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(empty, k=3)
+    assert [f.name for f in out.schema.fields] == ["node", "rank"]
+    assert out.count() == 0

@@ -150,3 +150,52 @@ def test_recrawl_priority_case_and_boundary(spark):
             for r in recrawl_priority(entries, "2026-02-01 00:00:00").collect()}
     assert rows["u1"] == (3600, "2026-02-01 00:00:00", True, 0)
     assert rows["u2"] == (3600, "2026-02-01 00:00:01", False, -1)
+
+
+def test_gunzip_rejects_truncated_member():
+    """A gzip stream cut mid-member (eof False, no unconsumed tail)
+    must be rejected, not returned as partial-but-valid output."""
+    from travel_data_ingestion_spark.llm.sitemap import _gunzip_capped
+
+    doc = _urlset(b"".join(
+        b"<url><loc>https://a/%d</loc></url>" % i for i in range(200)
+    ))
+    z = gzip.compress(doc, mtime=0)
+    assert _gunzip_capped(z) == doc
+    # cut before the member ends: partial output exists but the member
+    # is incomplete -> None (previously accepted because only the
+    # cap-stop condition was checked)
+    assert _gunzip_capped(z[: len(z) - 5]) is None
+    assert parse_sitemap_bytes(z[: len(z) - 5]) == []
+
+
+def test_recrawl_priority_w3c_lastmod_formats(spark):
+    """The sitemaps.org lastmod wire format is W3C datetime —
+    'T'-separated with an optional offset; all forms must parse and
+    offsets must convert to UTC (previously only 'yyyy-MM-dd
+    HH:mm:ss' and date-only parsed; real full-timestamp lastmods
+    silently dropped out of freshness scheduling)."""
+    from travel_data_ingestion_spark.llm.sitemap import recrawl_priority
+
+    entries = spark.createDataFrame(
+        [
+            ("h", "u1", "2026-01-31T22:30:00+00:00", "hourly"),
+            ("h", "u2", "2026-01-31T23:30:00+01:00", "hourly"),  # = u1
+            ("h", "u3", "2026-01-31T21:15:00Z", "hourly"),
+            ("h", "u4", "2026-01-31T20:45+00:00", "hourly"),
+            ("h", "u5", "2026-01-31T19:00:00.123456Z", "hourly"),
+            ("h", "u6", "2026-01-31T18:00", "hourly"),
+            ("h", "u7", "2026-01-31T18:00:00+25:99", "hourly"),  # junk
+        ],
+        "host string, loc string, lastmod string, changefreq string",
+    )
+    rows = {r.loc: (r.next_due, r.overdue)
+            for r in recrawl_priority(entries, "2026-02-01 00:00:00")
+            .collect()}
+    assert rows["u1"] == ("2026-01-31 23:30:00", True)
+    assert rows["u2"] == ("2026-01-31 23:30:00", True)  # offset -> UTC
+    assert rows["u3"] == ("2026-01-31 22:15:00", True)
+    assert rows["u4"] == ("2026-01-31 21:45:00", True)
+    assert rows["u5"] == ("2026-01-31 20:00:00", True)
+    assert rows["u6"] == ("2026-01-31 19:00:00", True)
+    assert rows["u7"] == (None, None)

@@ -239,3 +239,33 @@ def test_outlink_extraction_corners():
     assert extract_outlinks("<a href='http://[malformed'>x</a>",
                             "https://h.com/") == []
     assert extract_outlinks("", "https://h.com/") == []
+
+
+def test_self_closed_drop_tag_does_not_swallow_document():
+    """A self-closed drop-subtree tag (<svg/>, <iframe/>) opens AND
+    closes: it must not leave drop_depth elevated and silently drop
+    every later link / all later text (the XHTML-style form is common
+    in real pages)."""
+    from travel_data_ingestion_spark.llm.html_text import (
+        extract_html,
+        extract_outlinks,
+    )
+
+    assert extract_outlinks(
+        '<svg/><a href="https://x.com/a">a</a>', "https://p.com/"
+    ) == [("https://x.com/a", False)]
+    assert extract_outlinks(
+        '<iframe src="x"/><a href="https://x.com/b">b</a>',
+        "https://p.com/",
+    ) == [("https://x.com/b", False)]
+    # a REAL nested drop subtree still drops its own links
+    assert extract_outlinks(
+        '<svg><a href="https://x.com/in">i</a></svg>'
+        '<a href="https://x.com/out">o</a>',
+        "https://p.com/",
+    ) == [("https://x.com/out", False)]
+    # text extraction shares the fix: content after <svg/> survives
+    title, text, n_links = extract_html(
+        "<title>t</title><svg/><p>visible words</p>"
+    )
+    assert (title, text) == ("t", "visible words")

@@ -68,7 +68,11 @@ class _Extractor(HTMLParser):
             self.chunks.append(" ")
 
     def handle_startendtag(self, tag, attrs):
+        # a self-closed tag opens AND closes: without the end half, a
+        # self-closed drop tag (<svg/>, <iframe src=x/>) would leave
+        # drop_depth elevated and silently swallow the rest of the doc
         self.handle_starttag(tag, attrs)
+        self.handle_endtag(tag)
 
     def handle_endtag(self, tag):
         if tag in _DROP:
@@ -178,7 +182,10 @@ class _LinkExtractor(HTMLParser):
                 self.links.append((d["href"].strip(), "nofollow" in rel))
 
     def handle_startendtag(self, tag, attrs):
+        # self-closed drop tags (<svg/>) must not leave drop_depth
+        # elevated — that would drop every later <a href> in the page
         self.handle_starttag(tag, attrs)
+        self.handle_endtag(tag)
 
     def handle_endtag(self, tag):
         if tag in _DROP:

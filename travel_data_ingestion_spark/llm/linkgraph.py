@@ -60,6 +60,9 @@ def pagerank(edges: DataFrame, k: int = 10,
         .distinct()
     )
     n = nodes.count()  # one scalar job over the checkpointed table
+    if n == 0:
+        # empty graph: no nodes, no ranks — not a 1/n division error
+        return nodes.withColumn("rank", F.lit(0.0).cast("double"))
     outdeg = _truncate(
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     )

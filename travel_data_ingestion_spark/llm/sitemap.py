@@ -46,7 +46,10 @@ def _gunzip_capped(data: bytes) -> bytes | None:
     try:
         d = zlib.decompressobj(wbits=31)
         out = d.decompress(data, _MAX_BYTES + 1)
-        if len(out) > _MAX_BYTES or not d.eof and d.unconsumed_tail:
+        # incomplete member = hostile or truncated-in-flight, both
+        # rejected: eof False covers a stream cut mid-member as well as
+        # a decompression stopped by the cap (unconsumed_tail set)
+        if len(out) > _MAX_BYTES or not d.eof:
             return None
         return out
     except Exception:
@@ -218,8 +221,12 @@ def recrawl_priority(entries_df, now: str):
       seconds ('always'=0, 'never'/unknown/absent -> NULL — no
       freshness contract, excluded from due computation);
     - ``next_due = lastmod + interval_sec`` (lastmod parsed with
-      try-semantics: W3C datetime dates or full timestamps; garbage
-      -> NULL);
+      try-semantics over the W3C datetime wire formats the protocol
+      allows: date-only, the legacy space-separated timestamp, and
+      'T'-separated second- or minute-precision with an optional
+      ``+hh:mm``/``Z`` offset — offsets convert to the session's UTC;
+      fractional seconds are truncated out by a leading normalizer;
+      garbage -> NULL);
     - ``overdue`` / ``staleness_sec``: against the caller-supplied
       ``now`` (a literal, never the wall clock — replay-deterministic
       and oracle-comparable).
@@ -233,10 +240,26 @@ def recrawl_priority(entries_df, now: str):
         interval = F.when(
             F.lower(F.col("changefreq")) == name, F.lit(sec)
         ).otherwise(interval)
+    # W3C/sitemaps.org lastmod wire formats, most-specific first. The
+    # 'T'-separated forms carry an optional offset; XXX matches both
+    # '+hh:mm' and 'Z' and converts into the session's UTC (the DuckDB
+    # oracle mirrors Z via replace(...,'Z','+00:00') since %z takes
+    # numeric offsets only — same instant either way). Fractional
+    # seconds (W3C allows .s+) are stripped up front so one
+    # seconds-precision pattern covers them; the regexp only rewrites
+    # strings already shaped like a T-timestamp with a fraction, so
+    # garbage stays garbage.
+    lm = F.regexp_replace(
+        F.col("lastmod"),
+        r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})\.\d+", r"$1"
+    )
     lastmod_ts = F.coalesce(
-        F.try_to_timestamp(F.col("lastmod"),
-                           F.lit("yyyy-MM-dd HH:mm:ss")),
-        F.try_to_timestamp(F.col("lastmod"), F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(lm, F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(lm, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(lm, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(lm, F.lit("yyyy-MM-dd'T'HH:mmXXX")),
+        F.try_to_timestamp(lm, F.lit("yyyy-MM-dd'T'HH:mm")),
+        F.try_to_timestamp(lm, F.lit("yyyy-MM-dd")),
     )
     now_ts = F.to_timestamp(F.lit(now))
     next_due = F.timestamp_seconds(

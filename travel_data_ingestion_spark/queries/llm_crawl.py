@@ -985,7 +985,9 @@ def t24_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # next-due computation against a FIXED reference instant (never the
 # wall clock, so outputs replay and oracle-compare). Fixture covers
 # every changefreq enum, a full-timestamp lastmod, a date-only
-# lastmod, garbage lastmod (-> NULL due), 'never' and absent
+# lastmod, the W3C 'T'-separated wire formats real sitemaps emit
+# (second- and minute-precision, '+hh:mm' and 'Z' offsets, fractional
+# seconds), garbage lastmod (-> NULL due), 'never' and absent
 # changefreq (no freshness contract -> NULL interval), and both the
 # overdue and not-yet-due sides of the boundary.
 
@@ -1003,6 +1005,14 @@ _RECRAWL_ENTRIES = [
     ("g.com", "https://g.com/m", "2026-01-31", None),
     ("g.com", "https://g.com/g", "not a date", "daily"),
     ("g.com", "https://g.com/h", None, "daily"),
+    # W3C 'T'-separated wire formats (sitemaps.org mandates W3C
+    # datetime): offsets convert to UTC on both engines
+    ("h.com", "https://h.com/t1", "2026-01-31T22:30:00+00:00", "hourly"),
+    ("h.com", "https://h.com/t2", "2026-01-31T23:30:00+01:00", "hourly"),
+    ("h.com", "https://h.com/t3", "2026-01-31T21:15:00Z", "daily"),
+    ("h.com", "https://h.com/t4", "2026-01-31T20:45+00:00", "hourly"),
+    ("h.com", "https://h.com/t5", "2026-01-31T19:00:00.123456Z", "hourly"),
+    ("h.com", "https://h.com/t6", "2026-01-31T18:00", "hourly"),
 ]
 
 
@@ -1017,6 +1027,15 @@ _RECRAWL_ENTRIES = [
             for row in _RECRAWL_ENTRIES
         )}
     ),
+    norm AS (
+      -- mirror of the Spark side's normalizer: strip W3C fractional
+      -- seconds; %z takes numeric offsets only, so 'Z' maps to +00:00
+      SELECT host, loc, lastmod, changefreq,
+             regexp_replace(lastmod,
+               '^(\\d{{4}}-\\d{{2}}-\\d{{2}}T\\d{{2}}:\\d{{2}}:\\d{{2}})\\.\\d+',
+               '\\1') AS lm_n
+      FROM entries
+    ),
     mapped AS (
       SELECT host, loc, lastmod, changefreq,
              CASE lower(changefreq)
@@ -1024,9 +1043,16 @@ _RECRAWL_ENTRIES = [
                WHEN 'daily' THEN 86400 WHEN 'weekly' THEN 604800
                WHEN 'monthly' THEN 2592000 WHEN 'yearly' THEN 31536000
              END AS interval_sec,
-             COALESCE(try_strptime(lastmod, '%Y-%m-%d %H:%M:%S'),
-                      try_strptime(lastmod, '%Y-%m-%d')) AS lm
-      FROM entries
+             COALESCE(
+               try_strptime(lm_n, '%Y-%m-%d %H:%M:%S'),
+               try_strptime(replace(lm_n, 'Z', '+00:00'),
+                            '%Y-%m-%dT%H:%M:%S%z'),
+               try_strptime(lm_n, '%Y-%m-%dT%H:%M:%S'),
+               try_strptime(replace(lm_n, 'Z', '+00:00'),
+                            '%Y-%m-%dT%H:%M%z'),
+               try_strptime(lm_n, '%Y-%m-%dT%H:%M'),
+               try_strptime(lm_n, '%Y-%m-%d')) AS lm
+      FROM norm
     ),
     due AS (
       SELECT host, loc, CAST(interval_sec AS BIGINT) AS interval_sec,

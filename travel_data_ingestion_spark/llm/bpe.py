@@ -132,23 +132,78 @@ def bpe_train_merges(
     )
 
 
+# above this many merges the chained-literal-replace expression form
+# is abandoned for the Arrow tokenizer: a k-deep nested expression
+# tree stops being analyzable/codegen-able around the low thousands
+# (Catalyst analysis recursion, the 64 KB JVM method limit), long
+# before production merge-table sizes
+_EXPR_MERGE_LIMIT = 256
+
+
+def _merge_scan(syms: list[str], left: str, right: str) -> list[str]:
+    """Textbook BPE merge application: one left-to-right
+    non-overlapping scan — the list-form twin of the double-separator
+    literal replace the expression path runs (their equivalence is
+    hypothesis-pinned in tests/test_bpe.py)."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
-              max_word_chars: int = 16) -> DataFrame:
+              max_word_chars: int = 16,
+              expr_merge_limit: int = _EXPR_MERGE_LIMIT) -> DataFrame:
     """Tokenize with a LEARNED merge table: apply ``merges`` in rank
-    order to every word and count the resulting subword tokens per
-    document — the inference side of ``bpe_train_merges`` (and the
+    order (one textbook left-to-right non-overlapping scan per merge)
+    to every word and count the resulting subword tokens per document
+    — the inference side of ``bpe_train_merges`` (and the
     learned-vocabulary upgrade of t07's fixed-regex counting).
 
     ``merges`` is driver-known (a tokenizer's merge table is a small
-    artifact by definition — 32k–100k rows in production — and k
-    literal patterns compile into the plan), so the whole operator is
-    MAP-ONLY: per word, the same single-pass double-separator literal
-    replace the trainer uses, applied merge-by-merge in rank order;
-    then one per-doc aggregation of subword counts. Words over the trainer's
-    length cap count as one opaque token each (they were never merge
-    candidates)."""
+    artifact — 32k–100k rows in production) and the operator is
+    MAP-ONLY either way, but the PLAN differs by table size:
+
+    - ``len(merges) <= expr_merge_limit``: each merge compiles into
+      one nested literal ``replace`` (the trainer's double-separator
+      encoding), all inside whole-stage codegen. This form does NOT
+      survive production tables — a ~100k-deep nested expression tree
+      fails Catalyst analysis (stack overflow in the low thousands)
+      and JVM codegen (64 KB method limit) — hence the cap;
+    - above the cap: an Arrow-batched ``mapInPandas`` tokenizer with
+      the merge table shipped in the task closure. Word extraction
+      stays JVM-side (the same ``regexp_extract_all(lower(text))``
+      both paths share, so no case-mapping or regex divergence can
+      creep in); Python sees only the word arrays. Per word, the
+      merges that can possibly fire are prefetched by substring
+      relevance — a merge (L, R) fires only where ``L+R`` occurs as a
+      contiguous substring of the ORIGINAL word (symbols are always
+      contiguous word substrings), so a <=``max_word_chars``-char
+      word consults at most O(len^2) of the 100k rules — applied in
+      global rank order, memoized per distinct word per batch. Still
+      map-only; no shuffle beyond the per-doc count aggregation both
+      paths end with.
+
+    The two paths are exact twins (pinned by tests comparing them on
+    the same inputs). Words over the trainer's length cap count as
+    one opaque token each (they were never merge candidates); docs
+    whose text has no words yield no row (explode semantics, both
+    paths). ``doc_id`` is assumed unique per row — the documents-table
+    contract."""
     words = F.regexp_extract_all(F.lower("text"), F.lit(_WORD_PAT), 0)
 
+    if len(merges) <= expr_merge_limit:
+        return _bpe_apply_expr(docs, words, merges, max_word_chars)
+    return _bpe_apply_arrow(docs, words, merges, max_word_chars)
+
+
+def _bpe_apply_expr(docs: DataFrame, words, merges, max_word_chars: int
+                    ) -> DataFrame:
     def tokens_of(word_col):
         sym = F.concat(
             F.lit(" "),
@@ -177,4 +232,72 @@ def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n").cast("long").alias("n_subwords"),
         )
+    )
+
+
+def _bpe_apply_arrow(docs: DataFrame, words, merges, max_word_chars: int
+                     ) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # rank-keyed merge lookup by concatenated pair string: the ONLY
+    # per-word-relevant key (see bpe_apply docstring). Built once on
+    # the driver, shipped in the closure (a 100k-row table is a few MB).
+    by_concat: dict[str, list[tuple[int, str, str]]] = {}
+    for rank, (left, right) in enumerate(merges):
+        by_concat.setdefault(left + right, []).append((rank, left, right))
+
+    doc_id_type = docs.schema["doc_id"].dataType
+    schema = T.StructType([
+        T.StructField("doc_id", doc_id_type),
+        T.StructField("n_words", T.LongType()),
+        T.StructField("n_subwords", T.LongType()),
+    ])
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+
+        def count_word(w: str) -> int:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            if len(w) > max_word_chars:
+                n = 1
+            else:
+                rel: list[tuple[int, str, str]] = []
+                seen: set[str] = set()
+                for i in range(len(w) - 1):
+                    for j in range(i + 2, len(w) + 1):
+                        sub = w[i:j]
+                        if sub not in seen:
+                            seen.add(sub)
+                            rel.extend(by_concat.get(sub, ()))
+                rel.sort()
+                syms = list(w)
+                for _rank, left, right in rel:
+                    if len(syms) == 1:
+                        break
+                    syms = _merge_scan(syms, left, right)
+                n = len(syms)
+            cache[w] = n
+            return n
+
+        for pdf in it:
+            ids, n_words, n_sub = [], [], []
+            for doc_id, ws in zip(pdf["doc_id"], pdf["ws"]):
+                if ws is None or len(ws) == 0:
+                    continue  # explode semantics: no words, no row
+                ids.append(doc_id)
+                n_words.append(len(ws))
+                n_sub.append(sum(count_word(w) for w in ws))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+                "n_words": pd.Series(n_words, dtype="int64"),
+                "n_subwords": pd.Series(n_sub, dtype="int64"),
+            })
+
+    return docs.select("doc_id", words.alias("ws")).mapInPandas(
+        run, schema=schema
     )

@@ -1014,12 +1014,16 @@ def _bpe_apply_oracle_sql(merges, max_word_chars: int = 16) -> str:
     "merge list in rank order to every word (the graded table chains "
     "('t','h') -> ('th','e'), so rank order is value-graded) and "
     "count per-doc subword tokens; words over the trainer's length "
-    "cap count as one opaque token. The merge table is a small "
-    "deployment artifact -> its literal patterns compile into the "
-    "plan and the WHOLE operator is map-only (explode words, nested "
-    "literal replaces in codegen, one per-doc aggregation) — no "
-    "shuffle but the final groupBy, no Python. Oracle generated from "
-    "the same merge list and cap.",
+    "cap count as one opaque token. Map-only either way, with the "
+    "PLAN picked by table size: small tables (the graded k=6) "
+    "compile into nested literal replaces in codegen, no Python; "
+    "production tables (32k-100k rows, where a k-deep expression "
+    "tree fails Catalyst analysis/codegen) switch to an Arrow-"
+    "batched mapInPandas tokenizer with the table in the closure — "
+    "word extraction stays JVM-side, merges prefetched per word by "
+    "substring relevance, the two paths exact twins (pytest-pinned "
+    "at k=5000 plus a plan gate). Oracle generated from the same "
+    "merge list and cap.",
 )
 def t26_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from travel_data_ingestion_spark.llm.bpe import bpe_apply

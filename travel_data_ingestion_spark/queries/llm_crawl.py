@@ -1249,3 +1249,106 @@ def t29_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = spark.createDataFrame(_PR_EDGES, "src long, dst long")
     return pagerank(edges, k=_PR_K, damping=_PR_DAMPING)
+
+
+# ---------------------------------------------------------------------------
+# t30: one full crawl-frontier round — the COMPOSITION
+#
+# Every crawl stage above grades in isolation; this member runs the
+# loop a real crawler executes per round (llm/frontier.py crawl_round):
+# outlinks (t28, nofollow dropped) + sitemap 'url' seeds (t24) ->
+# canonicalize (t19) -> distinct -> anti-join the fetch ledger (the
+# exactly-once shape) -> robots filter (t21) -> politeness schedule
+# (t22). The fixture makes every stage's effect visible in the output:
+# a robots-disallowed link, two raw links collapsing to one canonical,
+# ledger hits discovered via page AND sitemap, a nofollow link, a
+# non-http link, a $-anchored robots kill, and a child-sitemap row
+# that must NOT become a frontier URL. Expected rows hand-derived.
+
+_CRAWL_ROUND_PAGES = [
+    (1, "https://a.com/start",
+     '<a href="/private/secret">x</a>'
+     '<a href="/open/page?utm_source=x&b=2&a=1#frag">y</a>'
+     '<a href="/open/page?a=1&b=2">dup-after-normalize</a>'
+     '<a href="/fetched">in-ledger</a>'
+     '<a href="/start">self-in-ledger</a>'
+     '<a href="https://b2.com/new">cross-host</a>'
+     '<a rel="nofollow" href="https://a.com/nf">nf</a>'
+     '<a href="mailto:x@y.z">not-a-crawl-url</a>'
+     '<a href="/private/public/ok">allow-overrides</a>'),
+    (2, "https://b2.com/idx",
+     '<a href="../one">up</a>'
+     '<a href="https://a.com/data/big.zip">dollar-anchor-kill</a>'),
+]
+
+# parse_sitemaps-shaped seed rows: one fresh URL, one ledger hit, one
+# child sitemap (recursion target, not a frontier URL)
+_CRAWL_ROUND_SITEMAP = [
+    ("a.com", "https://a.com/sitemap.xml", "url",
+     "https://a.com/sm/page", None, None, None),
+    ("a.com", "https://a.com/sitemap.xml", "url",
+     "https://a.com/fetched", None, None, None),
+    ("a.com", "https://a.com/sitemap.xml", "sitemap",
+     "https://a.com/sm/child.xml", None, None, None),
+]
+
+_CRAWL_ROUND_LEDGER = [
+    "https://a.com/start", "https://b2.com/idx", "https://a.com/fetched",
+]
+
+# hand-derived: a.com survivors sort (open < private < sm) at delay
+# 1.5 (_ROBOTS_A); b2.com has no robots row -> allowed, default 1.0
+_CRAWL_ROUND_EXPECTED = """
+    ('a.com', 'https://a.com/open/page?a=1&b=2', 0, 0.0),
+    ('a.com', 'https://a.com/private/public/ok', 1, 1.5),
+    ('a.com', 'https://a.com/sm/page', 2, 3.0),
+    ('b2.com', 'https://b2.com/new', 0, 0.0),
+    ('b2.com', 'https://b2.com/one', 1, 1.0)
+"""
+
+
+@register(
+    "t30_crawl_round",
+    f"""
+    SELECT host, url, CAST(fetch_seq AS BIGINT) AS fetch_seq,
+           CAST(fetch_after AS DOUBLE) AS fetch_after
+    FROM (VALUES
+        {_CRAWL_ROUND_EXPECTED}
+    ) AS fr(host, url, fetch_seq, fetch_after)
+    """,
+    survey_ops=("X-CRAWL-14",),
+    doc="One full crawl-frontier round (llm/frontier.py crawl_round — "
+    "the composition of the graded crawl stages): fetched pages -> "
+    "outlinks (t28, nofollow dropped) unioned with sitemap 'url' "
+    "seeds (t24) -> URL canonicalization (t19; junk/non-http dropped, "
+    "raw variants collapse) -> distinct -> anti-join the fetch ledger "
+    "(exactly-once across rounds) -> robots filter (t21, unhinted "
+    "join) -> per-host politeness schedule (t22). The fixture "
+    "exercises every stage's drop/keep in one output; expected rows "
+    "hand-derived. 100 TB: two uniform-key shuffles (canonical "
+    "distinct + ledger anti-join) plus the host-keyed exchange the "
+    "robots join demotes to and the politeness window reuses.",
+)
+def t30_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.llm.frontier import crawl_round
+
+    pages = spark.createDataFrame(
+        _CRAWL_ROUND_PAGES, "doc_id long, url string, html string"
+    )
+    robots = spark.createDataFrame(
+        [("a.com", _ROBOTS_A)], "host string, robots_txt string"
+    )
+    ledger = spark.createDataFrame(
+        [(u,) for u in _CRAWL_ROUND_LEDGER], "canonical string"
+    )
+    sitemap_entries = spark.createDataFrame(
+        _CRAWL_ROUND_SITEMAP,
+        "host string, sitemap_url string, kind string, loc string, "
+        "lastmod string, changefreq string, priority double",
+    )
+    return crawl_round(
+        pages, robots, ledger,
+        agent="DataBot/2.0",
+        sitemap_entries_df=sitemap_entries,
+        default_delay=1.0,
+    )

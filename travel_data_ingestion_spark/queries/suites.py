@@ -173,6 +173,7 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "t27_recrawl_priority",
             "t28_outlink_extract",
             "t29_pagerank",
+            "t30_crawl_round",
         ],
         "Corpus-level text suite: vocabulary statistics, TF-IDF "
         "keyword extraction, training-sequence packing, Gopher-style "
@@ -195,10 +196,14 @@ SUITES: dict[str, tuple[list[str], str]] = {
         "instant), outlink extraction (RFC 3986 resolution w/ base-tag "
         "override, scheme filtering, nofollow), PageRank over the "
         "outlink graph (k power iterations, dangling redistribution, "
-        "checkpoint-truncated lineage), and BPE merge training + "
+        "checkpoint-truncated lineage), BPE merge training + "
         "application (learn the first k merges from the corpus via the "
         "bounded-iteration distributed trainer over the distinct-word "
-        "table; tokenize under a given merge table map-only).",
+        "table; tokenize under a given merge table map-only), and one "
+        "full composed crawl-frontier round (outlinks + sitemap seeds "
+        "-> canonicalize -> ledger anti-join -> robots filter -> "
+        "politeness schedule — every stage the graded operator, "
+        "unchanged).",
     ),
     "su08_incremental_index_suite": (
         [

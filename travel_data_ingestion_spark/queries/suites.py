@@ -209,6 +209,7 @@ SUITES: dict[str, tuple[list[str], str]] = {
         [
             "mm05_incremental_phash_resolve",
             "t14_incremental_docfreq",
+            "t31_incremental_linkgraph",
         ],
         "Incremental-index suite (the dd08 pattern extended to the "
         "media and text index families; the ANN family's equivalent "
@@ -217,10 +218,12 @@ SUITES: dict[str, tuple[list[str], str]] = {
         "grading session): two-batch media ingest through PhashIndex "
         "+ ClusterIndex vs a one-shot transitive-closure oracle "
         "(every planted cross-container clique straddles the batch "
-        "boundary), and three-batch + compact() ingest through "
-        "DocFreqIndex vs a one-shot shingle-DF oracle — batched "
-        "incremental maintenance equals from-scratch computation, "
-        "end-to-end, driver-graded.",
+        "boundary), three-batch + compact() ingest through "
+        "DocFreqIndex vs a one-shot shingle-DF oracle, and two-batch "
+        "+ replay + compact() edge ingest through LinkGraphIndex with "
+        "a persisted-adjacency re-rank vs the one-shot PageRank "
+        "oracle on the union graph — batched incremental maintenance "
+        "equals from-scratch computation, end-to-end, driver-graded.",
     ),
 }
 

@@ -1287,3 +1287,99 @@ def cu16_span_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "benchmark_id", "span_start", "span_end",
         "span_tokens", "n_hit_shingles",
     )
+
+
+# ---------------------------------------------------------------------------
+# cu17: rank-weighted sampling — the curation consumer of the link graph
+#
+# t29's doc calls PageRank "the page-quality signal rank-weighted
+# curation samples by"; this member wires it: documents join the rank
+# table (left — most of a corpus has no inlink evidence and falls back
+# to a floor weight), and each doc is kept with probability
+# proportional to its weight, scaled so the best-ranked page is kept
+# with p = 1.0. The acceptance draw is the cu01 deterministic
+# md5-uniform (reproducible across runs, engines, cluster sizes — no
+# rand()), so the oracle reproduces the SELECTION, not just its size.
+
+_RANK_FLOOR = 0.02  # weight for docs absent from the link graph
+
+
+def _rank_weighted_oracle() -> str:
+    from travel_data_ingestion_spark.queries.llm_crawl import (
+        _PR_DAMPING,
+        _PR_EDGES,
+        _PR_K,
+        _pagerank_oracle_sql,
+    )
+
+    pr = _pagerank_oracle_sql(_PR_EDGES, _PR_K, _PR_DAMPING)
+    return f"""
+    WITH pr AS (SELECT * FROM (
+    {pr}
+    )),
+    d AS (
+      SELECT doc_id, source, r.rank AS page_rank,
+             COALESCE(r.rank, {_RANK_FLOOR!r}) AS w
+      FROM documents LEFT JOIN pr r ON doc_id = r.node
+    ),
+    m AS (SELECT MAX(w) AS mw FROM d)
+    SELECT doc_id, source, ROUND(page_rank, 8) AS page_rank,
+           ROUND(w / mw, 6) AS sample_p
+    FROM d CROSS JOIN m
+    WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               AS INTEGER) AS DOUBLE) < 65536.0 * w / mw
+    """
+
+
+@register(
+    "cu17_rank_weighted_sample",
+    _rank_weighted_oracle(),
+    survey_ops=("X-CURATE-17",),
+    doc="Rank-weighted curation sampling (the curation consumer of "
+    "t29/t31's link graph): documents LEFT-join the PageRank table "
+    "(docs without inlink evidence fall back to a floor weight) and "
+    "each doc is kept with probability w/max(w) — proportional-to-"
+    "quality downsampling with the best page kept at p=1.0 — using "
+    "the cu01 deterministic md5-uniform as the acceptance draw, so "
+    "the exact selection reproduces on any engine. The rank join is "
+    "UNHINTED: at corpus scale the rank table is one row per page "
+    "(data-scaled — a forced broadcast would abort exactly when it "
+    "matters); AQE broadcasts the graded 6-row fixture and demotes "
+    "to a doc_id-keyed shuffle at scale. max(w) is a 1-row aggregate "
+    "crossJoin (broadcast nested loop). Oracle embeds the same "
+    "generated PageRank algebra, so selection AND weights are "
+    "value-graded.",
+)
+def cu17_rank_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from travel_data_ingestion_spark.llm.linkgraph import pagerank
+    from travel_data_ingestion_spark.queries.llm_crawl import (
+        _PR_DAMPING,
+        _PR_EDGES,
+        _PR_K,
+    )
+
+    edges = spark.createDataFrame(_PR_EDGES, "src long, dst long")
+    pr = pagerank(edges, k=_PR_K, damping=_PR_DAMPING).select(
+        F.col("node").alias("doc_id"), "rank"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    d = docs.join(pr, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.col("rank").alias("page_rank"),
+        F.coalesce(F.col("rank"), F.lit(_RANK_FLOOR)).alias("w"),
+    )
+    mw = d.agg(F.max("w").alias("mw"))
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int").cast("double")
+    return (
+        d.crossJoin(mw)
+        .filter(u < F.lit(65536.0) * F.col("w") / F.col("mw"))
+        .select(
+            "doc_id",
+            "source",
+            F.round("page_rank", 8).alias("page_rank"),
+            F.round(F.col("w") / F.col("mw"), 6).alias("sample_p"),
+        )
+    )

@@ -122,13 +122,17 @@ SUITES: dict[str, tuple[list[str], str]] = {
             "cu14_token_budget_mix",
             "cu15_epoch_repeat_mix",
             "cu16_span_attribution",
+            "cu17_rank_weighted_sample",
         ],
         "Corpus-curation suite: deterministic hash sampling, stratified "
         "quotas, benchmark decontamination, per-source stats, PII "
         "redaction, span-level contamination reporting (with per-"
         "benchmark attribution) and excision, "
         "config-weighted curriculum export, token-budget mixture "
-        "selection, multi-epoch source repetition.",
+        "selection, multi-epoch source repetition, and rank-weighted "
+        "sampling (PageRank as the page-quality weight, deterministic "
+        "md5-uniform acceptance — the curation consumer of the link "
+        "graph).",
     ),
     "su06_text_doc_suite": (
         [

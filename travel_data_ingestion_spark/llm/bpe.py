@@ -12,14 +12,27 @@ module implements it Spark-shaped:
   weighted by word count, and the word table is orders of magnitude
   smaller than 100 TB of text (a few hundred million rows at crawl
   scale vs trillions of tokens);
-- each round is ONE distributed aggregation (explode adjacent pairs,
-  weighted count, global top-1) plus a map-only merge application;
-  the only driver traffic is the single winning pair per round — a
-  k-row control plane, the same bounded-iteration shape as dd06's
+- the PAIR-COUNT table is maintained by DELTA UPDATE (the classic
+  trainer optimization): the full explode-and-count aggregation runs
+  ONCE, up front; each round then (a) reads the winner off the
+  materialized pair table (a top-1 over vocabulary-pair rows, not a
+  corpus re-count), (b) touches only the words that CONTAIN the
+  winning pair — their old pairs enter the delta negatively, their
+  post-merge pairs positively — and (c) folds the delta into the
+  pair table. Per-round distributed work is O(changed words), not
+  O(word table): by the zipfian shape of merge training the changed
+  set collapses quickly (measured on the graded corpus — see
+  SCALE.md), which is what makes a 32k-merge production train
+  feasible where k full re-counts would be 32k corpus scans. The
+  only driver traffic is still the single winning row per round —
+  the same bounded-iteration control plane as dd06's
   connected-components loop;
-- the evolving word table is re-persisted each round (and the
-  previous round unpersisted) so round i+1 scans a materialized
-  table instead of recomputing i rounds of lineage.
+- both evolving tables (words, pair counts) are checkpoint-truncated
+  each round (localCheckpoint, or reliable checkpoint when a dir is
+  set — the dd06/pagerank doctrine): the delta plan references the
+  previous round's tables TWICE (changed and unchanged branches), so
+  without truncation the logical plan doubles per round and Catalyst
+  analysis goes exponential.
 
 Exact semantics (pinned so the DuckDB oracle generator
 ``queries.llm_text._bpe_oracle_sql`` cannot drift — both sides are
@@ -96,36 +109,50 @@ def bpe_train_merges(
 ) -> DataFrame:
     """Learn the first ``k`` BPE merges from documents(text); returns
     (merge_rank, left_sym, right_sym, pair_count) — the merge table a
-    tokenizer applies in rank order. Distributed per round: one pair
-    aggregation over the word table + a map-only merge application;
-    driver traffic is one row per round (the winner)."""
+    tokenizer applies in rank order.
+
+    Delta-update schedule (see module docstring): the full pair count
+    runs once; each round's distributed work is the winner top-1 over
+    the materialized pair table plus a pair-delta over only the words
+    containing the winning pair. Driver traffic is one row per round.
+    Exactness is unchanged by construction — integer pair counts under
+    add/subtract deltas equal a from-scratch re-count (pinned by the
+    lockstep-with-oracle and planted-corpus tests)."""
+    from travel_data_ingestion_spark.llm.linkgraph import _truncate
+
     spark = docs.sparkSession
-    words = word_symbol_table(docs, max_word_chars).persist()
+    words = _truncate(word_symbol_table(docs, max_word_chars))
+    pc_tab = _truncate(_pair_counts(words))
     merges: list[tuple[int, str, str, int]] = []
-    try:
-        for rank in range(1, k + 1):
-            top = (
-                _pair_counts(words)
-                .orderBy(F.desc("pc"), F.asc("pair"))
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break  # every word is a single symbol already
-            pair, pc = top[0]["pair"], int(top[0]["pc"])
-            left, right = pair.split(" ", 1)
-            merges.append((rank, left, right, pc))
-            col = F.replace(
-                F.concat(F.lit(" "), F.col("symbols"), F.lit(" ")),
-                F.lit(f" {left}  {right} "),
-                F.lit(f" {left}{right} "),
-            )
-            nxt = words.withColumn("symbols", F.trim(col)).persist()
-            nxt.count()  # materialize before dropping the parent
-            words.unpersist()
-            words = nxt
-    finally:
-        words.unpersist()
+    for rank in range(1, k + 1):
+        top = (
+            pc_tab.orderBy(F.desc("pc"), F.asc("pair")).limit(1).collect()
+        )
+        if not top:
+            break  # no adjacent pairs left: every word fully merged
+        pair, pc = top[0]["pair"], int(top[0]["pc"])
+        left, right = pair.split(" ", 1)
+        merges.append((rank, left, right, pc))
+        pat = f" {left}  {right} "
+        padded = F.concat(F.lit(" "), F.col("symbols"), F.lit(" "))
+        hit = padded.contains(pat)
+        changed = words.filter(hit)
+        merged = changed.withColumn(
+            "symbols",
+            F.trim(F.replace(padded, F.lit(pat), F.lit(f" {left}{right} "))),
+        )
+        # the delta: changed words' pre-merge pairs leave the table,
+        # their post-merge pairs enter; untouched words contribute 0
+        delta = _pair_counts(changed).select(
+            "pair", (-F.col("pc")).alias("pc")
+        ).unionByName(_pair_counts(merged))
+        pc_tab = _truncate(
+            pc_tab.unionByName(delta)
+            .groupBy("pair")
+            .agg(F.sum("pc").alias("pc"))
+            .filter(F.col("pc") > 0)
+        )
+        words = _truncate(words.filter(~hit).unionByName(merged))
     return spark.createDataFrame(
         merges,
         "merge_rank long, left_sym string, right_sym string, pair_count long",

@@ -452,3 +452,39 @@ def test_politeness_schedule_window_is_host_keyed_and_native(spark):
     # once per operator; the detail section repeats it)
     assert plan.count("MapInPandas (") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_crawl_round_composition_plan_shape(spark):
+    """t30: the composed frontier round must keep each stage's scale
+    shape — the robots join UNHINTED (the t21 gate, through the
+    composition), the ledger anti-join present (LeftAnti on the
+    canonical key), the politeness window host-keyed, and no
+    cartesian anywhere. Exactly three Arrow kernels: outlink
+    extraction, canonicalization, robots evaluation."""
+    import re
+
+    df = SPECS["t30_crawl_round"].fn(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+    plan = _formatted_plan(spark, "t30_crawl_round")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert plan.count("MapInPandas (") == 3
+    assert "BatchEvalPython" not in plan
+    m = re.search(r"Arguments: \[row_number\(\)[^\]]*\], \[([^\]]*)\],", plan)
+    assert m and "host" in m.group(1), plan
+
+
+def test_rank_weighted_sample_join_unhinted_one_row_crossjoin(spark):
+    """cu17: the rank join must stay UNHINTED (the rank table is one
+    row per page at corpus scale — the robots-join doctrine), and the
+    only nested-loop join is the 1-row max-weight crossJoin."""
+    df = SPECS["cu17_rank_weighted_sample"].fn(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+    plan = _formatted_plan(spark, "cu17_rank_weighted_sample")
+    assert "CartesianProduct" not in plan
+    # the 1-row aggregate attaches as a broadcast nested loop — fine;
+    # more than one NODE would mean a data-scaled nested loop crept in
+    # (the formatted plan names each node twice: tree + detail section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2

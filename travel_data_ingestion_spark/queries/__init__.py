@@ -35,6 +35,26 @@ TABLES = (
 )
 
 
+# Session-scoped scan memo (driver METADATA cache, never data): keyed by
+# (session token, sf_dir, table, ansi-lane flag) -> the leaf scan
+# DataFrame. ``spark.read.parquet`` costs ~85-125 ms of driver-side work
+# per call (datasource resolution + file listing + footer schema read,
+# measured r16 — tools/profile_bench.py), and every query invocation
+# re-paid it per table; at bench min-of-5 that was ~1.4 s of the 5.8 s
+# total spent re-reading footers of unchanged files. Real engines read a
+# table's schema once per session (catalog cache); bare-path reads bypass
+# Spark's catalog, so the memo reinstates exactly that and nothing more.
+#
+# Scope guard (why this is NOT result caching): the memoized object is a
+# leaf LogicalRelation only — no shuffle dependencies, no computed rows.
+# Every query still builds a fresh plan on top, so each execution
+# re-scans parquet and recomputes everything (fresh shuffle IDs; nothing
+# for the DAGScheduler to reuse). Memoizing anything ABOVE a shuffle
+# would let re-executions reuse the prior run's map outputs — that line
+# (leaf scans only) must hold for bench integrity.
+_SCAN_MEMO: dict[tuple[str, str, str, bool], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan; Catalyst pushes filters/projection into the reader.
 
@@ -54,12 +74,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (tests/test_ansi_lane.py): leave the session's ANSI mode alone and
     # prove every query ALSO survives strict ANSI — the engine's parsing
     # helpers are try_*-based, so flipping the guard must not change any
-    # answer on the graded corpus.
+    # answer on the graded corpus. These conf re-asserts are ~0.4 ms and
+    # deliberately NOT memoized: callers rely on load_table restoring
+    # them even when the scan itself is a memo hit.
     import os as _os
 
+    from travel_data_ingestion_spark.session import session_token
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if _os.environ.get("SPARK_GRAFT_KEEP_ANSI") != "1":
+    keep_ansi = _os.environ.get("SPARK_GRAFT_KEEP_ANSI") == "1"
+    if not keep_ansi:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+    memo_key = (session_token(spark), sf_dir, name, keep_ansi)
+    hit = _SCAN_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         from pyspark.sql import functions as F
@@ -71,8 +100,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif dtype == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _SCAN_MEMO[memo_key] = df
+    return df
 
 
 @dataclass(frozen=True)

@@ -156,13 +156,32 @@ def qualify_dedup_latest(
 # grow with partition count.
 # ---------------------------------------------------------------------------
 
-def dsum(col: Column | str, scale: int = 6) -> Column:
-    """Order-independent SUM: decimal-exact accumulation, double result."""
+def dsum(col: Column | str, scale: int = 6, prec: int = 28) -> Column:
+    """Order-independent SUM: decimal-exact accumulation, double result.
+
+    ``prec`` is the INPUT cast precision; Spark's SUM buffer gets
+    ``prec + 10`` digits, so the default 28 yields a 38-digit buffer
+    that can never overflow. A caller may narrow ``prec`` when the
+    column's domain is provably bounded: the double->decimal cast
+    rounds identically at any precision that fits the value, and
+    decimal addition is exact at every precision, so the result is
+    bit-identical — only the overflow envelope changes. E.g. prec=12 at
+    scale 2 admits inputs up to 1e10 and sums up to 1e20; for a column
+    bounded by ~1e6 that is four orders of magnitude of headroom above
+    a 100 TB corpus-wide sum (~6e11 rows x 1e6 = 6e17). The win is
+    mechanical: a 22-digit buffer still updates in UnsafeRow's 16-byte
+    decimal slot, but the narrower input cast stays on the compact
+    long representation instead of allocating a BigDecimal per row
+    (measured r16: q01's 8-agg pass 1.36 -> 1.18 s at sf0.1).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+    return F.sum(c.cast(f"decimal({prec},{scale})")).cast("double")
 
 
-def davg(col: Column | str, scale: int = 6) -> Column:
-    """Order-independent AVG: exact decimal sum divided by count."""
+def davg(col: Column | str, scale: int = 6, prec: int = 28) -> Column:
+    """Order-independent AVG: exact decimal sum divided by count.
+
+    ``prec`` as in :func:`dsum` — narrow only with a documented bound.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double") / F.count(c)
+    return F.sum(c.cast(f"decimal({prec},{scale})")).cast("double") / F.count(c)

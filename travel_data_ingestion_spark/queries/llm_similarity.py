@@ -29,6 +29,20 @@ def cosine(x: Column, y: Column) -> Column:
     return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
 
 
+def dot_sql(x: str, y: str) -> str:
+    """SQL-fragment twin of :func:`dot` for column-name operands: the
+    same zip_with+aggregate expression, parsed JVM-side in one py4j
+    round-trip instead of the ~10 the Column/lambda form costs (see
+    tools/profile_bench.py — round-trips are 1-2.4 ms on this VM class).
+    """
+    return f"aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0.0D, (a, z) -> a + z)"
+
+
+def cosine_sql(x: str, y: str) -> str:
+    """SQL-fragment twin of :func:`cosine` (same expression tree)."""
+    return f"{dot_sql(x, y)} / (sqrt({dot_sql(x, x)}) * sqrt({dot_sql(y, y)}))"
+
+
 @register(
     "sim01_knn_bruteforce",
     f"""
@@ -55,17 +69,17 @@ def cosine(x: Column, y: Column) -> Column:
     "determinism, vec_id tiebreak pins the ordering.",
 )
 def sim01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS e"
     )
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("e").alias("qe"))
+    q = emb.filter(f"vec_id = {QUERY_VEC_ID}").selectExpr("e AS qe")
     return (
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        emb.filter(f"vec_id <> {QUERY_VEC_ID}")
         .crossJoin(F.broadcast(q))
-        .select(
+        .selectExpr(
             "vec_id",
             "label",
-            F.round(cosine(F.col("e"), F.col("qe")), 4).alias("cos_sim"),
+            f"round({cosine_sql('e', 'qe')}, 4) AS cos_sim",
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)

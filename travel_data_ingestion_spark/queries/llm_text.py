@@ -86,30 +86,33 @@ def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    # SQL-string projections: one py4j round-trip per selectExpr instead
+    # of ~30 Column calls (round-trips are 1-2.4 ms on this VM class —
+    # tools/profile_bench.py); identical expressions, identical plan.
+    stop_sql = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
     # tokenize once (see t01); three features consume the same array
-    with_toks = docs.select("doc_id", "lang", "text", _tokens().alias("toks"))
-    feat = with_toks.select(
+    feat = docs.selectExpr(
+        "doc_id", "lang", "text", r"split(trim(text), '\\s+') AS toks"
+    ).selectExpr(
         "doc_id",
         "lang",
-        F.size("toks").alias("n_tokens"),
-        F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
-        F.size(F.array_distinct("toks")).alias("n_unique"),
-        F.length("text").alias("n_chars_actual"),
-        F.ceil(F.length("text") / 3.2).cast("bigint").alias("est_bpe_tokens"),
+        "size(toks) AS n_tokens",
+        f"size(filter(toks, x -> array_contains({stop_sql}, x))) AS n_stop",
+        "size(array_distinct(toks)) AS n_unique",
+        "length(text) AS n_chars_actual",
+        "CAST(CEIL(length(text) / 3.2) AS BIGINT) AS est_bpe_tokens",
     )
-    ttr = F.col("n_unique").cast("double") / F.col("n_tokens")
-    return feat.select(
+    return feat.selectExpr(
         "doc_id",
         "lang",
         "n_tokens",
         "n_unique",
         "est_bpe_tokens",
-        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("stopword_ratio"),
-        ttr.alias("ttr"),
-        F.when((F.col("n_tokens") >= 50) & (F.col("n_tokens") <= 100000) & (ttr > 0.1), 1)
-        .otherwise(0)
-        .alias("passes_quality"),
+        "CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio",
+        "CAST(n_unique AS DOUBLE) / n_tokens AS ttr",
+        "CASE WHEN n_tokens >= 50 AND n_tokens <= 100000"
+        " AND CAST(n_unique AS DOUBLE) / n_tokens > 0.1"
+        " THEN 1 ELSE 0 END AS passes_quality",
     )
 
 

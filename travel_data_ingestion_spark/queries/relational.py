@@ -76,18 +76,38 @@ def _charge_col() -> F.Column:
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Aggregates as parsed SQL fragments rather than stacked Column
+    # calls: one py4j round-trip each instead of ~6 (round-trips measure
+    # 1-2.4 ms on this VM class — tools/profile_bench.py; the Column
+    # form spent ~140 ms of every timed run building the plan).
+    # DECIMAL(12,2) rather than the oracle's 28: bit-identical result —
+    # the double->decimal cast rounds the same at any precision that
+    # fits, and decimal addition is exact — but the input cast stays on
+    # the compact long path (compat.dsum doc; measured -13% on this
+    # stage). Overflow envelope: inputs bounded by 1e10 (TPC-H domains:
+    # qty<=50, price<=~1.05e5, disc<=0.1), 22-digit sum buffer holds
+    # 1e20 vs ~6e17 for a 100 TB corpus-wide sum.
+    d12 = "CAST({0} AS DECIMAL(12,2))"
+    dp = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+    ch = f"({dp}) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter("l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", 2).alias("sum_qty"),
-            dsum("l_extendedprice", 2).alias("sum_base_price"),
-            F.sum(_disc_price_col()).cast("double").alias("sum_disc_price"),
-            F.sum(_charge_col()).cast("double").alias("sum_charge"),
-            davg("l_quantity", 2).alias("avg_qty"),
-            davg("l_extendedprice", 2).alias("avg_price"),
-            davg("l_discount", 2).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.expr(f"CAST(SUM({d12.format('l_quantity')}) AS DOUBLE)").alias("sum_qty"),
+            F.expr(f"CAST(SUM({d12.format('l_extendedprice')}) AS DOUBLE)").alias("sum_base_price"),
+            F.expr(f"CAST(SUM({dp}) AS DOUBLE)").alias("sum_disc_price"),
+            F.expr(f"CAST(SUM({ch}) AS DOUBLE)").alias("sum_charge"),
+            F.expr(
+                f"CAST(SUM({d12.format('l_quantity')}) AS DOUBLE) / COUNT(l_quantity)"
+            ).alias("avg_qty"),
+            F.expr(
+                f"CAST(SUM({d12.format('l_extendedprice')}) AS DOUBLE) / COUNT(l_extendedprice)"
+            ).alias("avg_price"),
+            F.expr(
+                f"CAST(SUM({d12.format('l_discount')}) AS DOUBLE) / COUNT(l_discount)"
+            ).alias("avg_disc"),
+            F.expr("COUNT(1)").alias("count_order"),
         )
     )
 
@@ -114,8 +134,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no global sort.",
 )
 def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    # SQL-string predicates/aggregates: one py4j round-trip each (see
+    # q01 note); plan and values identical to the Column form.
+    cust = load_table(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    orders = load_table(spark, sf_dir, "orders").filter("o_orderstatus <> 'F'")
     li = load_table(spark, sf_dir, "lineitem")
     # join order matters at scale: apply the selective customer filter to
     # orders FIRST (broadcast dim), so the orders side entering the fact
@@ -125,15 +147,16 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no broadcast hint on customer: it scales with the data; the
     # threshold/AQE broadcasts it while small and demotes to shuffle at
     # scale (a hardcoded hint measured badly in scale_probe at 8x).
-    filtered_orders = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    filtered_orders = orders.join(cust, F.expr("o_custkey = c_custkey"))
+    dp = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
     return (
-        li.join(filtered_orders, li.l_orderkey == filtered_orders.o_orderkey)
+        li.join(filtered_orders, F.expr("l_orderkey = o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_disc_price_col()).cast("double").alias("revenue"))
-        .select(
+        .agg(F.expr(f"CAST(SUM({dp}) AS DOUBLE)").alias("revenue"))
+        .selectExpr(
             "l_orderkey",
             "revenue",
-            F.col("o_orderdate").cast("date").alias("order_date"),
+            "CAST(o_orderdate AS DATE) AS order_date",
             "o_orderpriority",
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -179,19 +202,21 @@ def q05_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    per_order = li.groupBy("l_orderkey").agg(F.sum(_disc_price_col()).alias("ord_rev"))
+    # SQL-string expressions: one py4j round-trip each (see q01 note).
+    dp = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+    per_order = li.groupBy("l_orderkey").agg(F.expr(f"SUM({dp})").alias("ord_rev"))
     dims = (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        cust.join(F.broadcast(nation), F.expr("c_nationkey = n_nationkey"))
+        .join(F.broadcast(region), F.expr("n_regionkey = r_regionkey"))
         .select("c_custkey", "n_name", "r_name")
     )
     return (
-        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
-        .join(dims, orders.o_custkey == dims.c_custkey)  # scales with data: no hint
-        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        per_order.join(orders, F.expr("l_orderkey = o_orderkey"))
+        .join(dims, F.expr("o_custkey = c_custkey"))  # scales with data: no hint
+        .groupBy(F.expr("r_name AS region"), F.expr("n_name AS nation"))
         .agg(
-            F.sum("ord_rev").cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("CAST(SUM(ord_rev) AS DOUBLE)").alias("revenue"),
+            F.expr("COUNT(1)").alias("n_orders"),
         )
     )
 
@@ -578,17 +603,22 @@ def d06_pivot_sum_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
     def cat(name: str) -> F.Column:
-        return dsum(
-            F.when(F.col("event_type") == name, F.col("value")).otherwise(F.lit(0)), 4
+        # One parsed SQL fragment per category (py4j round-trip economy,
+        # see q01). DECIMAL(12,4) rather than the oracle's 28:
+        # bit-identical per compat.dsum's doc — inputs bounded by 1e8
+        # (events.value is a sensor-range double, <=~600 across SFs).
+        return F.expr(
+            f"CAST(SUM(CAST(CASE WHEN event_type = '{name}' THEN value ELSE 0 END"
+            f" AS DECIMAL(12,4))) AS DOUBLE)"
         ).alias(f"{name}_value")
 
-    return ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+    return ev.groupBy(F.expr("to_date(ts) AS event_date")).agg(
         cat("click"),
         cat("view"),
         cat("purchase"),
         cat("signup"),
         cat("error"),
-        F.count(F.lit(1)).alias("n_events"),
+        F.expr("COUNT(1)").alias("n_events"),
     )
 
 
@@ -1223,16 +1253,20 @@ def j01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j02_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
-    new_session = F.when(
-        prev.isNull() | (F.unix_micros(F.col("ts")) - prev > 1800000000), 1
-    ).otherwise(0)
+    # Window + gap predicate as one parsed fragment (py4j round-trip
+    # economy, see q01); same lag-over-user window, same plan.
+    new_session = (
+        "CASE WHEN lag(unix_micros(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+        "OR unix_micros(ts) - lag(unix_micros(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 "
+        "THEN 1 ELSE 0 END"
+    )
     return (
-        ev.withColumn("new_session", new_session)
+        ev.withColumn("new_session", F.expr(new_session))
         .groupBy("user_id")
         .agg(
-            F.sum("new_session").alias("n_sessions"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.expr("SUM(new_session)").alias("n_sessions"),
+            F.expr("COUNT(1)").alias("n_events"),
         )
     )

@@ -48,3 +48,47 @@ def test_suite_members_exist_and_fold_cleanly():
         # survey-op coverage carries over to the graded suite
         member_ops = {op for m in member_names for op in members[m].survey_ops}
         assert member_ops <= set(folded[suite].survey_ops)
+
+
+def test_money_columns_are_exact_cents():
+    """Canary for the integer-cents fast path (relational._DISC_PRICE_C4).
+
+    q01/q03/q05 compute their money aggregates as 64-bit cents products;
+    that is bit-identical to the oracle's DECIMAL algebra *because* every
+    lineitem money column is an exact two-decimal value (value*100 is an
+    integer, so ROUND(value*100) recovers the exact unscaled cents and
+    the double->decimal cast performs no rounding). Driver generator
+    property, seed=42 — if a testdata regen ever breaks it, this canary
+    must fail loudly BEFORE the hash gates do. Checked at every SF
+    present, pyarrow-side (no Spark session needed).
+    """
+    import os
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/lineitem.parquet"
+        if not os.path.exists(path):
+            continue
+        tbl = pq.read_table(
+            path, columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        )
+        for col in tbl.column_names:
+            for v in tbl[col].to_pylist():
+                # The property the JVM sees: BigDecimal.valueOf(double)
+                # goes through the shortest decimal representation
+                # (Double.toString == Python repr), so "exact cents"
+                # means that representation has at most 2 fractional
+                # digits. (Do NOT test v*100 == round(v*100): the binary
+                # product carries ~1-ulp error even for exact-cents
+                # values — ROUND absorbs it, float equality does not.)
+                assert Decimal(repr(v)).as_tuple().exponent >= -2, (
+                    f"{sf}.{col}: {v!r} is not an exact two-decimal value; "
+                    "the integer-cents algebra in queries/relational.py "
+                    "(_DISC_PRICE_C4 block) no longer matches the decimal "
+                    "oracle — revert q01/q03/q05 to the DECIMAL(12,2) forms"
+                )
+                checked += 1
+    assert checked > 0, "no testdata found to check"

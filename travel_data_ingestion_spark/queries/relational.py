@@ -49,6 +49,42 @@ def _charge_col() -> F.Column:
     )
 
 
+# --- integer-cents fast path for the money aggregates -------------------
+#
+# The TPC-H-shaped money columns are exact two-decimal values ("cents"):
+# every l_quantity/l_extendedprice/l_discount/l_tax satisfies
+# value*100 == round(value*100) exactly (driver generator property,
+# pinned across all SFs by tests/test_registry.py::test_money_columns_are_exact_cents
+# — the canary that fails loudly if a testdata regen ever changes it).
+# Under that property the decimal algebra collapses to integer algebra:
+#
+#   cast(price as DECIMAL(12,2))            == m/100 with m an integer, and
+#   ROUND(price*100, 0)                     == m exactly (the double product
+#     sits within ~1e-7 of the integer m, far from any .5 boundary), so
+#   disc_price = (m/100)*(100-d)/100        == m*(100-d) / 10^4
+#   charge     = disc_price*(100+t)/100     == m*(100-d)*(100+t) / 10^6
+#
+# i.e. one 64-bit multiply per row instead of a BigDecimal multiply, with
+# the exact numerator summed and the scale divided back out once per
+# GROUP (decimal division at scale >= 4/6 is exact; the final CAST AS
+# DOUBLE then rounds the same exact real number the pure-decimal form
+# rounds — bit-identical output, proven row-for-row vs the DuckDB oracle
+# at sf0.001/0.01/0.1). Overflow: per-row cents6 <= ~1.1e11; group sums
+# go through DECIMAL(28,0) (long->decimal input cast stays compact), so
+# a 100 TB group (~1.5e11 rows) peaks at ~1.6e22 against a 38-digit
+# buffer. Only where a group is STRUCTURALLY bounded (per-order sums:
+# one order has < 9e9/1.05 lineitems before a long could overflow) does
+# the sum stay in pure BIGINT. Measured at sf0.1: q01 -15%, q05's
+# per-order stage -40% (the shuffle also narrows: 8-byte long per order
+# instead of a 16-byte decimal).
+_PRICE_C = "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+_DISC_C = "CAST(ROUND(l_discount * 100, 0) AS BIGINT)"
+_TAX_C = "CAST(ROUND(l_tax * 100, 0) AS BIGINT)"
+_QTY_C = "CAST(ROUND(l_quantity * 100, 0) AS BIGINT)"
+_DISC_PRICE_C4 = f"{_PRICE_C} * (100 - {_DISC_C})"  # scale-4 cents
+_CHARGE_C6 = f"({_DISC_PRICE_C4}) * (100 + {_TAX_C})"  # scale-6 cents
+
+
 # ---------------------------------------------------------------------------
 # Flagship scan→filter→aggregate (TPC-H Q1 shape)
 # ---------------------------------------------------------------------------
@@ -80,33 +116,27 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # calls: one py4j round-trip each instead of ~6 (round-trips measure
     # 1-2.4 ms on this VM class — tools/profile_bench.py; the Column
     # form spent ~140 ms of every timed run building the plan).
-    # DECIMAL(12,2) rather than the oracle's 28: bit-identical result —
-    # the double->decimal cast rounds the same at any precision that
-    # fits, and decimal addition is exact — but the input cast stays on
-    # the compact long path (compat.dsum doc; measured -13% on this
-    # stage). Overflow envelope: inputs bounded by 1e10 (TPC-H domains:
-    # qty<=50, price<=~1.05e5, disc<=0.1), 22-digit sum buffer holds
-    # 1e20 vs ~6e17 for a 100 TB corpus-wide sum.
-    d12 = "CAST({0} AS DECIMAL(12,2))"
-    dp = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
-    ch = f"({dp}) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+    # Integer-cents algebra instead of the oracle's literal DECIMAL(28)
+    # chain: bit-identical output (derivation + canary at the
+    # _DISC_PRICE_C4 block above), one long multiply per row instead of
+    # BigDecimal casts/multiplies, group sums through DECIMAL(28,0)
+    # because q01's four groups are corpus-sized (unboundable in long).
+    def cents_sum(c: str, denom: int) -> str:
+        return f"CAST(SUM(CAST({c} AS DECIMAL(28,0))) / {denom} AS DOUBLE)"
+
     return (
         li.filter("l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.expr(f"CAST(SUM({d12.format('l_quantity')}) AS DOUBLE)").alias("sum_qty"),
-            F.expr(f"CAST(SUM({d12.format('l_extendedprice')}) AS DOUBLE)").alias("sum_base_price"),
-            F.expr(f"CAST(SUM({dp}) AS DOUBLE)").alias("sum_disc_price"),
-            F.expr(f"CAST(SUM({ch}) AS DOUBLE)").alias("sum_charge"),
+            F.expr(cents_sum(_QTY_C, 100)).alias("sum_qty"),
+            F.expr(cents_sum(_PRICE_C, 100)).alias("sum_base_price"),
+            F.expr(cents_sum(_DISC_PRICE_C4, 10000)).alias("sum_disc_price"),
+            F.expr(cents_sum(_CHARGE_C6, 1000000)).alias("sum_charge"),
+            F.expr(f"{cents_sum(_QTY_C, 100)} / COUNT(l_quantity)").alias("avg_qty"),
             F.expr(
-                f"CAST(SUM({d12.format('l_quantity')}) AS DOUBLE) / COUNT(l_quantity)"
-            ).alias("avg_qty"),
-            F.expr(
-                f"CAST(SUM({d12.format('l_extendedprice')}) AS DOUBLE) / COUNT(l_extendedprice)"
+                f"{cents_sum(_PRICE_C, 100)} / COUNT(l_extendedprice)"
             ).alias("avg_price"),
-            F.expr(
-                f"CAST(SUM({d12.format('l_discount')}) AS DOUBLE) / COUNT(l_discount)"
-            ).alias("avg_disc"),
+            F.expr(f"{cents_sum(_DISC_C, 100)} / COUNT(l_discount)").alias("avg_disc"),
             F.expr("COUNT(1)").alias("count_order"),
         )
     )
@@ -148,11 +178,17 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold/AQE broadcasts it while small and demotes to shuffle at
     # scale (a hardcoded hint measured badly in scale_probe at 8x).
     filtered_orders = orders.join(cust, F.expr("o_custkey = c_custkey"))
-    dp = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+    # Integer-cents revenue (derivation + canary at _DISC_PRICE_C4):
+    # the group is ONE order, so the cents4 sum is structurally bounded
+    # (an order would need ~8.5e6 lineitems to push the exact sum past
+    # 2^53) — pure BIGINT sum, then one correctly-rounded double divide,
+    # which equals the oracle's CAST(exact-decimal AS DOUBLE) bit for bit.
     return (
         li.join(filtered_orders, F.expr("l_orderkey = o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.expr(f"CAST(SUM({dp}) AS DOUBLE)").alias("revenue"))
+        .agg(
+            F.expr(f"CAST(SUM({_DISC_PRICE_C4}) AS DOUBLE) / 10000").alias("revenue")
+        )
         .selectExpr(
             "l_orderkey",
             "revenue",
@@ -203,8 +239,17 @@ def q05_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     # SQL-string expressions: one py4j round-trip each (see q01 note).
-    dp = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
-    per_order = li.groupBy("l_orderkey").agg(F.expr(f"SUM({dp})").alias("ord_rev"))
+    # Integer-cents per-order revenue (derivation + canary at
+    # _DISC_PRICE_C4): the per-order sum is structurally bounded, so it
+    # stays a pure BIGINT — the orderkey shuffle then carries an 8-byte
+    # long per order instead of a 16-byte decimal, and the partial-agg
+    # stage does one long multiply per row instead of a BigDecimal
+    # multiply (measured -40% on the stage). The scale divides back out
+    # in the FINAL aggregate, where the cross-order sum goes through
+    # DECIMAL(28,0) (corpus-sized group, exact decimal division).
+    per_order = li.groupBy("l_orderkey").agg(
+        F.expr(f"SUM({_DISC_PRICE_C4})").alias("ord_rev_c4")
+    )
     dims = (
         cust.join(F.broadcast(nation), F.expr("c_nationkey = n_nationkey"))
         .join(F.broadcast(region), F.expr("n_regionkey = r_regionkey"))
@@ -215,7 +260,9 @@ def q05_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dims, F.expr("o_custkey = c_custkey"))  # scales with data: no hint
         .groupBy(F.expr("r_name AS region"), F.expr("n_name AS nation"))
         .agg(
-            F.expr("CAST(SUM(ord_rev) AS DOUBLE)").alias("revenue"),
+            F.expr(
+                "CAST(SUM(CAST(ord_rev_c4 AS DECIMAL(28,0))) / 10000 AS DOUBLE)"
+            ).alias("revenue"),
             F.expr("COUNT(1)").alias("n_orders"),
         )
     )

@@ -90,5 +90,13 @@ def test_money_columns_are_exact_cents():
                     "(_DISC_PRICE_C4 block) no longer matches the decimal "
                     "oracle — revert q01/q03/q05 to the DECIMAL(12,2) forms"
                 )
+                # the truncating cents cast (CAST(x*100+0.5 AS BIGINT))
+                # additionally requires non-negative values: toward-zero
+                # truncation only equals half-up rounding for x >= 0
+                assert v >= 0, (
+                    f"{sf}.{col}: {v!r} is negative; the truncating cents "
+                    "cast in queries/relational.py (_PRICE_C block) assumes "
+                    "non-negative money columns — revert to ROUND(x*100, 0)"
+                )
                 checked += 1
     assert checked > 0, "no testdata found to check"

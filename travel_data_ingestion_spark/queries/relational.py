@@ -77,10 +77,22 @@ def _charge_col() -> F.Column:
 # the sum stay in pure BIGINT. Measured at sf0.1: q01 -15%, q05's
 # per-order stage -40% (the shuffle also narrows: 8-byte long per order
 # instead of a 16-byte decimal).
-_PRICE_C = "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
-_DISC_C = "CAST(ROUND(l_discount * 100, 0) AS BIGINT)"
-_TAX_C = "CAST(ROUND(l_tax * 100, 0) AS BIGINT)"
-_QTY_C = "CAST(ROUND(l_quantity * 100, 0) AS BIGINT)"
+#
+# Cents extraction is CAST(x*100 + 0.5 AS BIGINT), not ROUND(x*100, 0):
+# Spark's ROUND on DOUBLE codegens to a per-row
+# java.math.BigDecimal.valueOf(v).setScale(0, HALF_UP) allocation —
+# exactly the BigDecimal the integer path exists to avoid. For these
+# columns the truncating cast is identical: every value is NON-NEGATIVE
+# (canary asserts it) and x*100 lands within ~5e-9 of the integer m
+# (two double roundings on |m| <= ~1.1e7), so x*100 + 0.5 sits in
+# (m + 0.5 - 1e-8, m + 0.5 + 1e-8) and the toward-zero cast floors it
+# to m — the same half-up result, in pure double arithmetic. Measured
+# at sf0.1 (interleaved A/B, min-of-7, checksummed): q01 -26%,
+# q05 -22%, q03 a wash (its rounds run on the post-bloom-filter subset).
+_PRICE_C = "CAST(l_extendedprice * 100 + 0.5 AS BIGINT)"
+_DISC_C = "CAST(l_discount * 100 + 0.5 AS BIGINT)"
+_TAX_C = "CAST(l_tax * 100 + 0.5 AS BIGINT)"
+_QTY_C = "CAST(l_quantity * 100 + 0.5 AS BIGINT)"
 _DISC_PRICE_C4 = f"{_PRICE_C} * (100 - {_DISC_C})"  # scale-4 cents
 _CHARGE_C6 = f"({_DISC_PRICE_C4}) * (100 + {_TAX_C})"  # scale-6 cents
 

@@ -67,6 +67,19 @@ def test_money_columns_are_exact_cents():
 
     import pyarrow.parquet as pq
 
+    # worst-case per-row bounds the compact-buffer sum envelopes assume
+    # (relational._csum_split block): every hi/lo part must fit
+    # DECIMAL(8,0) and part-sums must stay under the DECIMAL(18,0)
+    # buffer at 1.5e11 rows/group. Generous vs real data (~50, ~1.05e5,
+    # 0.1, 0.08, ~600) so only a generator redesign trips them.
+    bounds = {
+        "l_quantity": 1e4,
+        "l_extendedprice": 1e6,
+        "l_discount": 1.0,
+        "l_tax": 1.0,
+        "value": 1e6,
+    }
+
     checked = 0
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         path = f"/root/testdata/{sf}/lineitem.parquet"
@@ -75,8 +88,12 @@ def test_money_columns_are_exact_cents():
         tbl = pq.read_table(
             path, columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         )
-        for col in tbl.column_names:
-            for v in tbl[col].to_pylist():
+        ev = pq.read_table(f"/root/testdata/{sf}/events.parquet", columns=["value"])
+        cols = [(c, tbl[c]) for c in tbl.column_names] + [("value", ev["value"])]
+        for col, arr in cols:
+            for v in arr.to_pylist():
+                if v is None:  # events.value is nullable; SUM skips NULLs
+                    continue
                 # The property the JVM sees: BigDecimal.valueOf(double)
                 # goes through the shortest decimal representation
                 # (Double.toString == Python repr), so "exact cents"
@@ -97,6 +114,12 @@ def test_money_columns_are_exact_cents():
                     f"{sf}.{col}: {v!r} is negative; the truncating cents "
                     "cast in queries/relational.py (_PRICE_C block) assumes "
                     "non-negative money columns — revert to ROUND(x*100, 0)"
+                )
+                assert v <= bounds[col], (
+                    f"{sf}.{col}: {v!r} exceeds the {bounds[col]:g} bound the "
+                    "compact-buffer sum envelopes assume (relational."
+                    "_csum_split block) — re-derive the envelopes or revert "
+                    "q01/q05/d06 to DECIMAL(28) sums"
                 )
                 checked += 1
     assert checked > 0, "no testdata found to check"

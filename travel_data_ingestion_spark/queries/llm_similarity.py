@@ -72,14 +72,24 @@ def sim01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS e"
     )
-    q = emb.filter(f"vec_id = {QUERY_VEC_ID}").selectExpr("e AS qe")
+    # the query norm is a constant, but sqrt(dot(qe,qe)) inside the
+    # per-row projection is opaque to Catalyst (qe comes through the
+    # broadcast, not a foldable literal) and was re-evaluated per corpus
+    # row — one of the three dot products. Computing it ONCE on the
+    # one-row broadcast side is the same arithmetic on the same values,
+    # so cos_sim is bit-identical (checksummed); at corpus scale it
+    # removes a dim-length multiply-add chain per row.
+    q = emb.filter(f"vec_id = {QUERY_VEC_ID}").selectExpr(
+        "e AS qe", f"sqrt({dot_sql('e', 'e')}) AS qnorm"
+    )
     return (
         emb.filter(f"vec_id <> {QUERY_VEC_ID}")
         .crossJoin(F.broadcast(q))
         .selectExpr(
             "vec_id",
             "label",
-            f"round({cosine_sql('e', 'qe')}, 4) AS cos_sim",
+            f"round({dot_sql('e', 'qe')} / (sqrt({dot_sql('e', 'e')}) * qnorm), 4)"
+            " AS cos_sim",
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)

@@ -93,6 +93,44 @@ _PRICE_C = "CAST(l_extendedprice * 100 + 0.5 AS BIGINT)"
 _DISC_C = "CAST(l_discount * 100 + 0.5 AS BIGINT)"
 _TAX_C = "CAST(l_tax * 100 + 0.5 AS BIGINT)"
 _QTY_C = "CAST(l_quantity * 100 + 0.5 AS BIGINT)"
+
+
+# --- compact-buffer (long-backed) group sums ----------------------------
+#
+# Spark stores a Decimal with precision <= 18 as a plain long inside the
+# aggregation buffer ("compact"); above 18 every SUM update is a
+# java.math.BigDecimal add. SUM over DECIMAL(8,0) input produces a
+# DECIMAL(18,0) buffer — compact — so splitting a cents column into
+# (value DIV split, value % split) and summing the two parts separately
+# keeps the whole per-row aggregation path in long arithmetic:
+#
+#   SUM(c) == split * SUM(c DIV split) + SUM(c % split)      (exact: the
+#   truncated-division identity c = (c DIV s)*s + c % s holds per row for
+#   Spark's toward-zero DIV/%, and SUM is linear over integers)
+#
+# recombined ONCE PER GROUP in DECIMAL(28,0) — bit-identical to the
+# single wide sum (measured: q01 -38%, d06 -31% at sf0.1, checksummed).
+#
+# Envelopes (canary-pinned worst-case per-row maxima, see
+# tests/test_registry.py::test_money_columns_are_exact_cents: qty<=1e4,
+# price<=1e6, disc<=1, tax<=1, events.value<=1e6 — all far above real
+# data), at the 1.5e11-rows-per-group 100 TB design point:
+#   every split part is < 1e8 (fits the DECIMAL(8,0) input cast), and
+#   every part-sum worst-cases below 3e17 against the 1e18-capacity
+#   DECIMAL(18,0) buffer (tightest: charge hi = c6 DIV 1e6 <= 2e6 →
+#   3e17, margin 3.3x at all-rows-at-canary-max; real-data maxima are
+#   ~100x smaller still).
+def _csum_split(c: str, split: int, denom: int) -> str:
+    hi = f"CAST(SUM(CAST(({c}) DIV {split} AS DECIMAL(8,0))) AS DECIMAL(28,0))"
+    lo = f"CAST(SUM(CAST(({c}) % {split} AS DECIMAL(8,0))) AS DECIMAL(28,0))"
+    return f"CAST(({hi} * {split} + {lo}) / {denom} AS DOUBLE)"
+
+
+def _csum_plain(c: str, denom: int) -> str:
+    """Single compact sum for columns whose per-row value is < 1e8 and
+    whose group sum stays far under 1e18 (qty cents <= 1e6 → overflow
+    only past 1e12 rows/group; disc cents <= 100 → 1e16 rows/group)."""
+    return f"CAST(CAST(SUM(CAST({c} AS DECIMAL(8,0))) AS DECIMAL(28,0)) / {denom} AS DOUBLE)"
 _DISC_PRICE_C4 = f"{_PRICE_C} * (100 - {_DISC_C})"  # scale-4 cents
 _CHARGE_C6 = f"({_DISC_PRICE_C4}) * (100 + {_TAX_C})"  # scale-6 cents
 
@@ -131,24 +169,24 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Integer-cents algebra instead of the oracle's literal DECIMAL(28)
     # chain: bit-identical output (derivation + canary at the
     # _DISC_PRICE_C4 block above), one long multiply per row instead of
-    # BigDecimal casts/multiplies, group sums through DECIMAL(28,0)
-    # because q01's four groups are corpus-sized (unboundable in long).
-    def cents_sum(c: str, denom: int) -> str:
-        return f"CAST(SUM(CAST({c} AS DECIMAL(28,0))) / {denom} AS DOUBLE)"
-
+    # BigDecimal casts/multiplies. Group sums run on compact
+    # (long-backed) DECIMAL(18,0) buffers via the hi/lo split
+    # (_csum_split block above) because q01's four groups are
+    # corpus-sized — the wide DECIMAL(28,0) buffer would BigDecimal-add
+    # per row. Measured -38% on q01 at sf0.1, checksummed identical.
     return (
         li.filter("l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.expr(cents_sum(_QTY_C, 100)).alias("sum_qty"),
-            F.expr(cents_sum(_PRICE_C, 100)).alias("sum_base_price"),
-            F.expr(cents_sum(_DISC_PRICE_C4, 10000)).alias("sum_disc_price"),
-            F.expr(cents_sum(_CHARGE_C6, 1000000)).alias("sum_charge"),
-            F.expr(f"{cents_sum(_QTY_C, 100)} / COUNT(l_quantity)").alias("avg_qty"),
+            F.expr(_csum_plain(_QTY_C, 100)).alias("sum_qty"),
+            F.expr(_csum_split(_PRICE_C, 10000, 100)).alias("sum_base_price"),
+            F.expr(_csum_split(_DISC_PRICE_C4, 100000, 10000)).alias("sum_disc_price"),
+            F.expr(_csum_split(_CHARGE_C6, 1000000, 1000000)).alias("sum_charge"),
+            F.expr(f"{_csum_plain(_QTY_C, 100)} / COUNT(l_quantity)").alias("avg_qty"),
             F.expr(
-                f"{cents_sum(_PRICE_C, 100)} / COUNT(l_extendedprice)"
+                f"{_csum_split(_PRICE_C, 10000, 100)} / COUNT(l_extendedprice)"
             ).alias("avg_price"),
-            F.expr(f"{cents_sum(_DISC_C, 100)} / COUNT(l_discount)").alias("avg_disc"),
+            F.expr(f"{_csum_plain(_DISC_C, 100)} / COUNT(l_discount)").alias("avg_disc"),
             F.expr("COUNT(1)").alias("count_order"),
         )
     )
@@ -267,14 +305,21 @@ def q05_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.expr("n_regionkey = r_regionkey"))
         .select("c_custkey", "n_name", "r_name")
     )
+    # Final cross-order sum on compact buffers via the hi/lo split
+    # (_csum_split block): the aggregation input here is one row per
+    # ORDER (data-scaled — ~4e10 rows at 100 TB), so the wide
+    # DECIMAL(28,0) form paid a per-row long->BigDecimal input cast +
+    # BigDecimal add. Envelope: the DECIMAL(8,0) hi part tolerates
+    # per-order revenue up to 1e14 cents4 (~$10B/order, vs the
+    # generator's <= 7-lineitem orders at ~1e10 max); group part-sums
+    # worst-case ~3e15 against the 1e18 buffer. Bit-identical
+    # (checksummed at sf0.001/0.01/0.1).
     return (
         per_order.join(orders, F.expr("l_orderkey = o_orderkey"))
         .join(dims, F.expr("o_custkey = c_custkey"))  # scales with data: no hint
         .groupBy(F.expr("r_name AS region"), F.expr("n_name AS nation"))
         .agg(
-            F.expr(
-                "CAST(SUM(CAST(ord_rev_c4 AS DECIMAL(28,0))) / 10000 AS DOUBLE)"
-            ).alias("revenue"),
+            F.expr(_csum_split("ord_rev_c4", 1000000, 10000)).alias("revenue"),
             F.expr("COUNT(1)").alias("n_orders"),
         )
     )
@@ -661,23 +706,34 @@ def d05_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d06_pivot_sum_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
+    # events.value is an exact two-decimal non-negative double (canary:
+    # tests/test_registry.py pins it alongside the lineitem cents), so
+    # the same integer-cents algebra as q01 applies: extract cents ONCE
+    # per row (vc <= 1e8 under the canary's value<=1e6 bound), select
+    # vc-or-0 per category, and sum on compact DECIMAL(18,0) buffers
+    # (_csum_plain block above; overflow only past ~1e12 rows/day-group
+    # at the canary worst case, ~1e13 at real sensor maxima). The
+    # previous DECIMAL(12,4) form paid a per-row double->BigDecimal cast
+    # per category plus non-compact (22,4) buffer adds. Bit-identical
+    # (exact /100 per group; checksummed at sf0.001/0.01/0.1);
+    # measured -31% at sf0.1.
     def cat(name: str) -> F.Column:
-        # One parsed SQL fragment per category (py4j round-trip economy,
-        # see q01). DECIMAL(12,4) rather than the oracle's 28:
-        # bit-identical per compat.dsum's doc — inputs bounded by 1e8
-        # (events.value is a sensor-range double, <=~600 across SFs).
         return F.expr(
-            f"CAST(SUM(CAST(CASE WHEN event_type = '{name}' THEN value ELSE 0 END"
-            f" AS DECIMAL(12,4))) AS DOUBLE)"
+            f"CAST(CAST(SUM(CAST(CASE WHEN event_type = '{name}' THEN vc ELSE 0 END"
+            f" AS DECIMAL(8,0))) AS DECIMAL(28,0)) / 100 AS DOUBLE)"
         ).alias(f"{name}_value")
 
-    return ev.groupBy(F.expr("to_date(ts) AS event_date")).agg(
-        cat("click"),
-        cat("view"),
-        cat("purchase"),
-        cat("signup"),
-        cat("error"),
-        F.expr("COUNT(1)").alias("n_events"),
+    return (
+        ev.selectExpr("ts", "event_type", "CAST(value * 100 + 0.5 AS BIGINT) AS vc")
+        .groupBy(F.expr("to_date(ts) AS event_date"))
+        .agg(
+            cat("click"),
+            cat("view"),
+            cat("purchase"),
+            cat("signup"),
+            cat("error"),
+            F.expr("COUNT(1)").alias("n_events"),
+        )
     )
 
 

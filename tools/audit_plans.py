@@ -29,7 +29,21 @@ def fmt(df) -> str:
 
 
 def summarize(text: str) -> dict:
+    # r17 red flag: a partial_sum whose input cast has decimal precision
+    # >= 9 gets a p+10 > 18 buffer — every per-row update is then a
+    # java.math.BigDecimal add instead of a compact long add (guide §5;
+    # see compat.csum). Window sums and O(small)-input aggregates are
+    # legitimate exemptions — triage hits, don't blanket-fix.
+    wide = []
+    for line in text.splitlines():
+        if "partial_sum" not in line:
+            continue
+        for m in re.finditer(r"as decimal\((\d+),(\d+)\)", line):
+            if int(m.group(1)) >= 9:
+                wide.append(f"decimal({m.group(1)},{m.group(2)})")
     return {
+        "wide_decimal_partial_sums": len(wide),
+        "wide_decimal_forms": sorted(set(wide)),
         "exchanges": len(re.findall(r"\bExchange\b", text)),
         "single_partition": len(re.findall(r"Exchange SinglePartition", text)),
         "joins": sorted(

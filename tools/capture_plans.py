@@ -1,8 +1,9 @@
 #!/usr/bin/env python3
-"""Capture .explain("formatted") for bench queries into plans/r16/.
+"""Capture .explain("formatted") for bench queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
-  suffix: "before" or "after" — files land at plans/r16/<query>_<suffix>.txt
+  suffix: "before" or "after" — files land at plans/<round>/<query>_<suffix>.txt
+  round dir defaults to r17; override with SPARK_GRAFT_PLAN_DIR.
 
 Captures the checksummed plan (what bench.py actually executes) AND the
 bare query plan, separated by a marker line.
@@ -43,7 +44,11 @@ def main():
         },
     )
     specs = member_queries()
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r17"),
+    )
     os.makedirs(outdir, exist_ok=True)
     for n in names:
         df = specs[n].fn(spark, sf_dir)

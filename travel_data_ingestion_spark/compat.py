@@ -185,3 +185,105 @@ def davg(col: Column | str, scale: int = 6, prec: int = 28) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal({prec},{scale})")).cast("double") / F.count(c)
+
+
+# ---------------------------------------------------------------------------
+# Compact-buffer (long-backed) exact sums — the hi/lo split generalized.
+#
+# dsum/davg BigDecimal-add per row into a DECIMAL(38) buffer (Spark keeps
+# a Decimal "compact" — a plain long — only at precision <= 18, and SUM's
+# buffer is input precision + 10). For a column that is an exact
+# fixed-point value with <= ``frac`` fractional digits (canary-pinned, or
+# pre-rounded by construction), the decimal algebra collapses to integer
+# algebra exactly as in queries/relational.py's q01/d06 fast path:
+#
+#   units m = CAST(x * 10^frac + 0.5 AS BIGINT)   -- the exact unscaled
+#     value: x*10^frac lands within ~1e-7 of the integer m (two double
+#     roundings on |m| <= ~1e8·margin), so +0.5 then the toward-zero cast
+#     floors to m. Requires x >= 0 (truncation == half-up only then) —
+#     every converted column is canary-pinned or non-negative by
+#     construction (see each call site).
+#   SUM(m) == split * SUM(m DIV split) + SUM(m % split)   -- exact per the
+#     truncated-division identity + SUM linearity (pinned by
+#     tests/test_registry.py::test_csum_split_identity); both part sums
+#     run on compact DECIMAL(18,0) buffers (DECIMAL(8,0) input cast).
+#   result = CAST(SUM(m)/10^frac AS DOUBLE)   -- the division is exact
+#     (needs frac <= 6 decimal digits; Spark's divide emits scale >= 6),
+#     and CAST of the exact rational to DOUBLE is correctly rounded —
+#     bit-identical to CAST(SUM(CAST(x AS DECIMAL(28,scale))) AS DOUBLE).
+#
+# ``CSUM_COMPACT`` is the A/B + equivalence hook: False routes every
+# helper through the wide reference form (the literal old expression), so
+# tests can assert bit-identity and experiments can interleave both forms
+# in one session (tools/exp_csum_members.py).
+# ---------------------------------------------------------------------------
+
+CSUM_COMPACT = True
+
+
+def _units_sql(col_sql: str, frac: int) -> str:
+    if frac == 0:
+        # already integral (e.g. a BIGINT extracted from JSON) — no
+        # multiply, no +0.5 (the cast is exact, sign-safe)
+        return f"CAST(({col_sql}) AS BIGINT)"
+    return f"CAST(({col_sql}) * {10 ** frac} + 0.5 AS BIGINT)"
+
+
+def _csum_units_sql(col_sql: str, frac: int, split: int | None) -> str:
+    """SUM of the exact integer units of ``col_sql`` as DECIMAL(28,0).
+
+    split=None: single compact sum — only for units with per-row bound
+    <= ~1e6 (qty cents, k_value, pre-rounded 6dp scores), where the
+    part-sum stays under the 1e18 DECIMAL(18,0) capacity even at the
+    1.5e11-rows-per-group 100 TB design point. Money columns (units up
+    to 1e8 under the canary bounds) must pass a split (default call
+    sites use 10000: hi <= 1e4 and lo < 1e4 both sum to < 1.5e15).
+    """
+    m = _units_sql(col_sql, frac)
+    if split is None:
+        return f"CAST(SUM(CAST(({m}) AS DECIMAL(8,0))) AS DECIMAL(28,0))"
+    hi = f"CAST(SUM(CAST(({m}) DIV {split} AS DECIMAL(8,0))) AS DECIMAL(28,0))"
+    lo = f"CAST(SUM(CAST(({m}) % {split} AS DECIMAL(8,0))) AS DECIMAL(28,0))"
+    return f"({hi} * {split} + {lo})"
+
+
+def csum_sql(
+    col_sql: str, scale: int, frac: int = 2, split: int | None = 10000
+) -> str:
+    """SQL fragment equal bit-for-bit to the dsum(col, scale) fragment
+    ``CAST(SUM(CAST(col AS DECIMAL(28,scale))) AS DOUBLE)`` for a
+    non-negative exact-``frac``-decimal column, on compact buffers."""
+    if not CSUM_COMPACT:
+        return f"CAST(SUM(CAST(({col_sql}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+    units = _csum_units_sql(col_sql, frac, split)
+    if frac == 0:
+        return f"CAST({units} AS DOUBLE)"
+    return f"CAST({units} / {10 ** frac} AS DOUBLE)"
+
+
+def csum(col_sql: str, scale: int, frac: int = 2, split: int | None = 10000) -> Column:
+    """Compact-buffer :func:`dsum` — see :func:`csum_sql`."""
+    return F.expr(csum_sql(col_sql, scale, frac, split))
+
+
+def cavg(col_sql: str, scale: int, frac: int = 2, split: int | None = 10000) -> Column:
+    """Compact-buffer :func:`davg`: identical double sum / COUNT(col)."""
+    return F.expr(f"{csum_sql(col_sql, scale, frac, split)} / COUNT({col_sql})")
+
+
+def csum_dec(
+    col_sql: str, scale: int = 2, frac: int = 2, split: int | None = 10000
+) -> Column:
+    """Compact-buffer exact sum kept as DECIMAL(38,scale) — for group
+    sums that feed a downstream decimal window accumulation (e03/tr01
+    running totals). Equal bit-for-bit to
+    ``SUM(CAST(col AS DECIMAL(28,scale)))`` (whose result type is
+    DECIMAL(38,scale)): both are the exact rational sum, and the final
+    cast from the exact scale>=6 quotient to scale-``scale`` decimal
+    rounds nothing (the value has <= frac <= scale fractional digits)."""
+    if not CSUM_COMPACT:
+        return F.expr(f"SUM(CAST(({col_sql}) AS DECIMAL(28,{scale})))")
+    units = _csum_units_sql(col_sql, frac, split)
+    if frac == 0:
+        return F.expr(f"CAST({units} AS DECIMAL(38,{scale}))")
+    return F.expr(f"CAST({units} / {10 ** frac} AS DECIMAL(38,{scale}))")

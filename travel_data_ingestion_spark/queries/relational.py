@@ -14,8 +14,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from travel_data_ingestion_spark.compat import (
-    davg,
-    dsum,
+    cavg,
+    csum,
+    csum_dec,
     listagg,
     try_to_date,
 )
@@ -414,7 +415,7 @@ def c01_left_join_computed_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     daily_orders = (
         orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
-        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", 2).alias("day_total"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), csum("o_totalprice", 2).alias("day_total"))
     )
     daily_ship = (
         li.groupBy(F.col("l_shipdate").cast("date").alias("ship_date"))
@@ -469,10 +470,11 @@ def c02_full_outer_date_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp")
     )
     daily_orders = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
-        dsum("o_totalprice", 2).alias("order_total")
+        csum("o_totalprice", 2).alias("order_total")
     )
+    # qty cents <= 1e6 (canary bound 1e4): single compact sum suffices
     daily_line = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
-        dsum("l_quantity", 2).alias("qty")
+        csum("l_quantity", 2, split=None).alias("qty")
     )
     daily_hi = (
         li.filter(F.col("l_quantity") >= 45)
@@ -520,7 +522,7 @@ def c04_scaffold_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours = spark.range(24).select(F.col("id").alias("h"))
     hourly = ev.groupBy(
         F.to_date("ts").alias("d"), F.hour("ts").cast("long").alias("h")
-    ).agg(dsum("value", 4).alias("total_value"), F.count(F.lit(1)).alias("n"))
+    ).agg(csum("value", 4).alias("total_value"), F.count(F.lit(1)).alias("n"))
     scaffold = dates.crossJoin(F.broadcast(hours))
     return (
         scaffold.join(hourly, ["d", "h"], "left")
@@ -631,7 +633,7 @@ def d03_minute_grain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("minute", "ts"), "yyyy-MM-dd HH:mm").alias("minute"),
         "event_type",
     ).agg(
-        davg("value", 4).alias("avg_value"),
+        cavg("value", 4).alias("avg_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         F.count("value").alias("n_readings"),
@@ -664,7 +666,7 @@ def d04_conditional_zone_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when((v >= 60) & (v < 100), 1).otherwise(0)).alias("n_normal"),
         F.sum(F.when((v >= 100) & (v < 130), 1).otherwise(0)).alias("n_elevated"),
         F.sum(F.when(v >= 130, 1).otherwise(0)).alias("n_high"),
-        davg("value", 4).alias("avg_value"),
+        cavg("value", 4).alias("avg_value"),
     )
 
 
@@ -784,7 +786,7 @@ def d07_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d10_avg_of_hourly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(F.to_date("ts").alias("d"), F.hour("ts").alias("h")).agg(
-        davg("value", 4).alias("hourly_avg"),
+        cavg("value", 4).alias("hourly_avg"),
         F.min("value").alias("hourly_min"),
         F.max("value").alias("hourly_max"),
     )
@@ -912,8 +914,12 @@ def e02_dedup_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e03_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # the data-scaled daily sum runs on compact buffers (compat.csum_dec:
+    # integer-cents hi/lo split, recombined to the same DECIMAL(38,2) the
+    # wide SUM produced) — the downstream window still accumulates exact
+    # decimal, but its input is one row per DAY, not per order
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("total_dec")
+        csum_dec("o_totalprice", 2).alias("total_dec")
     )
     w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wn = Window.orderBy("order_date")
@@ -1156,7 +1162,7 @@ def h15_json_extract_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
     k = F.get_json_object("props", "$.k").cast("bigint")
     return ev.groupBy(k.alias("k")).agg(
-        F.count(F.lit(1)).alias("n"), davg("value", 4).alias("avg_value")
+        F.count(F.lit(1)).alias("n"), cavg("value", 4).alias("avg_value")
     )
 
 
@@ -1324,7 +1330,7 @@ def j01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.to_date("ts") == F.lit("2024-01-10"))
     win = F.window("ts", "5 minutes")
     return ev.groupBy(win, "event_type").agg(
-        F.count(F.lit(1)).alias("n"), dsum("value", 4).alias("total_value")
+        F.count(F.lit(1)).alias("n"), csum("value", 4).alias("total_value")
     ).select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
         "event_type",

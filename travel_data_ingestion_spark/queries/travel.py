@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from travel_data_ingestion_spark.compat import dsum, listagg
+from travel_data_ingestion_spark.compat import cavg, csum, csum_dec, listagg
 from travel_data_ingestion_spark.queries import load_table, register
 from travel_data_ingestion_spark.queries.relational import _davg, _dsum
 
@@ -55,15 +55,18 @@ def tr01_full_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
     )
 
-    def cat(cond: F.Column) -> F.Column:
-        return dsum(F.when(cond, F.col("o_totalprice")).otherwise(0), 2)
+    # compact-buffer sums (compat.csum/csum_dec): o_totalprice is
+    # canary-pinned exact-cents <= 1e6; the CASE selects cents-or-0 and
+    # the day total recombines to the same DECIMAL(38,2) the wide SUM
+    # produced, so the running window's decimal input is bit-identical
+    def cat(cond_sql: str) -> F.Column:
+        return csum(f"CASE WHEN {cond_sql} THEN o_totalprice ELSE 0 END", 2)
 
-    pr = F.col("o_orderpriority")
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date")).agg(
-        cat(pr == "1-URGENT").alias("urgent_total"),
-        cat(pr == "2-HIGH").alias("high_total"),
-        cat(~pr.isin("1-URGENT", "2-HIGH")).alias("other_total"),
-        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("day_total_dec"),
+        cat("o_orderpriority = '1-URGENT'").alias("urgent_total"),
+        cat("o_orderpriority = '2-HIGH'").alias("high_total"),
+        cat("o_orderpriority NOT IN ('1-URGENT', '2-HIGH')").alias("other_total"),
+        csum_dec("o_totalprice", 2).alias("day_total_dec"),
         listagg("o_orderstatus", "; ", distinct=True).alias("statuses"),
     )
     w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -130,7 +133,7 @@ def tr02_tax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
             listagg((F.col("user_id") % 10).cast("string"), ", ", distinct=True).alias("cohorts"),
-            dsum("value", 4).alias("purchase_value"),
+            csum("value", 4).alias("purchase_value"),
         )
     )
     errors = (
@@ -186,13 +189,11 @@ def tr02_tax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-mode distance, segment count, mean.",
 )
 def tr03_transport_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from travel_data_ingestion_spark.compat import davg
-
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") != "error")
     return ev.groupBy(F.col("event_type").alias("mode")).agg(
-        F.round(dsum("value", 4) / 1000, 4).alias("total_km"),
+        F.round(csum("value", 4) / 1000, 4).alias("total_km"),
         F.count(F.lit(1)).alias("n_segments"),
-        davg("value", 4).alias("avg_distance"),
+        cavg("value", 4).alias("avg_distance"),
     )
 
 
@@ -268,14 +269,14 @@ def tr04_daily_summary_document(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _money_col(F.coalesce(dsum("value", 4), F.lit(0.0))).alias("total_value"),
+            _money_col(F.coalesce(csum("value", 4), F.lit(0.0))).alias("total_value"),
         )
         .select(F.struct("event_type", "n", "total_value").alias("item"))
     )
     doc = (
         ev.agg(
             F.count(F.lit(1)).alias("total_events"),
-            _money_col(F.coalesce(dsum("value", 4), F.lit(0.0))).alias("total_value"),
+            _money_col(F.coalesce(csum("value", 4), F.lit(0.0))).alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .crossJoin(

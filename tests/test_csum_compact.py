@@ -22,9 +22,13 @@ SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 
 # every member whose aggregation moved to compact buffers in r17
 CONVERTED = [
+    # c01's ship_revenue additionally moved to the r16 _csum_split
+    # fragment (not flag-routed; pinned by test_parity + driver_mirror)
     "c01_left_join_computed_key",
     "c02_full_outer_date_shift",
     "c04_scaffold_densify",
+    "cu04_corpus_stats",
+    "x02_range_join",
     "d03_minute_grain_stats",
     "d04_conditional_zone_counts",
     "d10_avg_of_hourly_avg",

@@ -397,13 +397,27 @@ def cu13_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cu04_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from travel_data_ingestion_spark.compat import listagg
 
+    from travel_data_ingestion_spark.compat import csum
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    return docs.groupBy("source").agg(
+    # per-doc token/char counts are integers: compact hi/lo sums
+    # (compat.csum frac=0) replace the DECIMAL(28,0)-buffer BigDecimal
+    # adds. Envelope is derived, not data-pinned: the DECIMAL(8,0) part
+    # cast holds for docs under 1e12 tokens/chars (a single row would
+    # exceed 1 TB first), and part-sums stay under 1e18 up to 1.5e11
+    # rows/group at 1e8 tokens/doc.
+    return docs.select(
+        "source",
+        "lang",
+        F.size(toks).alias("__ntok"),
+        F.length("text").alias("__nchar"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("__h"),
+    ).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(toks).cast("decimal(28,0)")).cast("double").alias("total_tokens"),
-        F.sum(F.length("text").cast("decimal(28,0)")).cast("double").alias("total_chars"),
-        F.countDistinct(F.md5(F.lower(F.trim(F.col("text"))))).alias("n_unique_docs"),
+        csum("__ntok", 0, frac=0).alias("total_tokens"),
+        csum("__nchar", 0, frac=0).alias("total_chars"),
+        F.countDistinct("__h").alias("n_unique_docs"),
         listagg("lang", ",", distinct=True).alias("langs"),
     )
 

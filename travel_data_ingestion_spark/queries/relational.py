@@ -417,9 +417,12 @@ def c01_left_join_computed_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
         .agg(F.count(F.lit(1)).alias("n_orders"), csum("o_totalprice", 2).alias("day_total"))
     )
+    # same integer-cents + hi/lo split as q01's sum_disc_price (the
+    # _DISC_PRICE_C4/_csum_split derivations above) — the old decimal
+    # product paid a BigDecimal multiply + non-compact buffer add per row
     daily_ship = (
         li.groupBy(F.col("l_shipdate").cast("date").alias("ship_date"))
-        .agg(F.sum(_disc_price_col()).cast("double").alias("ship_revenue"))
+        .agg(F.expr(_csum_split(_DISC_PRICE_C4, 100000, 10000)).alias("ship_revenue"))
     )
     return (
         daily_orders.join(daily_ship, daily_orders.order_date == daily_ship.ship_date, "left")

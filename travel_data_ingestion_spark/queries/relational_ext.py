@@ -136,9 +136,12 @@ def x02_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         "o_orderkey", F.to_date("o_orderdate").alias("win_start")
     )
+    # qty cents <= 1e6 (canary): single compact sum, recombined to the
+    # same DECIMAL(38,2) the wide SUM produced (the 7-bin second-level
+    # sum stays decimal — its input is O(7) rows per order)
     daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("qty"),
+        csum_dec("l_quantity", 2, split=None).alias("qty"),
     )
     days = win.select(
         "o_orderkey",

@@ -229,6 +229,31 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold/AQE broadcasts it while small and demotes to shuffle at
     # scale (a hardcoded hint measured badly in scale_probe at 8x).
     filtered_orders = orders.join(cust, F.expr("o_custkey = c_custkey"))
+    # Size-conditional build-side pick (guide §3.1). The planner's size
+    # estimate for the PROJECTED lineitem scan sits under the 64 MB
+    # broadcast threshold at local SFs, and the filtered_orders JOIN
+    # subtree has no usable estimate (size-only stats multiply through
+    # joins), so the static plan broadcasts the FACT table — a 600k-row
+    # driver collect+rebroadcast that was 0.45 s of q03's 0.87 s
+    # (r16 verdict). Whenever that would happen (li estimate <=
+    # threshold, the same statistic the planner compares), hint the
+    # dim side instead: filtered_orders is two selective filters over
+    # orders — strictly smaller. At scale the branch is a no-op: li's
+    # estimate exceeds the threshold (8x scale_probe: ~112 MB), no hint
+    # is attached, and the plan is byte-identical to the unhinted
+    # bloom+shuffle shape. The decision derives from the scan relation's
+    # statistics, not a constant tuned to this box.
+    li_proj = li.select("l_orderkey", "l_extendedprice", "l_discount")
+    try:
+        thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except ValueError:
+        thr = -1  # unit-suffixed or unset: leave the plan alone
+    if thr > 0:
+        li_est = int(
+            str(li_proj._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        if li_est <= thr:
+            filtered_orders = filtered_orders.hint("broadcast")
     # Integer-cents revenue (derivation + canary at _DISC_PRICE_C4):
     # the group is ONE order, so the cents4 sum is structurally bounded
     # (an order would need ~8.5e6 lineitems to push the exact sum past

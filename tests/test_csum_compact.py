@@ -71,6 +71,37 @@ def test_compact_equals_wide(spark, name):
     assert compact == wide, f"{name}: compact hi/lo sum drifted from the wide DECIMAL form"
 
 
+def test_running_decimal_prefix_matches_global_window(spark):
+    """compat.running_decimal_prefix (the e03/tr01 two-pass prefix sum)
+    must equal the literal global window bit-for-bit: cumulative decimal
+    sum and 1-based position, across bucket boundaries, for single-row
+    buckets, empty gaps, pre-1970 dates, and bucket-edge dates."""
+    from pyspark.sql import Window
+
+    from travel_data_ingestion_spark.compat import running_decimal_prefix
+
+    # ~900 unique dates spanning 1969..1975 with gaps (sparse: keep only
+    # ~40% of days) — crosses many 128-day buckets, some nearly empty
+    base = spark.range(0, 2200).selectExpr(
+        "date_add(DATE'1969-06-15', CAST(id AS INT)) AS d",
+        "CAST(CAST(pmod(xxhash64(id), 99991) AS DOUBLE) / 100 + 0.01 AS DECIMAL(38,2)) AS v",
+    ).filter("pmod(xxhash64(id, 7), 5) < 2")
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = Window.orderBy("d")
+    expected = base.select(
+        "d",
+        F.sum("v").over(w).alias("run"),
+        F.row_number().over(wn).cast("bigint").alias("rn"),
+    )
+    got = running_decimal_prefix(base, "d", "v").select(
+        "d", F.col("__running").alias("run"), F.col("__rn").alias("rn")
+    )
+    assert got.schema == expected.schema
+    e = sorted(repr(tuple(r)) for r in expected.collect())
+    g = sorted(repr(tuple(r)) for r in got.collect())
+    assert e == g
+
+
 def test_t11_nll_micro_units_identity(spark):
     """The t11 envelope is derived, not data-pinned: nll = round(x, 6)
     is an exact 6-decimal non-negative value < 60, so

@@ -287,3 +287,72 @@ def csum_dec(
     if frac == 0:
         return F.expr(f"CAST({units} AS DECIMAL(38,{scale}))")
     return F.expr(f"CAST({units} / {10 ** frac} AS DECIMAL(38,{scale}))")
+
+
+def running_decimal_prefix(
+    df: DataFrame, order_col: str, val_col: str, bucket_days: int = 128
+) -> DataFrame:
+    """Two-pass partial prefix sum (guide §2.4): cumulative SUM and
+    1-based position over a global date ordering WITHOUT the
+    single-partition window an ``ORDER BY date ROWS UNBOUNDED
+    PRECEDING`` plans to.
+
+    Pass 1 runs the running sum/row_number inside deterministic
+    ``bucket_days``-wide date buckets (a hash-partitioned window —
+    parallel, and the bucket key is monotone in the date, so
+    within-bucket order is a contiguous slice of global order). Pass 2
+    aggregates one total per bucket (reusing the bucket partitioning —
+    no extra exchange), runs the tiny single-partition window over
+    O(buckets) rows only, and broadcasts the EXCLUSIVE per-bucket
+    offsets back. Decimal addition is exact, so offset + within-bucket
+    prefix is bit-identical to the global window's value at every row.
+
+    Adds ``__running`` (same decimal type as SUM(val_col) OVER the
+    global window) and ``__rn`` (bigint position). Requires the rows of
+    one ``order_col`` value to be unique (the callers' daily grains are
+    groupBy outputs) — the same requirement the global ROW_NUMBER
+    already had for determinism.
+    """
+    b = F.floor(
+        F.datediff(F.col(order_col), F.lit("1970-01-01").cast("date"))
+        / F.lit(bucket_days)
+    )
+    win = (
+        Window.partitionBy("__b")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrn = Window.partitionBy("__b").orderBy(order_col)
+    din = (
+        df.withColumn("__b", b)
+        .withColumn("__run_in", F.sum(val_col).over(win))
+        .withColumn("__rn_in", F.row_number().over(wrn))
+    )
+    # bucket totals read the window output so the groupBy reuses the
+    # hash(__b) partitioning the window just established
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        din.groupBy("__b")
+        .agg(F.sum(val_col).alias("__bt"), F.count(F.lit(1)).alias("__bn"))
+        .select(
+            "__b",
+            F.sum("__bt").over(wb).alias("__off"),
+            F.sum("__bn").over(wb).alias("__offn"),
+        )
+    )
+    # NULL-SAFE join on the bucket key: a plain equi-join would inject
+    # an isnotnull(FLOOR(...)) filter into only the probe branch, making
+    # the two daily-aggregate subtrees differ — AQE could then not reuse
+    # the shuffle and the FACT TABLE WOULD BE SCANNED TWICE. With <=>
+    # both branches stay identical and runtime stage reuse kicks in.
+    offs = offs.withColumnRenamed("__b", "__ob")
+    joined = din.join(F.broadcast(offs), F.col("__b").eqNullSafe(F.col("__ob")))
+    running = F.when(F.col("__off").isNull(), F.col("__run_in")).otherwise(
+        F.col("__off") + F.col("__run_in")
+    )
+    rn = (F.coalesce(F.col("__offn"), F.lit(0)) + F.col("__rn_in")).cast("bigint")
+    return (
+        joined.withColumn("__running", running)
+        .withColumn("__rn", rn)
+        .drop("__b", "__ob", "__run_in", "__rn_in", "__off", "__offn")
+    )

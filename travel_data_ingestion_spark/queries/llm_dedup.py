@@ -247,7 +247,11 @@ def dd02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.filter(F.size(toks) >= 3).select(
         "doc_id", _shingles(3).alias("shingles")
     )
-    return _jaccard_pairs_exact(sh)
+    # materialize the shingle table once (same rationale as
+    # hamming_pairs' signature truncation): _prefix_candidates and both
+    # _verify_jaccard sides otherwise re-tokenize + re-shingle the
+    # corpus up to 4x
+    return _jaccard_pairs_exact(_truncate_lineage(sh))
 
 
 def _jaccard_pairs_exact(sh: DataFrame) -> DataFrame:
@@ -442,7 +446,9 @@ def minhash_band_rows(sh: DataFrame, n_perm: int = 32, n_bands: int = 8) -> Data
 )
 def dd03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_docs(docs)
+    # materialized once: consumed by the banding pass and both
+    # verification sides (see dd02 / hamming_pairs notes)
+    sh = _truncate_lineage(shingle_docs(docs))
     bands = minhash_band_rows(sh)
     ba, bb = bands.alias("a"), bands.alias("b")
     candidates = (
@@ -598,7 +604,24 @@ def hamming_pairs(
             "hamming_pairs: 4x16-bit pigeonhole blocking is lossless only "
             f"for max_hamming <= 3 (got {max_hamming})"
         )
-    sigs = sigs.select(F.col(id_col).alias("rid"), F.col(sig_col).alias("sig"))
+    # MATERIALIZE THE SIGNATURE TABLE ONCE (guide §8 step 1: write the
+    # fingerprints, then decide on the small rows). sigs is consumed by
+    # FOUR subtrees (the distinct-signature blocking pipeline, both
+    # sides of the same-signature join, and both cross re-expansions);
+    # without truncation each one re-runs the full upstream — for dd04
+    # the corpus tokenize + 64-vote aggregation, for mm03 every image/
+    # audio DECODE — because branch-specific pruning/filters make the
+    # subtrees non-identical, so AQE exchange reuse never fires
+    # (accumulator-measured at sf0.1: every payload row crossed the
+    # Python decode FOUR times before; exactly ONCE after). The
+    # materialized table is one narrow (id, 8-byte sig) row per input
+    # row. EAGER is load-bearing: with a lazy checkpoint AQE launches
+    # the consumer stages concurrently and every one of them computes
+    # the not-yet-materialized RDD (measured 5x decode), because block
+    # reuse only begins once a first job has finished writing them.
+    sigs = _truncate_lineage(
+        sigs.select(F.col(id_col).alias("rid"), F.col(sig_col).alias("sig")),
+    )
     usig = sigs.select("sig").distinct()
     chunks = usig.select(
         "sig",
@@ -886,6 +909,23 @@ _CC_LABELS_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}
 _CC_LABELS_CACHE_CAP = 8
 
 
+def _truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize ``df`` once and cut its lineage: reliable
+    ``checkpoint`` when the SparkContext has a checkpoint dir (set one
+    on a real cluster — executor loss then costs nothing),
+    ``localCheckpoint`` otherwise (fine in single-JVM local mode, where
+    executor loss means the app died anyway). ``eager=False`` defers the
+    materializing job to the first action — construction (plan audits,
+    explain) stays free; every consumer still reads the ONE materialized
+    copy because they share the same checkpointed RDD."""
+    sc = df.sparkSession.sparkContext
+    try:
+        reliable = sc._jsc.sc().getCheckpointDir().isDefined()
+    except Exception:
+        reliable = False
+    return df.checkpoint(eager=eager) if reliable else df.localCheckpoint(eager=eager)
+
+
 def propagate_min_labels(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
     """Connected components over an undirected pair graph via bounded
     min-label propagation (large-star/small-star style): returns
@@ -911,13 +951,7 @@ def propagate_min_labels(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
     (fine in single-JVM local mode, where executor loss means the app
     died anyway)."""
 
-    def _truncate(df: DataFrame) -> DataFrame:
-        sc = df.sparkSession.sparkContext
-        try:
-            reliable = sc._jsc.sc().getCheckpointDir().isDefined()
-        except Exception:
-            reliable = False
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+    _truncate = _truncate_lineage
 
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))

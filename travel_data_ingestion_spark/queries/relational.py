@@ -18,6 +18,7 @@ from travel_data_ingestion_spark.compat import (
     csum,
     csum_dec,
     listagg,
+    running_decimal_prefix,
     try_to_date,
 )
 from travel_data_ingestion_spark.queries import load_table, register
@@ -331,6 +332,25 @@ def q05_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.expr("n_regionkey = r_regionkey"))
         .select("c_custkey", "n_name", "r_name")
     )
+    # Size-conditional build-side pick, same rationale as q03: the dims
+    # JOIN subtree has no usable size estimate, so the static plan
+    # broadcast the 150k-row per-order-revenue side (a driver collect of
+    # the joined fact aggregate) while the 10x-smaller dims streamed.
+    # When the projected customer scan is itself under the broadcast
+    # threshold (the same statistic the planner compares), pin dims as
+    # the build side; at scale customer's estimate crosses the threshold,
+    # no hint attaches, and AQE demotes exactly as before.
+    try:
+        thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except ValueError:
+        thr = -1
+    if thr > 0:
+        cust_proj = cust.select("c_custkey", "c_nationkey")
+        cust_est = int(
+            str(cust_proj._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        if cust_est <= thr:
+            dims = dims.hint("broadcast")
     # Final cross-order sum on compact buffers via the hi/lo split
     # (_csum_split block): the aggregation input here is one row per
     # ORDER (data-scaled — ~4e10 rows at 100 TB), so the wide
@@ -949,11 +969,16 @@ def e03_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date")).agg(
         csum_dec("o_totalprice", 2).alias("total_dec")
     )
-    w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wn = Window.orderBy("order_date")
-    running = F.sum("total_dec").over(w).cast("double")
-    day_number = F.row_number().over(wn).cast("bigint")
-    return daily.select(
+    # two-pass partial prefix sum (compat.running_decimal_prefix): the
+    # global ORDER BY window planned to Exchange SinglePartition + one
+    # window task; now the data-scaled pass is a hash-partitioned
+    # window over 128-day buckets and only O(buckets) rows cross the
+    # single-partition offsets window. Exact decimal addition keeps the
+    # running total bit-identical to the global window's.
+    pref = running_decimal_prefix(daily, "order_date", "total_dec")
+    running = F.col("__running").cast("double")
+    day_number = F.col("__rn")
+    return pref.select(
         "order_date",
         F.col("total_dec").cast("double").alias("total"),
         running.alias("running_total"),

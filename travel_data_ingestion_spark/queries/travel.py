@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from travel_data_ingestion_spark.compat import cavg, csum, csum_dec, listagg
+from travel_data_ingestion_spark.compat import (
+    cavg,
+    csum,
+    csum_dec,
+    listagg,
+    running_decimal_prefix,
+)
 from travel_data_ingestion_spark.queries import load_table, register
 from travel_data_ingestion_spark.queries.relational import _davg, _dsum
 
@@ -69,11 +75,12 @@ def tr01_full_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         csum_dec("o_totalprice", 2).alias("day_total_dec"),
         listagg("o_orderstatus", "; ", distinct=True).alias("statuses"),
     )
-    w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wn = Window.orderBy("order_date")
-    running = F.sum("day_total_dec").over(w).cast("double")
-    day_no = F.row_number().over(wn)
-    return daily.select(
+    # two-pass partial prefix sum (compat.running_decimal_prefix) —
+    # same treatment and exactness argument as e03
+    pref = running_decimal_prefix(daily, "order_date", "day_total_dec")
+    running = F.col("__running").cast("double")
+    day_no = F.col("__rn")
+    return pref.select(
         "order_date",
         "urgent_total",
         "high_total",

@@ -644,7 +644,11 @@ def hamming_pairs(
     counts = chunks.groupBy("chunk_id", "chunk_val").agg(
         F.count(F.lit(1)).alias("__bucket_n")
     )
-    chunks = chunks.join(counts, ["chunk_id", "chunk_val"])
+    # second materialization: the counted chunk table feeds the cold
+    # self-join (2 refs), the hot sub-chunk expansion (2 refs via
+    # hot_sub) — without it each ref re-runs distinct + explode +
+    # count-join over the signature table
+    chunks = _truncate_lineage(chunks.join(counts, ["chunk_id", "chunk_val"]))
     cold = chunks.filter(F.col("__bucket_n") <= hot_block_threshold)
     hot = chunks.filter(F.col("__bucket_n") > hot_block_threshold)
     # the 48 bits OUTSIDE chunk c, packed low, as a CASE over chunk_id

@@ -404,11 +404,33 @@ def t09_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     g = eligible.select("doc_id", n.alias("n_tokens"), bg.alias("bg"), tg.alias("tg"))
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct("bg"),
-            lambda x: F.size(F.filter("bg", lambda y: y == x)),
-        )
+    # max bigram multiplicity as the longest equal run of the SORTED
+    # array — O(n log n) per doc instead of the old
+    # distinct x filter-count scan (O(distinct x n), quadratic on
+    # distinct-heavy docs). Same integer by definition (a value's
+    # occurrences are adjacent after sorting, so its run length IS its
+    # multiplicity); bigrams are non-null by construction (concat_ws
+    # over >= 3 tokens), and eligible docs have >= 2 bigrams, so the
+    # accumulator's null start never leaks. Interleaved A/B + checksum
+    # in tools/exp_t09_topcount.py.
+    top_count = F.aggregate(
+        F.array_sort("bg"),
+        F.struct(
+            F.lit(0).alias("best"),
+            F.lit(0).alias("cur"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + 1)
+            .otherwise(F.lit(1))
+            .alias("cur"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
     )
     top_frac = top_count.cast("double") / F.size("bg")
     dup_frac = F.lit(1.0) - F.size(F.array_distinct("tg")).cast("double") / F.size("tg")
